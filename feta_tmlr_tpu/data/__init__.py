@@ -1,0 +1,9 @@
+from feta_tmlr_tpu.data.batch import GraphBatch, collate_graphs, pad_bucket
+from feta_tmlr_tpu.data.synthetic import random_graph_dataset
+
+__all__ = [
+    "GraphBatch",
+    "collate_graphs",
+    "pad_bucket",
+    "random_graph_dataset",
+]

@@ -1,0 +1,211 @@
+"""Graph containers and padded-dense batch collation.
+
+TPU-first design: a batch of graphs is a *static-shaped* pytree of dense
+arrays — node features padded to a bucketed max length, the graph itself held
+as a dense [B, N, N] adjacency (graphs in every FeTA workload are small:
+molecules ~40 nodes, SBM ~200), so that every downstream op (attention,
+Laplacian builds, Chebyshev recurrences) is a batched matmul on the MXU
+instead of a gather/scatter SpMM.
+
+This replaces the reference's `GraphDataset_v2.collate_fn`
+(/root/reference/transformer/data.py:113-225) which emits padded tensors plus
+flat COO `edge_indices` / `batch_indices` / `feature_indices_to_gather`
+side-tables; with a dense adjacency none of those sparse side-tables are
+needed — the dense↔sparse bridge disappears. A COO view (`edge_index`,
+`edge_mask`) is still carried, padded to an edge bucket, for the sparse /
+edge-partitioned multi-host tier.
+
+The reference hardcodes the device inside collate and uses `mask==True` for
+*padding* (transformer/data.py:102); here collation is pure numpy (host) and
+`node_mask==True` means *valid*, which composes better with `jnp.where`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+import flax.struct
+
+
+@dataclasses.dataclass
+class Graph:
+    """A single host-side graph (numpy).
+
+    Attributes:
+      x: [n, f] node features.
+      edge_index: [2, e] int array of (row, col) = (source, target) pairs.
+        Undirected graphs store both directions, as in the reference.
+      y: label — scalar, vector, or per-node [n, ...].
+      edge_attr: optional [e, fe] edge features.
+      pe: optional [n, n] relative positional-encoding kernel.
+      lap_pe: optional [n, p] absolute (Laplacian/GCKN) PE.
+      degree: optional [n] degree feature (reference: 1/sqrt(1+deg),
+        transformer/data.py:38-42).
+    """
+
+    x: np.ndarray
+    edge_index: np.ndarray
+    y: Any = None
+    edge_attr: Optional[np.ndarray] = None
+    pe: Optional[np.ndarray] = None
+    lap_pe: Optional[np.ndarray] = None
+    degree: Optional[np.ndarray] = None
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.x.shape[0])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_index.shape[1])
+
+    def compute_degree_feature(self) -> None:
+        """deg feature 1/sqrt(1+deg) as in reference transformer/data.py:41."""
+        deg = np.zeros(self.num_nodes, dtype=np.float32)
+        np.add.at(deg, self.edge_index[0], 1.0)
+        self.degree = (1.0 / np.sqrt(1.0 + deg)).astype(np.float32)
+
+
+class GraphBatch(flax.struct.PyTreeNode):
+    """Static-shaped dense batch of graphs (the device-side pytree).
+
+    All fields are jnp/np arrays; optional fields are None (pruned from the
+    pytree). Shapes: B graphs, N padded nodes, E padded edges.
+    """
+
+    x: Any                      # [B, N, F] float
+    node_mask: Any              # [B, N] bool, True = real node
+    adj: Any                    # [B, N, N] float dense adjacency
+    y: Any = None               # [B, ...] or [B, N] labels
+    pe: Any = None              # [B, N, N] PE kernel
+    lap_pe: Any = None          # [B, N, P]
+    degree: Any = None          # [B, N]
+    edge_index: Any = None      # [B, 2, E] int32 COO (padded, self-loop pad)
+    edge_mask: Any = None       # [B, E] bool
+    edge_attr: Any = None       # [B, E, Fe]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def max_nodes(self) -> int:
+        return self.x.shape[1]
+
+    def n_nodes(self):
+        return self.node_mask.sum(-1)
+
+
+_DEFAULT_NODE_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def pad_bucket(n: int, buckets: Sequence[int] = _DEFAULT_NODE_BUCKETS) -> int:
+    """Round n up to a bucket size to bound the number of XLA recompiles."""
+    for b in buckets:
+        if n <= b:
+            return b
+    # beyond the table: round up to a multiple of 128 (lane width)
+    return ((n + 127) // 128) * 128
+
+
+def collate_graphs(
+    graphs: Sequence[Graph],
+    node_buckets: Sequence[int] = _DEFAULT_NODE_BUCKETS,
+    edge_buckets: Optional[Sequence[int]] = None,
+    with_coo: bool = False,
+    max_nodes: Optional[int] = None,
+    dtype=np.float32,
+) -> GraphBatch:
+    """Pure-numpy host collation into a GraphBatch.
+
+    Mirrors the information content of the reference collates
+    (transformer/data.py:161-225) without device placement or sparse
+    side-tables.
+    """
+    bsz = len(graphs)
+    n_raw = max(g.num_nodes for g in graphs)
+    n = max_nodes if max_nodes is not None else pad_bucket(n_raw, node_buckets)
+    if n < n_raw:
+        raise ValueError(f"max_nodes={n} < largest graph ({n_raw})")
+    f = graphs[0].x.shape[-1]
+
+    x = np.zeros((bsz, n, f), dtype=dtype)
+    node_mask = np.zeros((bsz, n), dtype=bool)
+    adj = np.zeros((bsz, n, n), dtype=dtype)
+
+    use_pe = graphs[0].pe is not None
+    use_lap = graphs[0].lap_pe is not None
+    use_deg = graphs[0].degree is not None
+    pe = np.zeros((bsz, n, n), dtype=dtype) if use_pe else None
+    lap_pe = (
+        np.zeros((bsz, n, graphs[0].lap_pe.shape[-1]), dtype=dtype)
+        if use_lap else None
+    )
+    degree = np.zeros((bsz, n), dtype=dtype) if use_deg else None
+
+    for name, used in (("pe", use_pe), ("lap_pe", use_lap),
+                       ("degree", use_deg)):
+        if used:
+            missing = [i for i, g in enumerate(graphs)
+                       if getattr(g, name) is None]
+            if missing:
+                raise ValueError(
+                    f"graph(s) {missing} lack `{name}` but graph 0 has it; "
+                    "optional attributes must be consistent across a batch")
+
+    ys = []
+    node_labels = None
+    for i, g in enumerate(graphs):
+        m = g.num_nodes
+        x[i, :m] = g.x
+        node_mask[i, :m] = True
+        if g.num_edges:
+            adj[i, g.edge_index[0], g.edge_index[1]] = 1.0
+        if use_pe:
+            pe[i, :m, :m] = g.pe
+        if use_lap:
+            lap_pe[i, :m, : g.lap_pe.shape[-1]] = g.lap_pe
+        if use_deg:
+            degree[i, :m] = g.degree
+        if g.y is not None:
+            ys.append(np.asarray(g.y))
+
+    y = None
+    if ys:
+        if ys[0].ndim >= 1 and ys[0].shape[0] == graphs[0].num_nodes and (
+            len(set(yy.shape[0] for yy in ys)) > 1
+            or ys[0].shape[0] != 1
+        ):
+            # per-node labels (SBM tier): pad to [B, N]
+            node_labels = np.full((bsz, n) + ys[0].shape[1:], -1, dtype=ys[0].dtype)
+            for i, yy in enumerate(ys):
+                node_labels[i, : yy.shape[0]] = yy
+            y = node_labels
+        else:
+            y = np.stack(ys)
+
+    edge_index = edge_mask = edge_attr = None
+    if with_coo:
+        e_raw = max(max(g.num_edges for g in graphs), 1)
+        e = pad_bucket(e_raw, edge_buckets or _DEFAULT_NODE_BUCKETS)
+        edge_index = np.zeros((bsz, 2, e), dtype=np.int32)
+        edge_mask = np.zeros((bsz, e), dtype=bool)
+        use_eattr = graphs[0].edge_attr is not None
+        if use_eattr:
+            edge_attr = np.zeros(
+                (bsz, e, graphs[0].edge_attr.shape[-1]), dtype=dtype)
+        for i, g in enumerate(graphs):
+            ne = g.num_edges
+            edge_index[i, :, :ne] = g.edge_index
+            edge_mask[i, :ne] = True
+            if use_eattr and ne:
+                edge_attr[i, :ne] = g.edge_attr
+
+    return GraphBatch(
+        x=x, node_mask=node_mask, adj=adj, y=y, pe=pe, lap_pe=lap_pe,
+        degree=degree, edge_index=edge_index, edge_mask=edge_mask,
+        edge_attr=edge_attr,
+    )

@@ -1,0 +1,118 @@
+"""Encoder layers: the reconstructed GraphiT attention layer.
+
+`GraphiTEncoderLayer` is the TPU-native rebuild of the reference's
+`DiffTransformerEncoderLayer`, which is *absent from the snapshot*
+(transformer/layers.py is a stray copy of gckn/layers.py; SURVEY.md §2.7).
+The contract is reconstructed from its call sites:
+  - ctor (d_model, nb_heads, dim_feedforward, dropout, batch_norm)
+    (transformer/models.py:405-406,505-506)
+  - forward(src, pe, degree, src_mask, src_key_padding_mask, need_heads)
+    returning (out, attn[B,H,N,N], out_each_head[B,N,H,dh])
+    (transformer/models.py:92-93,166-167,275,179-186)
+  - post-attention structure follows torch.nn.TransformerEncoderLayer
+    (residual -> norm1 -> FFN(relu) -> residual -> norm2), with a
+    batch-norm variant selected by the `batch_norm` flag.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from feta_tmlr_tpu.ops.attention import kernel_modulated_attention
+from feta_tmlr_tpu.ops.masking import masked_mean
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over features, statistics taken over valid nodes only.
+
+    The reference's `batch_norm=True` path normalizes flattened (B*N, D)
+    activations with nn.BatchNorm1d; with padding, unmasked statistics would
+    be polluted by phantom zeros, so we mask them.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, node_mask, use_running_average: bool = True):
+        d = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((d,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((d,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = node_mask.astype(x.dtype)[..., None]
+            cnt = jnp.maximum(m.sum(), 1.0)
+            mean = (x * m).sum(axis=(0, 1)) / cnt
+            var = (((x - mean) ** 2) * m).sum(axis=(0, 1)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean)
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var)
+        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        return y * scale + bias
+
+
+class GraphiTEncoderLayer(nn.Module):
+    """Kernel-modulated multi-head attention + FFN block.
+
+    Returns (out [B,N,D], attn [B,H,N,N], out_each_head [B,N,H,dh]);
+    `out_each_head` is the per-head attention output before the output
+    projection, which the FeTA block filters spectrally.
+    """
+
+    d_model: int
+    n_heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, pe, node_mask, degree=None, deterministic=True):
+        b, n, d = x.shape
+        h = self.n_heads
+        dh = d // h
+        assert d == self.d_model and dh * h == d
+
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+
+        heads, attn = kernel_modulated_attention(
+            q, k, v, node_mask, pe=pe, degree=degree)
+        out_each_head = heads.transpose(0, 2, 1, 3)          # [B,N,H,dh]
+        attn_out = nn.Dense(d, name="out_proj")(
+            out_each_head.reshape(b, n, d))
+
+        drop = lambda t: nn.Dropout(self.dropout)(
+            t, deterministic=deterministic)
+
+        x = x + drop(attn_out)
+        x = self._norm(x, node_mask, "norm1", deterministic)
+
+        ff = nn.Dense(self.dim_feedforward, name="ff1")(x)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        ff = nn.Dense(self.d_model, name="ff2")(ff)
+        x = x + drop(ff)
+        x = self._norm(x, node_mask, "norm2", deterministic)
+
+        mask_f = node_mask.astype(x.dtype)[..., None]
+        return x * mask_f, attn, out_each_head * mask_f[:, :, None, :]
+
+    def _norm(self, x, node_mask, name, deterministic):
+        if self.batch_norm:
+            return MaskedBatchNorm(name=name)(
+                x, node_mask, use_running_average=deterministic)
+        return nn.LayerNorm(name=name)(x)

@@ -1,0 +1,116 @@
+"""Model-level tests: shapes, jit, gradients, padding invariance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from feta_tmlr_tpu.data import collate_graphs, random_graph_dataset
+from feta_tmlr_tpu.nn import (
+    DiffGraphTransformer,
+    DiffGraphTransformerGenGCN,
+    DiffGraphTransformerGenGCNSBM,
+    GraphTransformer,
+)
+from feta_tmlr_tpu.pe import DiffusionEncoding, LapEncoding
+
+
+def make_batch(max_nodes=None, seed=0, node_level=False):
+    graphs = random_graph_dataset(
+        seed=seed, n_graphs=4, min_nodes=5, max_nodes=12, n_features=7,
+        node_level=node_level)
+    DiffusionEncoding(beta=1.0).apply_to(graphs)
+    LapEncoding(dim=4).apply_to(graphs)
+    return collate_graphs(graphs, max_nodes=max_nodes)
+
+
+MODEL_KW = dict(in_size=7, nb_class=2, d_model=32, nb_heads=4,
+                dim_feedforward=64, dropout=0.0, nb_layers=2,
+                lap_pos_enc=True, lap_pos_enc_dim=4)
+
+
+def test_feta_forward_and_grads():
+    gb = make_batch()
+    model = DiffGraphTransformerGenGCN(**MODEL_KW, filter_order=2)
+    params = model.init(jax.random.key(0), gb)
+
+    def loss_fn(p):
+        logits, reg = model.apply(p, gb, regularization=0.1)
+        onehot = jax.nn.one_hot(gb.y, 2)
+        return -jnp.mean(
+            jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)) + 0.1 * reg
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # dynamic filter params must receive gradient
+    gsum = sum(float(jnp.abs(g).sum()) for g in flat)
+    assert gsum > 0
+
+
+def test_feta_padding_invariance():
+    gb1 = make_batch(max_nodes=16)
+    gb2 = make_batch(max_nodes=32)
+    model = DiffGraphTransformerGenGCN(**MODEL_KW, filter_order=2)
+    params = model.init(jax.random.key(0), gb1)
+    out1, _ = model.apply(params, gb1)
+    out2, _ = model.apply(params, gb2)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_feta_jit_and_coeff_shapes():
+    gb = make_batch()
+    model = DiffGraphTransformerGenGCN(**MODEL_KW, filter_order=2,
+                                       last_layer_filter=True)
+    params = model.init(jax.random.key(1), gb)
+    apply = jax.jit(
+        lambda p, b: model.apply(p, b, return_filter_coeff=True))
+    logits, reg, coeff = apply(params, gb)
+    assert logits.shape == (4, 2)
+    dh = MODEL_KW["d_model"] // MODEL_KW["nb_heads"]
+    # dynamic mode: C = K * dh * dh; only last layer filtered -> Lf = 1
+    assert coeff.shape == (4, MODEL_KW["nb_heads"], 2 * dh * dh)
+
+
+def test_feta_all_layer_filter_and_scalar_mode():
+    gb = make_batch()
+    model = DiffGraphTransformerGenGCN(
+        **MODEL_KW, filter_order=3, last_layer_filter=False,
+        learn_only_filter_order_coeff=True)
+    params = model.init(jax.random.key(2), gb)
+    logits, reg, coeff = model.apply(params, gb, return_filter_coeff=True)
+    assert logits.shape == (4, 2)
+    # scalar mode: C = K; all layers filtered -> Lf = nb_layers
+    assert coeff.shape == (4, MODEL_KW["nb_layers"] * MODEL_KW["nb_heads"], 3)
+
+
+def test_plain_transformers_forward():
+    gb = make_batch()
+    for cls in (GraphTransformer, DiffGraphTransformer):
+        model = cls(**MODEL_KW)
+        params = model.init(jax.random.key(0), gb)
+        out = model.apply(params, gb)
+        assert out.shape == (4, 2)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sbm_node_level_model():
+    gb = make_batch(node_level=True)
+    model = DiffGraphTransformerGenGCNSBM(**MODEL_KW, filter_order=2)
+    params = model.init(jax.random.key(0), gb)
+    logits, _ = model.apply(params, gb)
+    assert logits.shape == (4, gb.max_nodes, 2)
+
+
+def test_dropout_rng_path():
+    gb = make_batch()
+    model = DiffGraphTransformerGenGCN(
+        **{**MODEL_KW, "dropout": 0.3}, filter_order=2)
+    params = model.init(jax.random.key(0), gb)
+    out1, _ = model.apply(params, gb, deterministic=False,
+                          rngs={"dropout": jax.random.key(1)})
+    out2, _ = model.apply(params, gb, deterministic=False,
+                          rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
