@@ -3,9 +3,11 @@ from feta_tmlr_tpu.nn.feta import FeTAEncoder, FilterCoefficientHead
 from feta_tmlr_tpu.nn.models import (
     GraphTransformer,
     DiffGraphTransformer,
+    DiffGraphTransformerGCN,
     DiffGraphTransformerGenGCN,
     DiffGraphTransformerGenGCNSBM,
 )
+from feta_tmlr_tpu.nn.gnn import DenseGCNConv, DenseGENGCN
 
 __all__ = [
     "GraphiTEncoderLayer",
@@ -14,6 +16,9 @@ __all__ = [
     "FilterCoefficientHead",
     "GraphTransformer",
     "DiffGraphTransformer",
+    "DiffGraphTransformerGCN",
     "DiffGraphTransformerGenGCN",
     "DiffGraphTransformerGenGCNSBM",
+    "DenseGCNConv",
+    "DenseGENGCN",
 ]

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from feta_tmlr_tpu.nn.layers import GraphiTEncoderLayer
+from feta_tmlr_tpu.ops.arma import arma_filter_dynamic, gcn_norm_no_self_loops
 from feta_tmlr_tpu.ops.cheb import cheb_filter_dynamic, cheb_filter_scalar_coeff
 from feta_tmlr_tpu.ops.laplacian import cheb_scaled_laplacian, gcn_norm_dense
 from feta_tmlr_tpu.ops.masking import masked_mean
@@ -116,14 +117,18 @@ class FeTAEncoder(nn.Module):
         dynamic = "dynamic" in self.gnn_type.lower()
 
         lhat = None
-        if dynamic:
+        anorm = None
+        if self.gnn_type == "ChebConvDynamic":
             lhat = cheb_scaled_laplacian(
                 adj, node_mask, normalization=self.laplacian_norm)
+        elif self.gnn_type == "ARMAConvDynamic":
+            anorm = gcn_norm_no_self_loops(adj, node_mask)
 
         coeff_head = FilterCoefficientHead(
             self.num_coefficients, name="coeff_head")
         cheb_bias = None
         static_weight = None
+        arma_params = None
         if self.gnn_type == "ChebConvDynamic":
             cheb_bias = self.param(
                 "cheb_bias", nn.initializers.zeros, (dh,))
@@ -132,6 +137,18 @@ class FeTAEncoder(nn.Module):
                     "cheb_weight",
                     nn.initializers.glorot_uniform(),
                     (self.filter_order, dh, dh))
+        elif self.gnn_type == "ARMAConvDynamic":
+            arma_params = dict(
+                init_weight=self.param(
+                    "arma_init_weight", nn.initializers.glorot_uniform(),
+                    (self.filter_order, dh, dh)),
+                root_weight=self.param(
+                    "arma_root_weight", nn.initializers.glorot_uniform(),
+                    (self.filter_order, dh, dh)),
+                bias=self.param(
+                    "arma_bias", nn.initializers.zeros,
+                    (self.filter_order, 1, dh)),
+            )
 
         out = x
         attn = None
@@ -159,6 +176,9 @@ class FeTAEncoder(nn.Module):
                     w = coeff.reshape(
                         b, h, self.filter_order, dh, dh)
                     filt = cheb_filter_dynamic(heads, lhat, w, cheb_bias)
+            elif self.gnn_type == "ARMAConvDynamic":
+                filt = arma_filter_dynamic(
+                    heads, anorm, coeff, activation=nn.relu, **arma_params)
             else:
                 raise NotImplementedError(
                     f"gnn_type {self.gnn_type} filter not implemented yet")

@@ -1,0 +1,89 @@
+"""Dense batched GNN modules: GCNConv and GENGCN.
+
+TPU-native rebuilds of the reference's local PyG-style layers:
+  - GCNConv (transformer/GenGCN.py:276-413): x' = D~^{-1/2}(A+I)D~^{-1/2} X W + b
+  - GENGCN (transformer/GenGCN.py:104-274): multi-hop Laplacian-polynomial
+    GCN. The reference builds per-graph edge lists for L^0..L^{K-1} via
+    host-side sparse matmuls with per-edge hop indices
+    (`laplacian_norm`, GenGCN.py:104-175) and gathers learnable per-hop
+    gains `h` into edge weights (:254-266). Densely this collapses to
+      out = sum_k h_k * L^k (X W) + b
+    with L the (sym-normalized) graph Laplacian — K-1 batched matmuls on
+    the MXU, no host round trip. NOTE (reference fidelity): GENGCN ignores
+    the dynamic filter_coeff input; `h` is a static parameter
+    (GenGCN.py:254-257, the coeff path is commented out).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from feta_tmlr_tpu.ops.laplacian import gcn_norm_dense, jax_rsqrt
+from feta_tmlr_tpu.ops.masking import pair_mask
+
+
+class DenseGCNConv(nn.Module):
+    """GCN layer over a dense (possibly weighted) adjacency."""
+
+    features: int
+    add_self_loops: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask):
+        an = gcn_norm_dense(adj, node_mask,
+                            add_self_loops=self.add_self_loops)
+        h = nn.Dense(self.features, use_bias=False, name="kernel_proj")(x)
+        out = jnp.einsum("...mn,...nd->...md", an, h)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+        return out
+
+
+def graph_laplacian_dense(adj, node_mask, normalization: Optional[str] = "sym"):
+    """Dense L (no Chebyshev scaling): None D-A | sym I-An | rw I-D^-1 A."""
+    pm = pair_mask(node_mask).astype(adj.dtype)
+    n = adj.shape[-1]
+    eye = jnp.eye(n, dtype=adj.dtype)
+    a = adj * pm * (1.0 - eye)
+    deg = a.sum(-1)
+    mask = node_mask.astype(adj.dtype)
+    if normalization == "sym":
+        dis = jnp.where(deg > 0, jax_rsqrt(deg), 0.0)
+        lap = -dis[..., :, None] * a * dis[..., None, :] \
+            + mask[..., :, None] * eye
+    elif normalization == "rw":
+        dinv = jnp.where(deg > 0, 1.0 / jnp.where(deg > 0, deg, 1.0), 0.0)
+        lap = -dinv[..., :, None] * a + mask[..., :, None] * eye
+    else:
+        lap = -a + deg[..., :, None] * eye
+    return lap * pm
+
+
+class DenseGENGCN(nn.Module):
+    """Multi-hop Laplacian-polynomial GCN with learnable per-hop gains."""
+
+    features: int
+    num_hops: int = 4
+    normalization: Optional[str] = "sym"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask):
+        lap = graph_laplacian_dense(adj, node_mask, self.normalization)
+        h_gain = self.param("h", nn.initializers.uniform(scale=1.0),
+                            (self.num_hops,))
+        xw = nn.Dense(self.features, use_bias=False, name="kernel_proj")(x)
+        out = h_gain[0] * xw                       # hop 0 = identity
+        cur = xw
+        for k in range(1, self.num_hops):
+            cur = jnp.einsum("...mn,...nd->...md", lap, cur)
+            out = out + h_gain[k] * cur
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+        return out

@@ -115,4 +115,5 @@ class GraphiTEncoderLayer(nn.Module):
         if self.batch_norm:
             return MaskedBatchNorm(name=name)(
                 x, node_mask, use_running_average=deterministic)
-        return nn.LayerNorm(name=name)(x)
+        # epsilon matches torch.nn.LayerNorm (the reference's norm)
+        return nn.LayerNorm(epsilon=1e-5, name=name)(x)

@@ -24,13 +24,21 @@ from feta_tmlr_tpu.nn.layers import GraphiTEncoderLayer
 from feta_tmlr_tpu.ops.masking import masked_mean
 
 
-def _classifier(d_model: int, nb_class: int, name: str = "classifier"):
+class ClassifierMLP(nn.Module):
     """2-layer MLP head (models.py:411-415,512-516)."""
-    return nn.Sequential([
-        nn.Dense(d_model),
-        nn.relu,
-        nn.Dense(nb_class),
-    ], name=name)
+
+    d_model: int
+    nb_class: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.d_model, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.nb_class, name="fc2")(x)
+
+
+def _classifier(d_model: int, nb_class: int, name: str = "classifier"):
+    return ClassifierMLP(d_model, nb_class, name=name)
 
 
 def coefficient_regularizer(coeff, reg_type: str = "pairwise"):
@@ -114,6 +122,49 @@ class DiffGraphTransformer(nn.Module):
                     x, batch.pe, batch.node_mask, degree=batch.degree,
                     deterministic=deterministic)
         pooled = masked_mean(x, batch.node_mask, axis=1)
+        return _classifier(self.d_model, self.nb_class)(pooled)
+
+
+def masked_max_pool(x, node_mask):
+    """Global max pool over valid nodes (gmp in models.py:479)."""
+    neg = jnp.finfo(x.dtype).min
+    masked = jnp.where(node_mask[..., None], x, neg)
+    return masked.max(axis=1)
+
+
+class DiffGraphTransformerGCN(nn.Module):
+    """GraphiT + last-layer GCN over the original graph (models.py:433-485):
+    mean-pooled transformer output plus max-pooled ReLU(GCN) features.
+    """
+
+    in_size: int
+    nb_class: int
+    d_model: int
+    nb_heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    nb_layers: int = 4
+    batch_norm: bool = False
+    lap_pos_enc: bool = False
+    lap_pos_enc_dim: int = 0
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        from feta_tmlr_tpu.nn.gnn import DenseGCNConv
+        x = nn.Dense(self.d_model, use_bias=False, name="embedding")(batch.x)
+        if self.lap_pos_enc and batch.lap_pe is not None:
+            x = x + nn.Dense(self.d_model, name="embedding_lap_pos_enc")(
+                batch.lap_pe)
+        for i in range(self.nb_layers):
+            x, _, _ = GraphiTEncoderLayer(
+                self.d_model, self.nb_heads, self.dim_feedforward,
+                self.dropout, self.batch_norm, name=f"layer_{i}")(
+                    x, batch.pe, batch.node_mask, degree=batch.degree,
+                    deterministic=deterministic)
+        gcn_out = nn.relu(DenseGCNConv(self.d_model, name="gcn")(
+            x, batch.adj, batch.node_mask))
+        pooled = (masked_mean(x, batch.node_mask, axis=1)
+                  + masked_max_pool(gcn_out, batch.node_mask))
         return _classifier(self.d_model, self.nb_class)(pooled)
 
 

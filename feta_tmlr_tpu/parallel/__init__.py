@@ -1,0 +1,13 @@
+from feta_tmlr_tpu.parallel.mesh import make_mesh
+from feta_tmlr_tpu.parallel.sharding import (
+    shard_batch,
+    shard_params,
+    make_sharded_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "shard_params",
+    "make_sharded_train_step",
+]

@@ -1,0 +1,266 @@
+"""Unified trainer with task adapters.
+
+One trainer covers the reference's 24 per-dataset scripts (SURVEY.md §2.4) via
+task adapters:
+  graph_clf : CE loss + accuracy         (run_transformer_gengcn_cv.py)
+  graph_reg : L1 loss + MAE              (run_transformer_gengcn.py, ZINC)
+  node_clf  : masked CE + balanced acc   (run_transformer_gengcn_SBM_cv.py)
+  binary_graph : BCE-with-logits + ROC-AUC/AP (molhiv/molpcba)
+
+Reference behaviors kept: Laplacian-PE sign-flip augmentation during training
+(run_transformer_gengcn_cv.py:138-142), coefficient regularization weight
+passed through to the model (models.py:543-546), best-val checkpoint
+selection (run_transformer_gengcn_cv.py:401-413).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import flax.struct
+
+from feta_tmlr_tpu.data.batch import GraphBatch
+from feta_tmlr_tpu.train import metrics as M
+from feta_tmlr_tpu.train.optim import PlateauScheduler, make_optimizer, step_lr
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: Any
+    batch_stats: Any = None        # BatchNorm running stats (or None)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    task: str = "graph_clf"            # graph_clf | graph_reg | node_clf | binary_graph
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    epochs: int = 100
+    regularization: float = 0.0
+    sign_flip: bool = True             # lap-PE sign-flip augmentation
+    schedule: str = "constant"         # constant | step | plateau
+    step_size: int = 50                # StepLR epochs (reference: 50)
+    gamma: float = 0.5
+    plateau_patience: int = 10
+    plateau_factor: float = 0.5
+    min_lr: float = 1e-6
+    seed: int = 0
+
+
+def _model_outputs(out):
+    """Models return logits or (logits, reg) or (logits, reg, coeff)."""
+    if isinstance(out, tuple):
+        return out[0], (out[1] if len(out) > 1 else 0.0)
+    return out, 0.0
+
+
+def task_loss(task: str, logits, batch: GraphBatch):
+    if task == "graph_clf":
+        n_class = logits.shape[-1]
+        onehot = jax.nn.one_hot(batch.y, n_class)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
+    if task == "graph_reg":
+        pred = logits.squeeze(-1)
+        return jnp.mean(jnp.abs(pred - batch.y))
+    if task == "node_clf":
+        n_class = logits.shape[-1]
+        labels = jnp.maximum(batch.y, 0)
+        onehot = jax.nn.one_hot(labels, n_class)
+        ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
+        m = (batch.node_mask & (batch.y >= 0)).astype(ce.dtype)
+        return jnp.sum(ce * m) / jnp.maximum(m.sum(), 1.0)
+    if task == "binary_graph":
+        y = batch.y.astype(logits.dtype)
+        if y.ndim < logits.ndim:
+            y = y[..., None]
+        valid = ~jnp.isnan(y)
+        y0 = jnp.where(valid, y, 0.0)
+        per = optax.sigmoid_binary_cross_entropy(logits, y0)
+        per = jnp.where(valid, per, 0.0)
+        return per.sum() / jnp.maximum(valid.sum(), 1)
+    raise ValueError(f"unknown task {task!r}")
+
+
+def task_metric(task: str, logits: np.ndarray, batch: GraphBatch):
+    if task == "graph_clf":
+        return {"acc": M.accuracy_graph(logits, batch.y)}
+    if task == "graph_reg":
+        return {"mae": M.mae(np.asarray(logits).squeeze(-1), batch.y)}
+    if task == "node_clf":
+        return {"acc_sbm": M.accuracy_sbm(logits, batch.y,
+                                          mask=batch.node_mask)}
+    if task == "binary_graph":
+        y = np.asarray(batch.y)
+        s = np.asarray(logits)
+        if y.ndim < s.ndim:
+            y = y[..., None]
+        if s.shape[-1] == 1:
+            return {"rocauc": M.roc_auc(s, y)}
+        return {"ap": M.multitask_mean(M.average_precision, s, y)}
+    raise ValueError(task)
+
+
+class Trainer:
+    """Jitted train/eval driver for one model + task."""
+
+    def __init__(self, model, config: TrainConfig,
+                 steps_per_epoch: int = 1):
+        self.model = model
+        self.cfg = config
+        c = config
+        if c.schedule == "step":
+            lr = step_lr(c.lr, c.step_size, c.gamma, steps_per_epoch)
+            self.optimizer = make_optimizer(lr, c.weight_decay)
+            self.plateau = None
+        elif c.schedule == "plateau":
+            self.optimizer = make_optimizer(
+                c.lr, c.weight_decay, injectable=True)
+            self.plateau = PlateauScheduler(
+                factor=c.plateau_factor, patience=c.plateau_patience,
+                mode=("min" if c.task == "graph_reg" else "max"),
+                min_lr=c.min_lr)
+        else:
+            self.optimizer = make_optimizer(c.lr, c.weight_decay)
+            self.plateau = None
+        self._jit_step = jax.jit(self._step)
+        self._jit_eval = jax.jit(self._eval_logits)
+
+    # -- core fns ---------------------------------------------------------
+    def init(self, rng, sample_batch: GraphBatch) -> TrainState:
+        variables = self.model.init(rng, sample_batch)
+        params = {"params": variables["params"]}
+        return TrainState(params=params,
+                          opt_state=self.optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32),
+                          batch_stats=variables.get("batch_stats"))
+
+    def _variables(self, params, batch_stats):
+        v = dict(params)
+        if batch_stats is not None:
+            v["batch_stats"] = batch_stats
+        return v
+
+    def _apply(self, params, batch_stats, batch, deterministic, rng=None):
+        kwargs = {}
+        if self.cfg.regularization > 0:
+            kwargs["regularization"] = self.cfg.regularization
+        rngs = {"dropout": rng} if rng is not None else None
+        mutable = ["batch_stats"] if (batch_stats is not None
+                                      and not deterministic) else False
+        out = self.model.apply(
+            self._variables(params, batch_stats), batch,
+            deterministic=deterministic, rngs=rngs, mutable=mutable,
+            **kwargs)
+        if mutable:
+            out, updated = out
+            return out, updated.get("batch_stats")
+        return out, batch_stats
+
+    def _step(self, state: TrainState, batch: GraphBatch, rng):
+        rng_flip, rng_drop = jax.random.split(rng)
+        if self.cfg.sign_flip and batch.lap_pe is not None:
+            # per-dimension random sign (run_transformer_gengcn_cv.py:138-142)
+            signs = jnp.where(
+                jax.random.uniform(rng_flip,
+                                   (batch.lap_pe.shape[-1],)) >= 0.5,
+                1.0, -1.0)
+            batch = batch.replace(lap_pe=batch.lap_pe * signs)
+
+        def loss_fn(p):
+            out, new_stats = self._apply(
+                p, state.batch_stats, batch, deterministic=False,
+                rng=rng_drop)
+            logits, reg = _model_outputs(out)
+            loss = task_loss(self.cfg.task, logits, batch)
+            return loss + self.cfg.regularization * reg, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1,
+                          batch_stats=new_stats), loss
+
+    def _eval_logits(self, params, batch_stats, batch: GraphBatch):
+        out, _ = self._apply(params, batch_stats, batch, deterministic=True)
+        logits, _ = _model_outputs(out)
+        return logits
+
+    # -- public API -------------------------------------------------------
+    def train_epoch(self, state: TrainState, batches: Sequence[GraphBatch],
+                    rng) -> Tuple[TrainState, float]:
+        losses = []
+        for i, b in enumerate(batches):
+            state, loss = self._jit_step(state, b, jax.random.fold_in(rng, i))
+            losses.append(loss)
+        return state, float(np.mean([np.asarray(l) for l in losses]))
+
+    def evaluate(self, state: TrainState, batches: Sequence[GraphBatch]):
+        all_logits, ys, masks = [], [], []
+        agg = {}
+        n = 0
+        for b in batches:
+            logits = np.asarray(
+                self._jit_eval(state.params, state.batch_stats, b))
+            m = task_metric(self.cfg.task, logits, b)
+            k = logits.shape[0]
+            for key, v in m.items():
+                agg[key] = agg.get(key, 0.0) + v * k
+            n += k
+        return {k: v / n for k, v in agg.items()}
+
+    def fit(self, train_batches: Sequence[GraphBatch],
+            val_batches: Optional[Sequence[GraphBatch]] = None,
+            test_batches: Optional[Sequence[GraphBatch]] = None,
+            epochs: Optional[int] = None,
+            log_fn: Optional[Callable[[dict], None]] = None):
+        cfg = self.cfg
+        rng, init_rng = jax.random.split(jax.random.key(cfg.seed))
+        state = self.init(init_rng, train_batches[0])
+        history: List[dict] = []
+        best_val, best_state, best_epoch = None, state, 0
+        mode = "min" if cfg.task == "graph_reg" else "max"
+        for epoch in range(epochs or cfg.epochs):
+            t0 = time.perf_counter()
+            state, loss = self.train_epoch(
+                state, train_batches, jax.random.fold_in(rng, epoch))
+            row = {"epoch": epoch, "loss": loss,
+                   "time": time.perf_counter() - t0}
+            if val_batches is not None:
+                vm = self.evaluate(state, val_batches)
+                row.update({f"val_{k}": v for k, v in vm.items()})
+                key = next(iter(vm))
+                improved = (
+                    best_val is None
+                    or (mode == "min" and vm[key] < best_val)
+                    or (mode == "max" and vm[key] > best_val))
+                if improved:
+                    best_val, best_state, best_epoch = vm[key], state, epoch
+                if self.plateau is not None:
+                    new_lr = self.plateau.step(vm[key], cfg.lr)
+                    state = _set_lr(state, new_lr)
+                    row["lr"] = new_lr
+            history.append(row)
+            if log_fn:
+                log_fn(row)
+        result = {"history": history, "best_epoch": best_epoch,
+                  "best_val": best_val, "state": best_state}
+        if test_batches is not None:
+            result["test"] = self.evaluate(best_state, test_batches)
+        return result
+
+
+def _set_lr(state: TrainState, lr: float) -> TrainState:
+    opt_state = state.opt_state
+    if hasattr(opt_state, "hyperparams"):
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+    return state

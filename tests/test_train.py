@@ -1,0 +1,98 @@
+"""Trainer + metrics tests: overfit tiny datasets per task adapter."""
+
+import numpy as np
+import jax
+import pytest
+
+from feta_tmlr_tpu.data import collate_graphs, random_graph_dataset
+from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
+from feta_tmlr_tpu.nn import (
+    DiffGraphTransformerGenGCN,
+    DiffGraphTransformerGenGCNSBM,
+)
+from feta_tmlr_tpu.pe import DiffusionEncoding, LapEncoding
+from feta_tmlr_tpu.train import Trainer, TrainConfig
+from feta_tmlr_tpu.train import metrics as M
+
+
+def _prep(graphs, max_nodes=None):
+    DiffusionEncoding(beta=1.0).apply_to(graphs)
+    LapEncoding(dim=4).apply_to(graphs)
+    return collate_graphs(graphs, max_nodes=max_nodes)
+
+
+def test_overfit_graph_classification():
+    graphs = random_graph_dataset(seed=0, n_graphs=16, min_nodes=6,
+                                  max_nodes=12, n_features=7)
+    batch = _prep(graphs, max_nodes=16)
+    model = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=2, d_model=32, nb_heads=4, dim_feedforward=64,
+        dropout=0.0, nb_layers=2, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2)
+    trainer = Trainer(model, TrainConfig(task="graph_clf", lr=3e-3,
+                                         epochs=30, sign_flip=False))
+    result = trainer.fit([batch], val_batches=[batch])
+    assert result["history"][-1]["loss"] < result["history"][0]["loss"]
+    assert result["best_val"] >= 0.9
+
+
+def test_overfit_regression_with_plateau():
+    graphs = random_graph_dataset(seed=1, n_graphs=16, min_nodes=6,
+                                  max_nodes=12, n_features=7,
+                                  task="regression")
+    batch = _prep(graphs, max_nodes=16)
+    model = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=1, d_model=32, nb_heads=4, dim_feedforward=64,
+        dropout=0.0, nb_layers=1, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2)
+    trainer = Trainer(model, TrainConfig(
+        task="graph_reg", lr=3e-3, epochs=25, schedule="plateau",
+        plateau_patience=3, sign_flip=True))
+    result = trainer.fit([batch], val_batches=[batch])
+    assert result["history"][-1]["loss"] < result["history"][0]["loss"]
+
+
+def test_overfit_node_classification():
+    graphs = sbm_like_dataset(seed=2, n_graphs=4, n_nodes=24)
+    batch = _prep(graphs, max_nodes=32)
+    model = DiffGraphTransformerGenGCNSBM(
+        in_size=3, nb_class=2, d_model=32, nb_heads=4, dim_feedforward=64,
+        dropout=0.0, nb_layers=2, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2)
+    trainer = Trainer(model, TrainConfig(task="node_clf", lr=3e-3,
+                                         epochs=30, sign_flip=False))
+    result = trainer.fit([batch], val_batches=[batch])
+    assert result["best_val"] > 0.65
+
+
+def test_metrics_definitions():
+    # balanced SBM accuracy: perfect on class 0, zero on class 1 -> 0.5
+    logits = np.array([[[2.0, 0.0], [2.0, 0.0], [2.0, 0.0], [2.0, 0.0]]])
+    labels = np.array([[0, 0, 1, 1]])
+    assert M.accuracy_sbm(logits, labels) == 0.5
+    # padded labels (-1) ignored
+    labels2 = np.array([[0, 0, -1, -1]])
+    assert M.accuracy_sbm(logits, labels2) == 1.0
+
+    # roc_auc against hand-computed value
+    scores = np.array([0.9, 0.8, 0.3, 0.2])
+    labels3 = np.array([1, 0, 1, 0])
+    # pairs: (0.9>0.8 ok),(0.9>0.2 ok),(0.3<0.8 bad),(0.3>0.2 ok) -> 3/4
+    assert abs(M.roc_auc(scores, labels3) - 0.75) < 1e-9
+
+    # AP hand value: ranks desc: y=[1,0,1,0]; precisions at hits: 1/1, 2/3
+    assert abs(M.average_precision(scores, labels3) - (1.0 + 2 / 3) / 2) < 1e-9
+
+    assert M.binary_f1([1, 1, 0], [1, 0, 0]) == pytest.approx(2 / 3)
+    assert M.mae([1.0, 3.0], [0.0, 1.0]) == pytest.approx(1.5)
+
+
+def test_sklearn_cross_check_auc_ap():
+    from sklearn.metrics import average_precision_score, roc_auc_score
+    rng = np.random.default_rng(0)
+    scores = rng.standard_normal(200)
+    labels = (rng.random(200) > 0.6).astype(int)
+    assert abs(M.roc_auc(scores, labels)
+               - roc_auc_score(labels, scores)) < 1e-9
+    assert abs(M.average_precision(scores, labels)
+               - average_precision_score(labels, scores)) < 1e-9
