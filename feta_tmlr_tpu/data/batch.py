@@ -53,6 +53,9 @@ class Graph:
     pe: Optional[np.ndarray] = None
     lap_pe: Optional[np.ndarray] = None
     degree: Optional[np.ndarray] = None
+    edge_type: Optional[np.ndarray] = None   # [e] int edge/bond types
+    eigvecs: Optional[np.ndarray] = None     # [n, M] NaN-padded
+    eigvals: Optional[np.ndarray] = None     # [M] NaN-padded
 
     @property
     def num_nodes(self) -> int:
@@ -76,7 +79,7 @@ class GraphBatch(flax.struct.PyTreeNode):
     pytree). Shapes: B graphs, N padded nodes, E padded edges.
     """
 
-    x: Any                      # [B, N, F] float
+    x: Any                      # [B, N, F] float (or [B, N] int ids)
     node_mask: Any              # [B, N] bool, True = real node
     adj: Any                    # [B, N, N] float dense adjacency
     y: Any = None               # [B, ...] or [B, N] labels
@@ -86,6 +89,9 @@ class GraphBatch(flax.struct.PyTreeNode):
     edge_index: Any = None      # [B, 2, E] int32 COO (padded, self-loop pad)
     edge_mask: Any = None       # [B, E] bool
     edge_attr: Any = None       # [B, E, Fe]
+    edge_type: Any = None       # [B, N, N] int32 dense edge types (SAN tier)
+    eigvecs: Any = None         # [B, N, M] Laplacian eigvecs, NaN-padded
+    eigvals: Any = None         # [B, M] eigenvalues, NaN-padded
 
     @property
     def num_graphs(self) -> int:
@@ -130,9 +136,13 @@ def collate_graphs(
     n = max_nodes if max_nodes is not None else pad_bucket(n_raw, node_buckets)
     if n < n_raw:
         raise ValueError(f"max_nodes={n} < largest graph ({n_raw})")
-    f = graphs[0].x.shape[-1]
-
-    x = np.zeros((bsz, n, f), dtype=dtype)
+    int_x = np.issubdtype(graphs[0].x.dtype, np.integer)
+    if int_x:
+        # categorical node ids (SAN/OGB tier): [B, N] int32 for embeddings
+        x = np.zeros((bsz, n), dtype=np.int32)
+    else:
+        f = graphs[0].x.shape[-1]
+        x = np.zeros((bsz, n, f), dtype=dtype)
     node_mask = np.zeros((bsz, n), dtype=bool)
     adj = np.zeros((bsz, n, n), dtype=dtype)
 
@@ -145,6 +155,14 @@ def collate_graphs(
         if use_lap else None
     )
     degree = np.zeros((bsz, n), dtype=dtype) if use_deg else None
+    use_etype = graphs[0].edge_type is not None
+    edge_type = np.zeros((bsz, n, n), dtype=np.int32) if use_etype else None
+    use_eig = graphs[0].eigvecs is not None
+    eigvecs = eigvals = None
+    if use_eig:
+        m_freqs = graphs[0].eigvecs.shape[-1]
+        eigvecs = np.full((bsz, n, m_freqs), np.nan, dtype=dtype)
+        eigvals = np.full((bsz, m_freqs), np.nan, dtype=dtype)
 
     for name, used in (("pe", use_pe), ("lap_pe", use_lap),
                        ("degree", use_deg)):
@@ -160,7 +178,7 @@ def collate_graphs(
     node_labels = None
     for i, g in enumerate(graphs):
         m = g.num_nodes
-        x[i, :m] = g.x
+        x[i, :m] = g.x.reshape(m) if int_x else g.x
         node_mask[i, :m] = True
         if g.num_edges:
             adj[i, g.edge_index[0], g.edge_index[1]] = 1.0
@@ -170,6 +188,12 @@ def collate_graphs(
             lap_pe[i, :m, : g.lap_pe.shape[-1]] = g.lap_pe
         if use_deg:
             degree[i, :m] = g.degree
+        if use_etype and g.num_edges:
+            edge_type[i, g.edge_index[0], g.edge_index[1]] = \
+                np.asarray(g.edge_type).ravel()
+        if use_eig:
+            eigvecs[i, :m] = g.eigvecs
+            eigvals[i] = g.eigvals
         if g.y is not None:
             ys.append(np.asarray(g.y))
 
@@ -207,5 +231,6 @@ def collate_graphs(
     return GraphBatch(
         x=x, node_mask=node_mask, adj=adj, y=y, pe=pe, lap_pe=lap_pe,
         degree=degree, edge_index=edge_index, edge_mask=edge_mask,
-        edge_attr=edge_attr,
+        edge_attr=edge_attr, edge_type=edge_type, eigvecs=eigvecs,
+        eigvals=eigvals,
     )

@@ -90,6 +90,34 @@ def zinc_like_dataset(seed: int = 0, n_graphs: int = 128) -> List[Graph]:
     return graphs
 
 
+def zinc_categorical_dataset(seed: int = 0, n_graphs: int = 32,
+                             num_atom_type: int = 28,
+                             num_bond_type: int = 4) -> List[Graph]:
+    """ZINC-format graphs for the SAN/LSPE tier: int atom ids as node
+    features, int bond types as edge types, float regression target."""
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(n_graphs):
+        n = int(rng.integers(9, 30))
+        g = random_connected_graph(rng, n, 1, edge_prob=2.0 / max(n - 1, 1))
+        g.x = rng.integers(0, num_atom_type, size=(n, 1)).astype(np.int32)
+        # symmetric bond types
+        ne = g.num_edges
+        et = np.zeros(ne, dtype=np.int32)
+        seen = {}
+        for i in range(ne):
+            key = tuple(sorted((int(g.edge_index[0, i]),
+                                int(g.edge_index[1, i]))))
+            if key not in seen:
+                seen[key] = int(rng.integers(1, num_bond_type))
+            et[i] = seen[key]
+        g.edge_type = et
+        g.y = np.float32(rng.standard_normal())
+        g.compute_degree_feature()
+        graphs.append(g)
+    return graphs
+
+
 def sbm_like_dataset(seed: int = 0, n_graphs: int = 8, n_nodes: int = 128,
                      n_classes: int = 2) -> List[Graph]:
     """PATTERN/CLUSTER-shaped graphs: dense-ish blocks, per-node labels."""

@@ -1,0 +1,67 @@
+"""Spherical k-means for GCKN anchor (filter) initialization.
+
+Rebuild of gckn/utils.py:77-130 (`spherical_kmeans` with kmeans++ init
+`init_kmeans`): unit-norm samples, cosine-similarity assignment, centroid
+re-normalization. Runs in numpy on host (it's a one-shot unsupervised
+pretraining step whose output becomes device constants).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-6
+
+
+def _normalize(x):
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.maximum(n, EPS)
+
+
+def kmeans_plus_plus(x, n_clusters, rng):
+    """kmeans++ seeding on cosine distance (1 - x.c)."""
+    n = x.shape[0]
+    centers = np.empty((n_clusters,) + x.shape[1:], dtype=x.dtype)
+    idx = rng.integers(n)
+    centers[0] = x[idx]
+    closest = 1.0 - x.reshape(n, -1) @ centers[0].reshape(-1)
+    closest = np.maximum(closest, 0)
+    for c in range(1, n_clusters):
+        probs = closest / max(closest.sum(), EPS)
+        idx = rng.choice(n, p=probs)
+        centers[c] = x[idx]
+        d = 1.0 - x.reshape(n, -1) @ centers[c].reshape(-1)
+        closest = np.minimum(closest, np.maximum(d, 0))
+    return centers
+
+
+def spherical_kmeans(x, n_clusters, n_iters: int = 100, seed: int = 0,
+                     tol: float = 1e-4, verbose: bool = False):
+    """x: [n, path_size, input] unit-normalized samples.
+
+    Returns centroids [n_clusters, path_size, input], unit-normalized rows.
+    """
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(x, dtype=np.float64))
+    n = x.shape[0]
+    flat = x.reshape(n, -1)
+    centers = kmeans_plus_plus(x, n_clusters, rng)
+    prev_sim = -np.inf
+    for it in range(n_iters):
+        cflat = centers.reshape(n_clusters, -1)
+        sim = flat @ cflat.T                       # cosine similarity
+        assign = sim.argmax(1)
+        mean_sim = sim[np.arange(n), assign].mean()
+        for c in range(n_clusters):
+            members = flat[assign == c]
+            if len(members) == 0:                  # re-seed empty cluster
+                centers[c] = x[rng.integers(n)]
+            else:
+                centers[c] = members.mean(0).reshape(centers.shape[1:])
+        centers = _normalize(centers)              # per-position row norm
+        if verbose:
+            print(f"kmeans iter {it}: sim={mean_sim:.5f}")
+        if abs(mean_sim - prev_sim) < tol:
+            break
+        prev_sim = mean_sim
+    return centers.astype(np.float32)

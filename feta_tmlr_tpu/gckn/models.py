@@ -1,0 +1,123 @@
+"""GCKN feature extractor (unsupervised path-kernel node features).
+
+Rebuild of `PathSequential`/`GCKNetFeature`
+(/root/reference/gckn/models.py:7-217): a stack of path layers trained by
+spherical k-means over sampled paths, then used to encode per-node features.
+The encoded features feed the transformer through the lap-PE input path
+(transformer/gckn_pe.py:10-119).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from feta_tmlr_tpu.data.batch import Graph
+from feta_tmlr_tpu.gckn.layer import (
+    PathLayerParams,
+    init_path_layer,
+    path_layer_forward,
+    sample_paths,
+    unsup_train_layer,
+)
+from feta_tmlr_tpu.gckn.paths import PathBatch, build_path_batch
+
+
+@dataclasses.dataclass
+class GCKNFeature:
+    """Multi-layer GCKN encoder with k-means pretraining."""
+
+    layers: List[PathLayerParams]
+    path_sizes: List[int]
+    aggregation: bool = False
+
+    @classmethod
+    def create(cls, input_size: int, hidden_sizes: Sequence[int],
+               path_sizes: Sequence[int], kernel_args=0.5,
+               pooling: str = "mean", aggregation: bool = False,
+               seed: int = 0) -> "GCKNFeature":
+        layers = []
+        rng = jax.random.key(seed)
+        in_size = input_size
+        if not isinstance(kernel_args, (list, tuple)):
+            kernel_args = [kernel_args] * len(hidden_sizes)
+        for i, (h, s) in enumerate(zip(hidden_sizes, path_sizes)):
+            rng, sub = jax.random.split(rng)
+            layers.append(init_path_layer(
+                sub, in_size, h, s, kernel_arg=kernel_args[i],
+                pooling=pooling, aggregation=aggregation))
+            in_size = h
+        return cls(layers=list(layers), path_sizes=list(path_sizes),
+                   aggregation=aggregation)
+
+    @property
+    def max_path_size(self) -> int:
+        return max(self.path_sizes)
+
+    def unsup_train(self, graphs: Sequence[Graph],
+                    n_sampling_paths: int = 100000, seed: int = 0
+                    ) -> PathBatch:
+        """k-means pretrain all layers over enumerated paths
+        (gckn/models.py:72-122)."""
+        batch = build_path_batch(graphs, self.max_path_size)
+        features = jnp.asarray(batch.features)
+        for i, layer in enumerate(self.layers):
+            paths = sample_paths(layer, features, batch,
+                                 n_sampling_paths, seed=seed + i)
+            self.layers[i] = unsup_train_layer(layer, paths, seed=seed + i)
+            features = path_layer_forward(self.layers[i], features, batch)
+        return batch
+
+    def encode(self, graphs: Sequence[Graph],
+               batch: Optional[PathBatch] = None) -> List[np.ndarray]:
+        """Per-node features, one [n_i, D] array per graph
+        (gckn/models.py:124-153)."""
+        if batch is None:
+            batch = build_path_batch(graphs, self.max_path_size)
+        features = jnp.asarray(batch.features)
+        for layer in self.layers:
+            features = path_layer_forward(layer, features, batch)
+        flat = np.asarray(features[:-1])           # drop dummy row
+        flat = flat.reshape(flat.shape[0], -1)
+        out = []
+        off = 0
+        for n in batch.graph_n_nodes:
+            out.append(flat[off:off + n])
+            off += n
+        return out
+
+    @property
+    def output_dim(self) -> int:
+        last = self.layers[-1]
+        q = 1
+        for l, s in zip(self.layers, self.path_sizes):
+            if l.aggregation:
+                q *= s
+        return q * last.hidden_size
+
+
+def gckn_encode_as_pe(graphs: Sequence[Graph], dim: int = 32,
+                      path_size: int = 3, standardize: bool = True,
+                      n_sampling_paths: int = 100000,
+                      aggregation: bool = False, seed: int = 0) -> int:
+    """Attach GCKN features to graphs through the lap_pe slot
+    (transformer/gckn_pe.py:10-41 + GCKNEncoding.apply_to :89-105).
+
+    Returns the PE dimension.
+    """
+    model = GCKNFeature.create(
+        input_size=graphs[0].x.shape[-1], hidden_sizes=[dim],
+        path_sizes=[path_size], aggregation=aggregation, seed=seed)
+    batch = model.unsup_train(graphs, n_sampling_paths, seed=seed)
+    feats = model.encode(graphs, batch)
+    if standardize:
+        allf = np.concatenate(feats)
+        mean, std = allf.mean(0), allf.std(0) + 1e-8
+        feats = [(f - mean) / std for f in feats]
+    for g, f in zip(graphs, feats):
+        g.lap_pe = f.astype(np.float32)
+    return feats[0].shape[-1]

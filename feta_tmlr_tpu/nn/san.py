@@ -1,0 +1,333 @@
+"""SAN / LPE tier: sparse edge-softmax attention nets, dense-batched.
+
+TPU-native rebuild of /root/reference/LPE/layers/graph_transformer_spectra_layer.py
+and LPE/nets/*/SAN_NodeSpectra.py. The reference's DGL SDDMM/segment pipeline
+over batched sparse graphs maps to masked dense [B, H, N, N] tensors: the
+"fake edge" set of full-graph SAN is exactly the complement pair mask, and
+the per-layer `dgl.unbatch/batch` head-replication round trip
+(graph_transformer_spectra_layer.py:485-489 — a python-level graph copy per
+layer!) disappears into a heads axis.
+
+Reference semantics kept exactly:
+  - per-edge score = sum_d(K_src * Q_dst * E_edge)/sqrt(dh), exp-clamped to
+    [-5, 5]; real edges weighted 1/(gamma+1), fake edges gamma/(gamma+1)
+    (:226-243, :315-322); out = wV / (z + 1e-6) (:364);
+  - coefficient GCN is *unnormalized* edge-weighted aggregation then Linear
+    (GCNLayer, :25-47), tanh, mean over nodes, Linear (FFN_filter_coeff);
+  - ChebLayer: static weights, runtime scalar coeffs, Laplacian from the
+    attention-graph *structure* with degree clip(1) (get_laplacian_sp
+    :119-125), scaled 2L/2 - I; the reference rebuilds this via scipy every
+    forward (host round trip) — here it's a fused dense build;
+  - fuse: h = h_attn + filt_linear(tanh(cheb)); dropout; O_h; residual;
+    LN/BN; FFN; residual; norm (:415-478).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from feta_tmlr_tpu.data.batch import GraphBatch
+from feta_tmlr_tpu.nn.layers import MaskedBatchNorm
+from feta_tmlr_tpu.ops.cheb import cheb_filter_scalar_coeff
+from feta_tmlr_tpu.ops.masking import masked_mean, pair_mask
+
+
+def san_structure_laplacian(struct_adj, node_mask):
+    """Lhat = 2L/2 - I with L = I - D^{-1/2} A D^{-1/2}, deg clipped at 1
+    (get_laplacian_sp, graph_transformer_spectra_layer.py:119-125).
+    Net effect: Lhat = -D_clip^{-1/2} A D_clip^{-1/2}, zero diagonal."""
+    pm = pair_mask(node_mask).astype(struct_adj.dtype)
+    n = struct_adj.shape[-1]
+    a = struct_adj * pm * (1.0 - jnp.eye(n, dtype=struct_adj.dtype))
+    deg = jnp.maximum(a.sum(-1), 1.0)
+    dis = deg ** -0.5
+    return -(dis[..., :, None] * a * dis[..., None, :]) * pm
+
+
+class SANAttention(nn.Module):
+    """Dense twin of MultiHeadAttentionLayer (:250-367)."""
+
+    out_dim: int                  # per-head dim
+    num_heads: int
+    gamma: float = 1e-5
+    full_graph: bool = True
+    use_bias: bool = False
+    edge_features: bool = True
+
+    @nn.compact
+    def __call__(self, h, e_emb, adj, node_mask):
+        """h: [B,N,D]; e_emb: [B,N,N,D] dense edge-feature embeddings or
+        None; adj: [B,N,N] real-edge adjacency. Returns (h_out [B,N,H*dh],
+        attn [B,H,N,N], struct_adj [B,N,N])."""
+        b, n, _ = h.shape
+        hh, dh = self.num_heads, self.out_dim
+        dense = lambda name: nn.Dense(hh * dh, use_bias=self.use_bias,
+                                      name=name)
+        split = lambda t: t.reshape(b, n, hh, dh).transpose(0, 2, 1, 3)
+        q = split(dense("Q")(h))
+        k = split(dense("K")(h))
+        v = split(dense("V")(h))
+
+        pm = pair_mask(node_mask)
+        real = (adj > 0) & pm
+        # score[b,h,i,j]: dst/query i, src/key j (DGL edge j->i convention)
+        def scores_of(qm, km, em):
+            prod = jnp.einsum("bhid,bhjd->bhijd", qm, km)
+            if em is not None:
+                # em is [B, i(dst), j(src), H*dh] -> [B, H, i, j, dh]
+                prod = prod * em.reshape(
+                    b, n, n, hh, dh).transpose(0, 3, 1, 2, 4)
+            return prod.sum(-1) / jnp.sqrt(jnp.asarray(dh, h.dtype))
+
+        e_r = dense("E")(e_emb) if (self.edge_features and e_emb is not None) \
+            else None
+        # edge (j -> i) carries e_emb[b, j, i]; transpose to [b, i, j, :]
+        e_r_t = jnp.swapaxes(e_r, 1, 2) if e_r is not None else None
+        s_real = scores_of(q, k, e_r_t)
+
+        if self.full_graph:
+            q2 = split(dense("Q_2")(h))
+            k2 = split(dense("K_2")(h))
+            e_f = dense("E_2")(e_emb) if (self.edge_features and
+                                          e_emb is not None) else None
+            e_f_t = jnp.swapaxes(e_f, 1, 2) if e_f is not None else None
+            s_fake = scores_of(q2, k2, e_f_t)
+            g = self.gamma
+            w_real = jnp.exp(jnp.clip(s_real, -5.0, 5.0)) / (g + 1.0)
+            w_fake = g * jnp.exp(jnp.clip(s_fake, -5.0, 5.0)) / (g + 1.0)
+            attn = jnp.where(real[:, None], w_real,
+                             jnp.where(pm[:, None], w_fake, 0.0))
+        else:
+            w_real = jnp.exp(jnp.clip(s_real, -5.0, 5.0))
+            attn = jnp.where(real[:, None], w_real, 0.0)
+
+        wv = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        z = attn.sum(-1, keepdims=True)
+        h_out = wv / (z + 1e-6)
+        h_out = h_out.transpose(0, 2, 1, 3).reshape(b, n, hh * dh)
+        struct = pm.astype(h.dtype) if self.full_graph \
+            else real.astype(h.dtype)
+        mask_f = node_mask.astype(h.dtype)[..., None]
+        return h_out * mask_f, attn, struct
+
+
+class SANCoeffHead(nn.Module):
+    """LPE coefficient head: unnormalized edge-weighted GCN + tanh + mean
+    pool + Linear (GCNLayer :25-47 + get_filter_coeff :482-520)."""
+
+    filter_order: int
+
+    @nn.compact
+    def __call__(self, attn, node_mask):
+        a = jax.lax.stop_gradient(attn)            # [B,H,N,N] detached
+        k = self.filter_order
+        ones = jnp.ones(a.shape[:3] + (k,), a.dtype)
+        agg = jnp.einsum("bhij,bhjk->bhik", a, ones)
+        hgc = jnp.tanh(nn.Dense(k, name="gcn_linear")(agg))
+        pooled = masked_mean(hgc, node_mask[:, None, :], axis=2)
+        return nn.Dense(k, name="ffn_filter_coeff")(pooled)  # [B,H,K]
+
+
+class SANSpectraLayer(nn.Module):
+    """GraphTransformerLayerSpectra, dense (:370-478)."""
+
+    out_dim: int
+    num_heads: int
+    gamma: float = 1e-5
+    full_graph: bool = True
+    dropout: float = 0.0
+    layer_norm: bool = False
+    batch_norm: bool = True
+    residual: bool = True
+    use_bias: bool = False
+    filter_order: int = 4
+    edge_features: bool = True
+    spectra: bool = True           # False -> plain SAN layer (:no filter)
+
+    @nn.compact
+    def __call__(self, h, e_emb, adj, node_mask, deterministic=True):
+        b, n, _ = h.shape
+        dh = self.out_dim // self.num_heads
+        h_in1 = h
+        h_attn, attn, struct = SANAttention(
+            dh, self.num_heads, self.gamma, self.full_graph, self.use_bias,
+            self.edge_features, name="attention")(h, e_emb, adj, node_mask)
+
+        if self.spectra:
+            coeff = SANCoeffHead(self.filter_order, name="coeff_head")(
+                attn, node_mask)
+            lhat = san_structure_laplacian(struct, node_mask)
+            heads = h_attn.reshape(b, n, self.num_heads, dh) \
+                .transpose(0, 2, 1, 3)
+            w = self.param("cheb_weight", nn.initializers.glorot_uniform(),
+                           (self.filter_order, dh, dh))
+            cb = self.param("cheb_bias", nn.initializers.zeros, (dh,))
+            filt = cheb_filter_scalar_coeff(heads, lhat, coeff, w, cb)
+            filt = nn.Dense(dh, name="filt_linear")(jnp.tanh(filt))
+            filt = filt.transpose(0, 2, 1, 3).reshape(b, n, self.out_dim)
+            h = h_attn + filt
+        else:
+            h = h_attn
+
+        drop = lambda t: nn.Dropout(self.dropout)(
+            t, deterministic=deterministic)
+        h = drop(h)
+        h = nn.Dense(self.out_dim, name="O_h")(h)
+        if self.residual and h_in1.shape[-1] == self.out_dim:
+            h = h_in1 + h
+        h = self._norm(h, node_mask, "norm1", deterministic)
+        h_in2 = h
+        ff = nn.Dense(2 * self.out_dim, name="ffn1")(h)
+        ff = drop(nn.relu(ff))
+        ff = nn.Dense(self.out_dim, name="ffn2")(ff)
+        if self.residual:
+            h = h_in2 + ff
+        else:
+            h = ff
+        h = self._norm(h, node_mask, "norm2", deterministic)
+        return h * node_mask.astype(h.dtype)[..., None]
+
+    def _norm(self, x, node_mask, name, deterministic):
+        if self.layer_norm:
+            return nn.LayerNorm(epsilon=1e-5, name=f"ln_{name}")(x)
+        if self.batch_norm:
+            return MaskedBatchNorm(name=f"bn_{name}")(
+                x, node_mask, use_running_average=deterministic)
+        return x
+
+
+class LPETransformer(nn.Module):
+    """The learned eigen-PE transformer of SAN_NodeSpectra (:48-90):
+    tokens are (eigvec_im, eigval_m) pairs per frequency, passed through a
+    small transformer over the frequency axis, NaN-masked, sum-pooled."""
+
+    lpe_dim: int
+    lpe_heads: int
+    lpe_layers: int
+
+    @nn.compact
+    def __call__(self, eigvecs, eigvals, node_mask, deterministic=True):
+        # eigvecs [B,N,M] NaN-padded; eigvals [B,M]
+        b, n, m = eigvecs.shape
+        vals = jnp.broadcast_to(eigvals[:, None, :], (b, n, m))
+        tokens = jnp.stack([eigvecs, vals], axis=-1)       # [B,N,M,2]
+        freq_mask = ~jnp.isnan(tokens[..., 0])             # [B,N,M]
+        tokens = jnp.where(jnp.isnan(tokens), 0.0, tokens)
+        x = nn.Dense(self.lpe_dim, name="linear_A")(tokens)  # [B,N,M,P]
+        x = x.reshape(b * n, m, self.lpe_dim)
+        fm = freq_mask.reshape(b * n, m)
+        for i in range(self.lpe_layers):
+            x = self._encoder_layer(x, fm, i, deterministic)
+        x = jnp.where(fm[..., None], x, 0.0)
+        pos = x.sum(axis=1).reshape(b, n, self.lpe_dim)    # nansum pool
+        return pos * node_mask.astype(pos.dtype)[..., None]
+
+    def _encoder_layer(self, x, mask, idx, deterministic):
+        # standard torch TransformerEncoderLayer over the frequency axis
+        # (helper of the compact __call__, shares its param scope)
+        s, m, d = x.shape
+        hn = self.lpe_heads
+        dh = d // hn
+        qkv = nn.Dense(3 * d, name=f"qkv_{idx}")(x)
+        q, k, v = jnp.split(qkv, 3, -1)
+        shape = (s, m, hn, dh)
+        q, k, v = (t.reshape(shape).transpose(0, 2, 1, 3) for t in (q, k, v))
+        sc = jnp.einsum("shmd,shnd->shmn", q, k) / jnp.sqrt(
+            jnp.asarray(dh, x.dtype))
+        sc = jnp.where(mask[:, None, None, :], sc, -1e30)
+        p = jax.nn.softmax(sc, axis=-1)
+        p = jnp.where(mask[:, None, :, None], p, 0.0)
+        out = jnp.einsum("shmn,shnd->shmd", p, v)
+        out = out.transpose(0, 2, 1, 3).reshape(s, m, d)
+        x = x + nn.Dense(d, name=f"proj_{idx}")(out)
+        x = nn.LayerNorm(epsilon=1e-5, name=f"n1_{idx}")(x)
+        ff = nn.Dense(4 * d, name=f"ff1_{idx}")(x)
+        ff = nn.Dense(d, name=f"ff2_{idx}")(nn.relu(ff))
+        x = nn.LayerNorm(epsilon=1e-5, name=f"n2_{idx}")(x + ff)
+        return x
+
+
+class MLPReadout(nn.Module):
+    """Halving MLP readout (LPE/layers/mlp_readout_layer.py)."""
+
+    out_dim: int
+    n_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        for i in range(self.n_layers):
+            x = nn.relu(nn.Dense(max(d // 2 ** (i + 1), 1),
+                                 name=f"fc_{i}")(x))
+        return nn.Dense(self.out_dim, name="fc_out")(x)
+
+
+class SANNodeSpectra(nn.Module):
+    """SAN_NodeSpectra net (LPE/nets/ZINC_graph_regression/SAN_NodeSpectra.py).
+
+    Node/edge inputs are categorical ids (ZINC atoms/bonds); the learned
+    eigen-PE is concatenated into the node embedding.
+    """
+
+    num_atom_type: int
+    num_bond_type: int
+    hidden_dim: int = 64
+    out_dim: int = 64
+    n_heads: int = 8
+    n_layers: int = 6
+    lpe_dim: int = 8
+    lpe_heads: int = 2
+    lpe_layers: int = 2
+    gamma: float = 1e-5
+    full_graph: bool = True
+    dropout: float = 0.0
+    in_feat_dropout: float = 0.0
+    layer_norm: bool = False
+    batch_norm: bool = True
+    residual: bool = True
+    filter_order: int = 4
+    last_layer_filter: bool = False
+    readout: str = "mean"
+    n_out: int = 1
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        node_ids = batch.x.astype(jnp.int32)
+        h = nn.Embed(self.num_atom_type, self.hidden_dim - self.lpe_dim,
+                     name="embedding_h")(node_ids)
+        e_emb = nn.Embed(self.num_bond_type, self.hidden_dim,
+                         name="embedding_e")(
+            batch.edge_type.astype(jnp.int32)) \
+            if batch.edge_type is not None else None
+
+        pos = LPETransformer(self.lpe_dim, self.lpe_heads, self.lpe_layers,
+                             name="pe_transformer")(
+            batch.eigvecs, batch.eigvals, batch.node_mask, deterministic)
+        h = jnp.concatenate([h, pos], axis=-1)
+        h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
+
+        for i in range(self.n_layers):
+            is_last = i + 1 == self.n_layers
+            spectra = is_last if self.last_layer_filter else True
+            h = SANSpectraLayer(
+                out_dim=(self.out_dim if is_last else self.hidden_dim),
+                num_heads=self.n_heads, gamma=self.gamma,
+                full_graph=self.full_graph, dropout=self.dropout,
+                layer_norm=self.layer_norm, batch_norm=self.batch_norm,
+                residual=self.residual, filter_order=self.filter_order,
+                edge_features=e_emb is not None, spectra=spectra,
+                name=f"layer_{i}")(h, e_emb, batch.adj, batch.node_mask,
+                                   deterministic)
+
+        if self.readout == "sum":
+            hg = (h * batch.node_mask[..., None]).sum(1)
+        elif self.readout == "max":
+            hg = jnp.where(batch.node_mask[..., None], h,
+                           jnp.finfo(h.dtype).min).max(1)
+        else:
+            hg = masked_mean(h, batch.node_mask, axis=1)
+        return MLPReadout(self.n_out, name="mlp_readout")(hg)
