@@ -137,9 +137,13 @@ def collate_graphs(
     if n < n_raw:
         raise ValueError(f"max_nodes={n} < largest graph ({n_raw})")
     int_x = np.issubdtype(graphs[0].x.dtype, np.integer)
-    if int_x:
-        # categorical node ids (SAN/OGB tier): [B, N] int32 for embeddings
+    squeeze_x = int_x and graphs[0].x.shape[-1] == 1
+    if squeeze_x:
+        # single categorical id (SAN tier): [B, N] int32 for embeddings
         x = np.zeros((bsz, n), dtype=np.int32)
+    elif int_x:
+        # multi-column categorical features (OGB tier): [B, N, F] int32
+        x = np.zeros((bsz, n, graphs[0].x.shape[-1]), dtype=np.int32)
     else:
         f = graphs[0].x.shape[-1]
         x = np.zeros((bsz, n, f), dtype=dtype)
@@ -178,7 +182,7 @@ def collate_graphs(
     node_labels = None
     for i, g in enumerate(graphs):
         m = g.num_nodes
-        x[i, :m] = g.x.reshape(m) if int_x else g.x
+        x[i, :m] = g.x.reshape(m) if squeeze_x else g.x
         node_mask[i, :m] = True
         if g.num_edges:
             adj[i, g.edge_index[0], g.edge_index[1]] = 1.0

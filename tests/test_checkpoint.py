@@ -1,0 +1,42 @@
+"""Checkpoint save/restore round trip."""
+
+import numpy as np
+import jax
+
+from feta_tmlr_tpu.data import collate_graphs, random_graph_dataset
+from feta_tmlr_tpu.nn import DiffGraphTransformerGenGCN
+from feta_tmlr_tpu.pe import DiffusionEncoding, LapEncoding
+from feta_tmlr_tpu.train import Trainer, TrainConfig
+from feta_tmlr_tpu.train.checkpoint import CheckpointManager
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    graphs = random_graph_dataset(seed=0, n_graphs=8, n_features=7)
+    DiffusionEncoding().apply_to(graphs)
+    LapEncoding(dim=4).apply_to(graphs)
+    batch = collate_graphs(graphs, max_nodes=32)
+    model = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=2, d_model=32, nb_heads=4, dim_feedforward=64,
+        dropout=0.0, nb_layers=1, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2, batch_norm=True)
+    trainer = Trainer(model, TrainConfig(task="graph_clf", lr=1e-3,
+                                         sign_flip=False))
+    state = trainer.init(jax.random.key(0), batch)
+    for i in range(3):
+        state, _ = trainer._jit_step(state, batch, jax.random.key(i))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(int(state.step), state)
+    assert mgr.latest_step() == 3
+
+    fresh = trainer.init(jax.random.key(1), batch)
+    restored = mgr.restore(fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 3
+    # resumed training continues identically
+    s1, l1 = trainer._jit_step(state, batch, jax.random.key(9))
+    s2, l2 = trainer._jit_step(restored, batch, jax.random.key(9))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    mgr.close()
