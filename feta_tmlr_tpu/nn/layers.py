@@ -77,11 +77,14 @@ class GraphiTEncoderLayer(nn.Module):
     batch_norm: bool = False
 
     @nn.compact
-    def __call__(self, x, pe, node_mask, degree=None, deterministic=True):
+    def __call__(self, x, pe, node_mask, degree=None, deterministic=True,
+                 pair_mask=None):
         b, n, d = x.shape
         h = self.n_heads
         dh = d // h
-        assert d == self.d_model and dh * h == d
+        assert d == self.d_model and dh * h == d, (
+            f"d_model={self.d_model} must equal input dim {d} and divide "
+            f"evenly by n_heads={h}")
 
         qkv = nn.Dense(3 * d, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -90,7 +93,7 @@ class GraphiTEncoderLayer(nn.Module):
         v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
 
         heads, attn = kernel_modulated_attention(
-            q, k, v, node_mask, pe=pe, degree=degree)
+            q, k, v, node_mask, pe=pe, degree=degree, pair_mask=pair_mask)
         out_each_head = heads.transpose(0, 2, 1, 3)          # [B,N,H,dh]
         attn_out = nn.Dense(d, name="out_proj")(
             out_each_head.reshape(b, n, d))

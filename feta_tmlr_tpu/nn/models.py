@@ -216,6 +216,69 @@ class DiffGraphTransformerGenGCN(nn.Module):
         return logits, reg
 
 
+class DiffGraphTransformerSBM(nn.Module):
+    """Plain GraphiT node-level classifier (models.py:1177-1244): no
+    spectral filtering, per-node logits."""
+
+    in_size: int
+    nb_class: int
+    d_model: int
+    nb_heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    nb_layers: int = 4
+    batch_norm: bool = False
+    lap_pos_enc: bool = False
+    lap_pos_enc_dim: int = 0
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        x = nn.Dense(self.d_model, use_bias=False, name="embedding")(batch.x)
+        if self.lap_pos_enc and batch.lap_pe is not None:
+            x = x + nn.Dense(self.d_model, name="embedding_lap_pos_enc")(
+                batch.lap_pe)
+        for i in range(self.nb_layers):
+            x, _, _ = GraphiTEncoderLayer(
+                self.d_model, self.nb_heads, self.dim_feedforward,
+                self.dropout, self.batch_norm, name=f"layer_{i}")(
+                    x, batch.pe, batch.node_mask, degree=batch.degree,
+                    deterministic=deterministic)
+        return _classifier(self.d_model, self.nb_class)(x)
+
+
+class DiffGraphTransformerMolHiv(nn.Module):
+    """Plain GraphiT with OGB atom encoder and sigmoid binary head
+    (models.py:1112-1175)."""
+
+    d_model: int
+    nb_heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    nb_layers: int = 4
+    batch_norm: bool = False
+    lap_pos_enc: bool = False
+    lap_pos_enc_dim: int = 0
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        from feta_tmlr_tpu.nn.ogb import OGBAtomEncoder
+        x = OGBAtomEncoder(self.d_model, name="embedding")(batch.x)
+        if self.lap_pos_enc and batch.lap_pe is not None:
+            x = x + nn.Dense(self.d_model, name="embedding_lap_pos_enc")(
+                batch.lap_pe)
+        for i in range(self.nb_layers):
+            x, _, _ = GraphiTEncoderLayer(
+                self.d_model, self.nb_heads, self.dim_feedforward,
+                self.dropout, self.batch_norm, name=f"layer_{i}")(
+                    x, batch.pe, batch.node_mask, degree=batch.degree,
+                    deterministic=deterministic)
+        pooled = masked_mean(x, batch.node_mask, axis=1)
+        h = nn.Dense(self.d_model, name="cls_fc1")(pooled)
+        h = nn.leaky_relu(h)
+        logits = nn.Dense(1, name="cls_fc2")(h).squeeze(-1)
+        return logits, nn.sigmoid(logits)
+
+
 class DiffGraphTransformerGenGCNSBM(nn.Module):
     """FeTA node-level classifier for SBM PATTERN/CLUSTER
     (models.py:1008-1110): per-node logits instead of pooled ones.

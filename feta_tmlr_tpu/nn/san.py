@@ -200,34 +200,26 @@ class SANSpectraLayer(nn.Module):
         return x
 
 
-class LPETransformer(nn.Module):
-    """The learned eigen-PE transformer of SAN_NodeSpectra (:48-90):
-    tokens are (eigvec_im, eigval_m) pairs per frequency, passed through a
-    small transformer over the frequency axis, NaN-masked, sum-pooled."""
+class FreqTransformer(nn.Module):
+    """Small transformer over the frequency (eigenvector) axis used by the
+    learned-PE heads: tokens [S, M, C_in] -> Linear(C_in -> lpe_dim) ->
+    encoder layers with frequency masking -> masked sum pool [S, lpe_dim]."""
 
     lpe_dim: int
     lpe_heads: int
     lpe_layers: int
 
     @nn.compact
-    def __call__(self, eigvecs, eigvals, node_mask, deterministic=True):
-        # eigvecs [B,N,M] NaN-padded; eigvals [B,M]
-        b, n, m = eigvecs.shape
-        vals = jnp.broadcast_to(eigvals[:, None, :], (b, n, m))
-        tokens = jnp.stack([eigvecs, vals], axis=-1)       # [B,N,M,2]
-        freq_mask = ~jnp.isnan(tokens[..., 0])             # [B,N,M]
-        tokens = jnp.where(jnp.isnan(tokens), 0.0, tokens)
-        x = nn.Dense(self.lpe_dim, name="linear_A")(tokens)  # [B,N,M,P]
-        x = x.reshape(b * n, m, self.lpe_dim)
-        fm = freq_mask.reshape(b * n, m)
+    def __call__(self, tokens, freq_mask, deterministic=True):
+        s, m, _ = tokens.shape
+        x = nn.Dense(self.lpe_dim, name="linear_A")(tokens)
         for i in range(self.lpe_layers):
-            x = self._encoder_layer(x, fm, i, deterministic)
-        x = jnp.where(fm[..., None], x, 0.0)
-        pos = x.sum(axis=1).reshape(b, n, self.lpe_dim)    # nansum pool
-        return pos * node_mask.astype(pos.dtype)[..., None]
+            x = self._encoder_layer(x, freq_mask, i, deterministic)
+        x = jnp.where(freq_mask[..., None], x, 0.0)
+        return x.sum(axis=1)                               # nansum pool
 
     def _encoder_layer(self, x, mask, idx, deterministic):
-        # standard torch TransformerEncoderLayer over the frequency axis
+        # torch nn.TransformerEncoderLayer semantics over the frequency axis
         # (helper of the compact __call__, shares its param scope)
         s, m, d = x.shape
         hn = self.lpe_heads
@@ -251,6 +243,57 @@ class LPETransformer(nn.Module):
         return x
 
 
+class LPETransformer(nn.Module):
+    """Learned node eigen-PE of SAN_NodeSpectra / SAN_NodeLPE (:48-90):
+    tokens are (eigvec_im, eigval_m) pairs per frequency."""
+
+    lpe_dim: int
+    lpe_heads: int
+    lpe_layers: int
+
+    @nn.compact
+    def __call__(self, eigvecs, eigvals, node_mask, deterministic=True):
+        b, n, m = eigvecs.shape
+        vals = jnp.broadcast_to(eigvals[:, None, :], (b, n, m))
+        tokens = jnp.stack([eigvecs, vals], axis=-1)       # [B,N,M,2]
+        freq_mask = ~jnp.isnan(tokens[..., 0])
+        tokens = jnp.where(jnp.isnan(tokens), 0.0, tokens)
+        pos = FreqTransformer(self.lpe_dim, self.lpe_heads, self.lpe_layers,
+                              name="freq_transformer")(
+            tokens.reshape(b * n, m, 2), freq_mask.reshape(b * n, m),
+            deterministic)
+        pos = pos.reshape(b, n, self.lpe_dim)
+        return pos * node_mask.astype(pos.dtype)[..., None]
+
+
+class EdgeLPETransformer(nn.Module):
+    """Learned edge eigen-PE of SAN_EdgeLPE: per node pair (i, j) the
+    frequency tokens are (eigvec_i - eigvec_j, eigvec_i * eigvec_j,
+    eigval_m); transformer over frequencies, sum-pooled, concatenated to
+    the edge embedding (SAN_EdgeLPE.py:59-85)."""
+
+    lpe_dim: int
+    lpe_heads: int
+    lpe_layers: int
+
+    @nn.compact
+    def __call__(self, eigvecs, eigvals, node_mask, deterministic=True):
+        b, n, m = eigvecs.shape
+        diff = eigvecs[:, :, None, :] - eigvecs[:, None, :, :]
+        prod = eigvecs[:, :, None, :] * eigvecs[:, None, :, :]
+        vals = jnp.broadcast_to(eigvals[:, None, None, :], (b, n, n, m))
+        tokens = jnp.stack([diff, prod, vals], axis=-1)    # [B,N,N,M,3]
+        freq_mask = ~jnp.isnan(tokens[..., 0])
+        tokens = jnp.where(jnp.isnan(tokens), 0.0, tokens)
+        pos = FreqTransformer(self.lpe_dim, self.lpe_heads, self.lpe_layers,
+                              name="freq_transformer")(
+            tokens.reshape(b * n * n, m, 3),
+            freq_mask.reshape(b * n * n, m), deterministic)
+        pos = pos.reshape(b, n, n, self.lpe_dim)
+        pm = (node_mask[:, :, None] & node_mask[:, None, :])
+        return pos * pm[..., None].astype(pos.dtype)
+
+
 class MLPReadout(nn.Module):
     """Halving MLP readout (LPE/layers/mlp_readout_layer.py)."""
 
@@ -264,6 +307,82 @@ class MLPReadout(nn.Module):
             x = nn.relu(nn.Dense(max(d // 2 ** (i + 1), 1),
                                  name=f"fc_{i}")(x))
         return nn.Dense(self.out_dim, name="fc_out")(x)
+
+
+class SANNet(nn.Module):
+    """Plain SAN family (LPE/nets/*/SAN.py, SAN_NodeLPE.py, SAN_EdgeLPE.py):
+    gamma-weighted full-graph attention without spectral filtering, with the
+    eigen-PE used nowhere ('none'), concatenated to node embeddings
+    ('node'), or concatenated to edge embeddings ('edge')."""
+
+    num_atom_type: int
+    num_bond_type: int
+    lpe: str = "none"              # none | node | edge
+    hidden_dim: int = 64
+    out_dim: int = 64
+    n_heads: int = 8
+    n_layers: int = 6
+    lpe_dim: int = 8
+    lpe_heads: int = 2
+    lpe_layers: int = 2
+    gamma: float = 1e-5
+    full_graph: bool = True
+    dropout: float = 0.0
+    in_feat_dropout: float = 0.0
+    layer_norm: bool = False
+    batch_norm: bool = True
+    residual: bool = True
+    readout: str = "mean"
+    n_out: int = 1
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        node_ids = batch.x.astype(jnp.int32)
+        h_dim = (self.hidden_dim - self.lpe_dim if self.lpe == "node"
+                 else self.hidden_dim)
+        e_dim = (self.hidden_dim - self.lpe_dim if self.lpe == "edge"
+                 else self.hidden_dim)
+        h = nn.Embed(self.num_atom_type, h_dim, name="embedding_h")(node_ids)
+        e_emb = None
+        if batch.edge_type is not None:
+            e_emb = nn.Embed(self.num_bond_type, e_dim,
+                             name="embedding_e")(
+                batch.edge_type.astype(jnp.int32))
+        if self.lpe == "node":
+            pos = LPETransformer(self.lpe_dim, self.lpe_heads,
+                                 self.lpe_layers, name="pe_transformer")(
+                batch.eigvecs, batch.eigvals, batch.node_mask, deterministic)
+            h = jnp.concatenate([h, pos], -1)
+        elif self.lpe == "edge":
+            epos = EdgeLPETransformer(self.lpe_dim, self.lpe_heads,
+                                      self.lpe_layers,
+                                      name="pe_transformer")(
+                batch.eigvecs, batch.eigvals, batch.node_mask, deterministic)
+            if e_emb is None:
+                e_emb = epos
+            else:
+                e_emb = jnp.concatenate([e_emb, epos], -1)
+        h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
+
+        for i in range(self.n_layers):
+            is_last = i + 1 == self.n_layers
+            h = SANSpectraLayer(
+                out_dim=(self.out_dim if is_last else self.hidden_dim),
+                num_heads=self.n_heads, gamma=self.gamma,
+                full_graph=self.full_graph, dropout=self.dropout,
+                layer_norm=self.layer_norm, batch_norm=self.batch_norm,
+                residual=self.residual, edge_features=e_emb is not None,
+                spectra=False, name=f"layer_{i}")(
+                    h, e_emb, batch.adj, batch.node_mask, deterministic)
+
+        if self.readout == "sum":
+            hg = (h * batch.node_mask[..., None]).sum(1)
+        elif self.readout == "max":
+            hg = jnp.where(batch.node_mask[..., None], h,
+                           jnp.finfo(h.dtype).min).max(1)
+        else:
+            hg = masked_mean(h, batch.node_mask, axis=1)
+        return MLPReadout(self.n_out, name="mlp_readout")(hg)
 
 
 class SANNodeSpectra(nn.Module):

@@ -36,6 +36,7 @@ def kernel_modulated_attention(
     pe: Optional[jnp.ndarray] = None,
     degree: Optional[jnp.ndarray] = None,
     eps: float = 1e-9,
+    pair_mask: Optional[jnp.ndarray] = None,
 ):
     """Batched dense attention with PE-kernel modulation.
 
@@ -44,6 +45,9 @@ def kernel_modulated_attention(
       node_mask: [B, N] bool, True = valid.
       pe: optional [B, N, N] positional kernel.
       degree: optional [B, N] per-node rescale applied to keys.
+      pair_mask: optional [B, N, N] bool of admissible (query, key) pairs —
+        used by packed batches to make attention block-diagonal across the
+        graphs sharing a row; defaults to valid-key columns only.
 
     Returns:
       out: [B, H, N, dh] (padded rows zero)
@@ -52,8 +56,11 @@ def kernel_modulated_attention(
     dh = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
         jnp.asarray(dh, q.dtype))
-    key_valid = node_mask[:, None, None, :]
-    scores = jnp.where(key_valid, scores, _NEG_INF)
+    if pair_mask is not None:
+        admissible = pair_mask[:, None, :, :]
+    else:
+        admissible = node_mask[:, None, None, :]
+    scores = jnp.where(admissible, scores, _NEG_INF)
     attn = jax_softmax_stable(scores)
     if pe is not None:
         attn = attn * pe[:, None, :, :].astype(attn.dtype)
@@ -62,8 +69,10 @@ def kernel_modulated_attention(
     if pe is not None or degree is not None:
         denom = attn.sum(-1, keepdims=True)
         attn = attn / jnp.where(jnp.abs(denom) > eps, denom, 1.0)
-    # zero rows of padded queries and padded keys
-    attn = attn * node_mask[:, None, :, None] * node_mask[:, None, None, :]
+    # zero rows of padded queries and inadmissible keys
+    attn = attn * node_mask[:, None, :, None]
+    attn = attn * (admissible if pair_mask is not None
+                   else node_mask[:, None, None, :])
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     return out, attn
 

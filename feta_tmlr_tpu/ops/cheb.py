@@ -54,6 +54,34 @@ def cheb_filter_dynamic(x, lhat, weights, bias=None):
     return out
 
 
+def cheb_filter_dynamic_per_node(x, lhat, weights, bias=None):
+    """Dynamic Chebyshev filter with per-NODE weight tensors.
+
+    The packed-batch variant: each node carries the weights of the graph it
+    belongs to (gathered by graph_id), so graphs sharing a row use different
+    filters under one block-diagonal Laplacian.
+
+    Args:
+      x: [B, H, N, Din]; lhat: [B, N, N];
+      weights: [B, H, N, K, Din, Dout]; bias: optional [Dout].
+    """
+    k_order = weights.shape[3]
+    tx_prev = x
+    out = jnp.einsum("bhnd,bhnde->bhne", tx_prev, weights[:, :, :, 0])
+    if k_order > 1:
+        tx_cur = jnp.einsum("bmn,bhnd->bhmd", lhat, x)
+        out = out + jnp.einsum("bhnd,bhnde->bhne", tx_cur,
+                               weights[:, :, :, 1])
+        for k in range(2, k_order):
+            tx_next = 2.0 * jnp.einsum("bmn,bhnd->bhmd", lhat, tx_cur) - tx_prev
+            out = out + jnp.einsum("bhnd,bhnde->bhne", tx_next,
+                                   weights[:, :, :, k])
+            tx_prev, tx_cur = tx_cur, tx_next
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def cheb_filter_scalar_coeff(x, lhat, coeff, weight, bias=None):
     """Chebyshev filter with static weights scaled by per-graph scalars.
 

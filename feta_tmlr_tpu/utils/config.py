@@ -1,0 +1,83 @@
+"""JSON config system for the LPE/LSPE experiment tier.
+
+The reference drives those trainers with JSON files (often without a .json
+extension) holding {gpu, model, dataset, out_dir, params, net_params}
+(e.g. /root/reference/LPE/configs/ZINC/optimized_gat_feta_1,
+LSPE/configs/GatedGCN_ZINC_LSPE.json) plus argparse overrides
+(LPE/main_ZINC_graph_regression.py:246-414). This loader accepts the same
+files and maps net_params onto the TPU-native model constructors.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional
+
+
+def load_config(path: str, overrides: Optional[Dict[str, Any]] = None
+                ) -> Dict[str, Any]:
+    with open(path) as f:
+        cfg = json.load(f)
+    cfg.setdefault("params", {})
+    cfg.setdefault("net_params", {})
+    if overrides:
+        for k, v in overrides.items():
+            if v is None:
+                continue
+            if k in cfg.get("params", {}):
+                cfg["params"][k] = v
+            else:
+                cfg["net_params"][k] = v
+    return cfg
+
+
+_NET_PARAM_MAP = {
+    # reference net_params key -> model kwarg
+    "GT_hidden_dim": "hidden_dim",
+    "GT_out_dim": "out_dim",
+    "GT_n_heads": "n_heads",
+    "GT_layers": "n_layers",
+    "L": "n_layers",
+    "hidden_dim": "hidden_dim",
+    "out_dim": "out_dim",
+    "n_heads": "n_heads",
+    "LPE_dim": "lpe_dim",
+    "LPE_n_heads": "lpe_heads",
+    "LPE_layers": "lpe_layers",
+    "gamma": "gamma",
+    "full_graph": "full_graph",
+    "dropout": "dropout",
+    "in_feat_dropout": "in_feat_dropout",
+    "layer_norm": "layer_norm",
+    "batch_norm": "batch_norm",
+    "residual": "residual",
+    "readout": "readout",
+    "filter_order": "filter_order",
+    "pos_enc_dim": "pos_enc_dim",
+    "pe_init": "pe_init",
+    "adaptive_edge_PE": "adaptive_edge_pe",
+    "use_lapeig_loss": "use_lapeig_loss",
+    "lambda_loss": "lambda_loss",
+    "last_layer_filter": "last_layer_filter",
+}
+
+
+def net_params_to_kwargs(net_params: Dict[str, Any],
+                         accepted: Optional[set] = None) -> Dict[str, Any]:
+    """Translate a reference net_params dict into model kwargs."""
+    out = {}
+    for key, val in net_params.items():
+        mapped = _NET_PARAM_MAP.get(key)
+        if mapped is None:
+            continue
+        if accepted is not None and mapped not in accepted:
+            continue
+        out[mapped] = val
+    return out
+
+
+def model_kwargs_for(model_cls, net_params: Dict[str, Any]
+                     ) -> Dict[str, Any]:
+    import dataclasses
+    accepted = {f.name for f in dataclasses.fields(model_cls)}
+    return net_params_to_kwargs(net_params, accepted)
