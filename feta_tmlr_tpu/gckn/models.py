@@ -100,6 +100,61 @@ class GCKNFeature:
         return q * last.hidden_size
 
 
+class GCKNSupervised:
+    """Supervised GCKN classifier (gckn/models.py:220-266 GCKNet,
+    experiments/gckn_sup.py): path layers -> global mean node pooling ->
+    BatchNorm -> linear classifier, trained end to end (optionally from a
+    k-means unsupervised init). Functional: parameters are a flat dict of
+    jnp arrays so optax drives them directly."""
+
+    def __init__(self, input_size, hidden_sizes, path_sizes, n_classes,
+                 kernel_args=0.5, pooling="mean", aggregation=False,
+                 seed=0):
+        self.feature = GCKNFeature.create(
+            input_size, hidden_sizes, path_sizes, kernel_args, pooling,
+            aggregation, seed)
+        self.n_classes = n_classes
+        rng = np.random.default_rng(seed)
+        d = self.feature.output_dim
+        self.init_params = {
+            "classifier_w": jnp.asarray(
+                rng.standard_normal((d, n_classes)) / np.sqrt(d),
+                jnp.float32),
+            "classifier_b": jnp.zeros((n_classes,), jnp.float32),
+            "bn_scale": jnp.ones((d,), jnp.float32),
+            "bn_bias": jnp.zeros((d,), jnp.float32),
+        }
+        for i, layer in enumerate(self.feature.layers):
+            self.init_params[f"layer_{i}_weight"] = layer.weight
+
+    def unsup_init(self, graphs, n_sampling_paths=10000, seed=0):
+        batch = self.feature.unsup_train(graphs, n_sampling_paths, seed)
+        for i, layer in enumerate(self.feature.layers):
+            self.init_params[f"layer_{i}_weight"] = layer.weight
+        return batch
+
+    def apply(self, params, batch: PathBatch, train_stats=True):
+        """Per-graph logits [n_graphs, n_classes]."""
+        features = jnp.asarray(batch.features)
+        for i, layer in enumerate(self.feature.layers):
+            layer = dataclasses.replace(layer,
+                                        weight=params[f"layer_{i}_weight"])
+            features = path_layer_forward(layer, features, batch)
+        flat = features.reshape(features.shape[0], -1)
+        # global mean pool per graph (NodePooling, gckn/layers.py:190-210)
+        seg = jnp.asarray(batch.node2graph)
+        import jax as _jax
+        pooled = _jax.ops.segment_sum(flat, seg, batch.n_graphs + 1)
+        cnt = _jax.ops.segment_sum(jnp.ones_like(seg, jnp.float32), seg,
+                                   batch.n_graphs + 1)
+        pooled = (pooled / jnp.maximum(cnt, 1.0)[:, None])[: batch.n_graphs]
+        mean = pooled.mean(0)
+        var = pooled.var(0) + 1e-5
+        normed = (pooled - mean) / jnp.sqrt(var)
+        normed = normed * params["bn_scale"] + params["bn_bias"]
+        return normed @ params["classifier_w"] + params["classifier_b"]
+
+
 def gckn_encode_as_pe(graphs: Sequence[Graph], dim: int = 32,
                       path_size: int = 3, standardize: bool = True,
                       n_sampling_paths: int = 100000,

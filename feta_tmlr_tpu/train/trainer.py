@@ -224,6 +224,13 @@ class Trainer:
             epochs: Optional[int] = None,
             log_fn: Optional[Callable[[dict], None]] = None):
         cfg = self.cfg
+        # host->device transfers are expensive (here the chip sits behind a
+        # network relay); place every batch on device once up front
+        train_batches = [jax.device_put(b) for b in train_batches]
+        if val_batches is not None:
+            val_batches = [jax.device_put(b) for b in val_batches]
+        if test_batches is not None:
+            test_batches = [jax.device_put(b) for b in test_batches]
         rng, init_rng = jax.random.split(jax.random.key(cfg.seed))
         state = self.init(init_rng, train_batches[0])
         history: List[dict] = []

@@ -1,0 +1,65 @@
+"""Tracing/profiling helpers (SURVEY.md §5 tracing subsystem).
+
+The reference only has ad-hoc timeit timers (run_transformer_gengcn_cv.py:
+129,187,231). Here: jax.profiler trace capture plus relay-aware step
+timing — on this environment the TPU sits behind a network relay where
+`block_until_ready` returns before device completion, so wall-clock step
+costs must be measured with the chained-steps difference method
+(see bench.py docstring).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a jax.profiler trace viewable in XProf/TensorBoard."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def timed_steps(step_fn: Callable, state, batch, rngs,
+                n1: int = 10, n2: int = 30) -> float:
+    """Per-step seconds via chained execution + forced scalar fetch."""
+    def run(n, state):
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(n):
+            state, loss = step_fn(state, batch, rngs[i % len(rngs)])
+        if loss is not None:
+            float(loss)
+        return time.perf_counter() - t0, state
+
+    _, state = run(1, state)
+    t1, state = run(n1, state)
+    t2, state = run(n2, state)
+    return (t2 - t1) / (n2 - n1)
+
+
+class EpochTimer:
+    """Per-epoch wall timer matching the reference's logging fields."""
+
+    def __init__(self):
+        self.t0 = None
+        self.history = []
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.history.append(time.perf_counter() - self.t0)
+        return False
+
+    @property
+    def last(self) -> Optional[float]:
+        return self.history[-1] if self.history else None
