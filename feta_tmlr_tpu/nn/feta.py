@@ -155,14 +155,14 @@ class FeTAEncoder(nn.Module):
         allout_filtered = None
         coefficients = []
         for layer_idx in range(self.n_layers):
+            filtered = dynamic and (not self.last_layer_filter
+                                    or layer_idx + 1 == self.n_layers)
             out, attn, out_each_head = GraphiTEncoderLayer(
                 self.d_model, self.n_heads, self.dim_feedforward,
                 self.dropout, self.batch_norm, name=f"layer_{layer_idx}")(
                     out, pe, node_mask, degree=degree,
-                    deterministic=deterministic)
-            if not dynamic:
-                continue
-            if self.last_layer_filter and layer_idx + 1 != self.n_layers:
+                    deterministic=deterministic, need_heads=filtered)
+            if not filtered:
                 continue
 
             coeff = coeff_head(attn, node_mask)       # [B, H, C]

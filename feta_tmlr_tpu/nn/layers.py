@@ -21,7 +21,7 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
-from feta_tmlr_tpu.ops.attention import kernel_modulated_attention
+from feta_tmlr_tpu.ops.attention import modulated_attention_from_scores
 from feta_tmlr_tpu.ops.masking import masked_mean
 
 
@@ -78,7 +78,7 @@ class GraphiTEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, pe, node_mask, degree=None, deterministic=True,
-                 pair_mask=None):
+                 pair_mask=None, need_heads=True):
         b, n, d = x.shape
         h = self.n_heads
         dh = d // h
@@ -86,17 +86,56 @@ class GraphiTEncoderLayer(nn.Module):
             f"d_model={self.d_model} must equal input dim {d} and divide "
             f"evenly by n_heads={h}")
 
-        qkv = nn.Dense(3 * d, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        # One qkv projection (torch MultiheadAttention layout), but scores
+        # are computed as x (Wq_h Wk_h^T) x^T + rank-1 bias corrections:
+        # contracting q_h k_h^T directly over dh (= 8 here) runs the MXU at
+        # dh/128 lane utilization, while both matmuls of the associative
+        # regrouping contract over the full d_model. Mathematically
+        # identical (verified against the torch twin in tests/test_parity).
+        wqkv = self.param(
+            "qkv",
+            lambda rng, shape: nn.initializers.lecun_normal()(rng, shape),
+            (d, 3 * d)).reshape(d, 3, h, dh)
+        bqkv = self.param("qkv_bias", nn.initializers.zeros,
+                          (3 * d,)).reshape(3, h, dh)
+        wq, wk, wv = wqkv[:, 0], wqkv[:, 1], wqkv[:, 2]    # [d, h, dh]
+        bq, bk, bv = bqkv[0], bqkv[1], bqkv[2]             # [h, dh]
 
-        heads, attn = kernel_modulated_attention(
-            q, k, v, node_mask, pe=pe, degree=degree, pair_mask=pair_mask)
-        out_each_head = heads.transpose(0, 2, 1, 3)          # [B,N,H,dh]
-        attn_out = nn.Dense(d, name="out_proj")(
-            out_each_head.reshape(b, n, d))
+        a_mix = jnp.einsum("dhe,ghe->hdg", wq, wk)         # [h, d, d]
+        xa = jnp.einsum("bnd,hdg->bhng", x, a_mix)
+        scores = jnp.einsum("bhng,bmg->bhnm", xa, x)
+        c_q = jnp.einsum("bnd,dhe,he->bnh", x, wq, bk)     # q-side bias term
+        c_k = jnp.einsum("bmd,dhe,he->bmh", x, wk, bq)
+        c_0 = jnp.einsum("he,he->h", bq, bk)
+        scores = (scores + c_q.transpose(0, 2, 1)[:, :, :, None]
+                  + c_k.transpose(0, 2, 1)[:, :, None, :]
+                  + c_0[None, :, None, None])
+        scores = scores / jnp.sqrt(jnp.asarray(dh, x.dtype))
+
+        v_nhd = jnp.einsum("bnd,dhe->bnhe", x, wv) + bv      # [B,N,H,dh]
+
+        w_out = self.param("out_proj_kernel",
+                           nn.initializers.lecun_normal(), (d, d))
+        b_out = self.param("out_proj_bias", nn.initializers.zeros, (d,))
+
+        if need_heads:
+            # FeTA consumer path: materialize per-head outputs (the
+            # reference's need_heads=True contract, models.py:166-167)
+            heads, attn = modulated_attention_from_scores(
+                scores, v_nhd.transpose(0, 2, 1, 3), node_mask, pe=pe,
+                degree=degree, pair_mask=pair_mask)
+            out_each_head = heads.transpose(0, 2, 1, 3)      # [B,N,H,dh]
+            attn_out = out_each_head.reshape(b, n, d) @ w_out + b_out
+        else:
+            # fused attn@V@Wout: contract (head, key) jointly — one
+            # [N, H*N] x [H*N, D] batched matmul instead of H tiny ones
+            _, attn = modulated_attention_from_scores(
+                scores, v_nhd.transpose(0, 2, 1, 3), node_mask, pe=pe,
+                degree=degree, pair_mask=pair_mask, values_needed=False)
+            vw = jnp.einsum("bmhe,hef->bhmf", v_nhd,
+                            w_out.reshape(h, dh, d))
+            attn_out = jnp.einsum("bhnm,bhmf->bnf", attn, vw) + b_out
+            out_each_head = None
 
         drop = lambda t: nn.Dropout(self.dropout)(
             t, deterministic=deterministic)
@@ -112,7 +151,9 @@ class GraphiTEncoderLayer(nn.Module):
         x = self._norm(x, node_mask, "norm2", deterministic)
 
         mask_f = node_mask.astype(x.dtype)[..., None]
-        return x * mask_f, attn, out_each_head * mask_f[:, :, None, :]
+        if out_each_head is not None:
+            out_each_head = out_each_head * mask_f[:, :, None, :]
+        return x * mask_f, attn, out_each_head
 
     def _norm(self, x, node_mask, name, deterministic):
         if self.batch_norm:

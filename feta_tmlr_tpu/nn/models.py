@@ -90,7 +90,7 @@ class GraphTransformer(nn.Module):
             x, _, _ = GraphiTEncoderLayer(
                 self.d_model, self.nb_heads, self.dim_feedforward,
                 self.dropout, batch_norm=False, name=f"layer_{i}")(
-                    x, None, batch.node_mask, deterministic=deterministic)
+                    x, None, batch.node_mask, deterministic=deterministic, need_heads=False)
         pooled = masked_mean(x, batch.node_mask, axis=1)
         return _classifier(self.d_model, self.nb_class)(pooled)
 
@@ -120,7 +120,7 @@ class DiffGraphTransformer(nn.Module):
                 self.d_model, self.nb_heads, self.dim_feedforward,
                 self.dropout, self.batch_norm, name=f"layer_{i}")(
                     x, batch.pe, batch.node_mask, degree=batch.degree,
-                    deterministic=deterministic)
+                    deterministic=deterministic, need_heads=False)
         pooled = masked_mean(x, batch.node_mask, axis=1)
         return _classifier(self.d_model, self.nb_class)(pooled)
 
@@ -160,7 +160,7 @@ class DiffGraphTransformerGCN(nn.Module):
                 self.d_model, self.nb_heads, self.dim_feedforward,
                 self.dropout, self.batch_norm, name=f"layer_{i}")(
                     x, batch.pe, batch.node_mask, degree=batch.degree,
-                    deterministic=deterministic)
+                    deterministic=deterministic, need_heads=False)
         gcn_out = nn.relu(DenseGCNConv(self.d_model, name="gcn")(
             x, batch.adj, batch.node_mask))
         pooled = (masked_mean(x, batch.node_mask, axis=1)
@@ -242,7 +242,7 @@ class DiffGraphTransformerSBM(nn.Module):
                 self.d_model, self.nb_heads, self.dim_feedforward,
                 self.dropout, self.batch_norm, name=f"layer_{i}")(
                     x, batch.pe, batch.node_mask, degree=batch.degree,
-                    deterministic=deterministic)
+                    deterministic=deterministic, need_heads=False)
         return _classifier(self.d_model, self.nb_class)(x)
 
 
@@ -271,7 +271,7 @@ class DiffGraphTransformerMolHiv(nn.Module):
                 self.d_model, self.nb_heads, self.dim_feedforward,
                 self.dropout, self.batch_norm, name=f"layer_{i}")(
                     x, batch.pe, batch.node_mask, degree=batch.degree,
-                    deterministic=deterministic)
+                    deterministic=deterministic, need_heads=False)
         pooled = masked_mean(x, batch.node_mask, axis=1)
         h = nn.Dense(self.d_model, name="cls_fc1")(pooled)
         h = nn.leaky_relu(h)

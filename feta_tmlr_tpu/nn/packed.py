@@ -101,12 +101,15 @@ class PackedFeTAEncoder(nn.Module):
         allout = None
         coeffs = []
         for layer_idx in range(self.n_layers):
+            filtered = (not self.last_layer_filter
+                        or layer_idx + 1 == self.n_layers)
             out, attn, out_each_head = GraphiTEncoderLayer(
                 self.d_model, self.n_heads, self.dim_feedforward,
                 self.dropout, self.batch_norm, name=f"layer_{layer_idx}")(
                     out, pe, node_mask, degree=degree,
-                    deterministic=deterministic, pair_mask=pair)
-            if self.last_layer_filter and layer_idx + 1 != self.n_layers:
+                    deterministic=deterministic, pair_mask=pair,
+                    need_heads=filtered)
+            if not filtered:
                 continue
             coeff = coeff_head(attn, node_mask, memb)  # [B, H, G, C]
             coeffs.append(coeff)

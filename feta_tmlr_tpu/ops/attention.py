@@ -56,6 +56,26 @@ def kernel_modulated_attention(
     dh = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
         jnp.asarray(dh, q.dtype))
+    return modulated_attention_from_scores(
+        scores, v, node_mask, pe=pe, degree=degree, eps=eps,
+        pair_mask=pair_mask)
+
+
+def modulated_attention_from_scores(
+    scores, v,
+    node_mask,
+    pe: Optional[jnp.ndarray] = None,
+    degree: Optional[jnp.ndarray] = None,
+    eps: float = 1e-9,
+    pair_mask: Optional[jnp.ndarray] = None,
+    values_needed: bool = True,
+):
+    """GraphiT masking/softmax/PE-renormalization given precomputed scores.
+
+    `scores` must already include the 1/sqrt(dh) scaling. Split out so
+    layers can compute scores with MXU-friendlier contractions
+    (x (Wq Wk^T) x^T) while sharing the exact modulation semantics.
+    """
     if pair_mask is not None:
         admissible = pair_mask[:, None, :, :]
     else:
@@ -73,6 +93,8 @@ def kernel_modulated_attention(
     attn = attn * node_mask[:, None, :, None]
     attn = attn * (admissible if pair_mask is not None
                    else node_mask[:, None, None, :])
+    if not values_needed:
+        return None, attn
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     return out, attn
 

@@ -67,7 +67,7 @@ def task_loss(task: str, logits, batch: GraphBatch):
         onehot = jax.nn.one_hot(batch.y, n_class)
         return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
     if task == "graph_reg":
-        pred = logits.squeeze(-1)
+        pred = logits.reshape(jnp.shape(batch.y))
         return jnp.mean(jnp.abs(pred - batch.y))
     if task == "node_clf":
         n_class = logits.shape[-1]
@@ -92,17 +92,18 @@ def task_metric(task: str, logits: np.ndarray, batch: GraphBatch):
     if task == "graph_clf":
         return {"acc": M.accuracy_graph(logits, batch.y)}
     if task == "graph_reg":
-        return {"mae": M.mae(np.asarray(logits).squeeze(-1), batch.y)}
+        return {"mae": M.mae(
+            np.asarray(logits).reshape(np.shape(batch.y)), batch.y)}
     if task == "node_clf":
         return {"acc_sbm": M.accuracy_sbm(logits, batch.y,
                                           mask=batch.node_mask)}
     if task == "binary_graph":
         y = np.asarray(batch.y)
         s = np.asarray(logits)
+        if s.ndim == 1 or s.shape[-1] == 1:
+            return {"rocauc": M.roc_auc(s.reshape(-1), y.reshape(-1))}
         if y.ndim < s.ndim:
             y = y[..., None]
-        if s.shape[-1] == 1:
-            return {"rocauc": M.roc_auc(s, y)}
         return {"ap": M.multitask_mean(M.average_precision, s, y)}
     raise ValueError(task)
 

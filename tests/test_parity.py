@@ -38,8 +38,15 @@ def _params_to_torch(params, tmodel):
     for i in range(LAYERS):
         lay = enc[f"layer_{i}"]
         tl = tmodel.layers[i]
-        set_linear(tl.qkv, lay["qkv"])
-        set_linear(tl.out_proj, lay["out_proj"])
+        # qkv is stored as raw kernel/bias leaves (MXU-friendly scores path)
+        tl.qkv.weight.data = torch.from_numpy(
+            np.asarray(lay["qkv"]).T.copy())
+        tl.qkv.bias.data = torch.from_numpy(
+            np.asarray(lay["qkv_bias"]).copy())
+        tl.out_proj.weight.data = torch.from_numpy(
+            np.asarray(lay["out_proj_kernel"]).T.copy())
+        tl.out_proj.bias.data = torch.from_numpy(
+            np.asarray(lay["out_proj_bias"]).copy())
         set_linear(tl.ff1, lay["ff1"])
         set_linear(tl.ff2, lay["ff2"])
         for nm, tn in (("norm1", tl.norm1), ("norm2", tl.norm2)):
