@@ -118,20 +118,27 @@ class GraphiTEncoderLayer(nn.Module):
                            nn.initializers.lecun_normal(), (d, d))
         b_out = self.param("out_proj_bias", nn.initializers.zeros, (d,))
 
+        # modulation: fused Pallas kernel on TPU (jnp twin elsewhere / for
+        # pair-masked packed batches)
+        from feta_tmlr_tpu.config import use_pallas_modulation
+        if pair_mask is None and use_pallas_modulation():
+            from feta_tmlr_tpu.ops.pallas import fused_modulated_attention
+            attn = fused_modulated_attention(scores, node_mask, pe=pe,
+                                             degree=degree)
+        else:
+            _, attn = modulated_attention_from_scores(
+                scores, None, node_mask, pe=pe, degree=degree,
+                pair_mask=pair_mask, values_needed=False)
+
         if need_heads:
             # FeTA consumer path: materialize per-head outputs (the
             # reference's need_heads=True contract, models.py:166-167)
-            heads, attn = modulated_attention_from_scores(
-                scores, v_nhd.transpose(0, 2, 1, 3), node_mask, pe=pe,
-                degree=degree, pair_mask=pair_mask)
+            heads = jnp.einsum("bhqk,bkhd->bhqd", attn, v_nhd)
             out_each_head = heads.transpose(0, 2, 1, 3)      # [B,N,H,dh]
             attn_out = out_each_head.reshape(b, n, d) @ w_out + b_out
         else:
             # fused attn@V@Wout: contract (head, key) jointly — one
             # [N, H*N] x [H*N, D] batched matmul instead of H tiny ones
-            _, attn = modulated_attention_from_scores(
-                scores, v_nhd.transpose(0, 2, 1, 3), node_mask, pe=pe,
-                degree=degree, pair_mask=pair_mask, values_needed=False)
             vw = jnp.einsum("bmhe,hef->bhmf", v_nhd,
                             w_out.reshape(h, dh, d))
             attn_out = jnp.einsum("bhnm,bhmf->bnf", attn, vw) + b_out

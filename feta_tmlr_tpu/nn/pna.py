@@ -1,0 +1,267 @@
+"""PNA with LSPE, dense-batched.
+
+Rebuild of /root/reference/LSPE/layers/pna_lspe_layer.py (+pna_utils.py) and
+LSPE/nets/ZINC_graph_regression/pna_net.py: Principal Neighbourhood
+Aggregation towers over edge-pretransformed messages with
+{mean,max,min,std} aggregators x {identity,amplification,attenuation}
+degree scalers, a decoupled positional channel p, tower mixing networks and
+Whp/p_out fusion. DGL mailboxes map to masked dense [B, N, N, D] message
+fields; degree bucketing becomes the per-node in-degree.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from feta_tmlr_tpu.data.batch import GraphBatch
+from feta_tmlr_tpu.nn.layers import MaskedBatchNorm
+from feta_tmlr_tpu.nn.san import MLPReadout
+from feta_tmlr_tpu.ops.masking import masked_mean, pair_mask
+
+EPS = 1e-5
+
+
+def _aggregate(msg, mask, deg, names: Sequence[str]):
+    """msg [B,N(dst),N(src),D]; mask [B,N,N] real in-edges; deg [B,N].
+
+    Returns concat of the requested aggregations over the src axis."""
+    m = mask[..., None].astype(msg.dtype)
+    d_safe = jnp.maximum(deg, 1.0)[..., None]
+    outs = []
+    mean = (msg * m).sum(2) / d_safe
+    for name in names:
+        if name == "mean":
+            outs.append(mean)
+        elif name == "sum":
+            outs.append((msg * m).sum(2))
+        elif name == "max":
+            outs.append(jnp.where(
+                deg[..., None] > 0,
+                jnp.where(m > 0, msg, -jnp.inf).max(2), 0.0))
+        elif name == "min":
+            outs.append(jnp.where(
+                deg[..., None] > 0,
+                jnp.where(m > 0, msg, jnp.inf).min(2), 0.0))
+        elif name in ("std", "var"):
+            mean_sq = (msg * msg * m).sum(2) / d_safe
+            var = nn.relu(mean_sq - mean * mean)
+            outs.append(jnp.sqrt(var + EPS) if name == "std" else var)
+        else:
+            raise ValueError(f"unsupported aggregator {name!r}")
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _scale(agg, deg, names: Sequence[str], avg_d_log: float):
+    logd = jnp.log(deg + 1.0)[..., None]
+    outs = []
+    for name in names:
+        if name == "identity":
+            outs.append(agg)
+        elif name == "amplification":
+            outs.append(agg * (logd / avg_d_log))
+        elif name == "attenuation":
+            outs.append(agg * (avg_d_log / jnp.maximum(logd, EPS)))
+        else:
+            raise ValueError(f"unsupported scaler {name!r}")
+    return jnp.concatenate(outs, axis=-1)
+
+
+class _MLP(nn.Module):
+    hidden: int
+    out: int
+    layers: int = 1
+    mid_activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = {"relu": nn.relu, "tanh": jnp.tanh}[self.mid_activation]
+        for i in range(self.layers - 1):
+            x = act(nn.Dense(self.hidden, name=f"fc_{i}")(x))
+        return nn.Dense(self.out, name="fc_out")(x)
+
+
+class PNATower(nn.Module):
+    out_dim: int
+    aggregators: Tuple[str, ...]
+    scalers: Tuple[str, ...]
+    avg_d_log: float
+    dropout: float = 0.0
+    graph_norm: bool = True
+    batch_norm: bool = True
+    pretrans_layers: int = 1
+    posttrans_layers: int = 1
+
+    @nn.compact
+    def __call__(self, h, p, e_field, real, node_mask, snorm_n,
+                 deterministic=True):
+        # h [B,N,2d] (concat h,p slice), p [B,N,d]
+        b, n, two_d = h.shape
+        d = p.shape[-1]
+        deg = real.astype(h.dtype).sum(2)              # in-degree per dst
+
+        # pretransformation per edge (src j -> dst i): cat(src, dst, ef)
+        def edge_cat(x):
+            return jnp.concatenate([
+                jnp.broadcast_to(x[:, None, :, :], (b, n, n, x.shape[-1])),
+                jnp.broadcast_to(x[:, :, None, :], (b, n, n, x.shape[-1])),
+            ] + ([jnp.swapaxes(e_field, 1, 2)] if e_field is not None
+                 else []), axis=-1)
+
+        msg_h = _MLP(d, d, self.pretrans_layers, "relu",
+                     name="pretrans_h")(edge_cat(h))
+        msg_p = _MLP(d, d, self.pretrans_layers, "tanh",
+                     name="pretrans_p")(edge_cat(p))
+
+        agg_h = _scale(_aggregate(msg_h, real, deg, self.aggregators),
+                       deg, self.scalers, self.avg_d_log)
+        agg_p = _scale(_aggregate(msg_p, real, deg, self.aggregators),
+                       deg, self.scalers, self.avg_d_log)
+
+        h_out = _MLP(self.out_dim, self.out_dim, self.posttrans_layers,
+                     "relu", name="posttrans_h")(
+            jnp.concatenate([h, agg_h], -1))
+        p_out = _MLP(self.out_dim, self.out_dim, self.posttrans_layers,
+                     "tanh", name="posttrans_p")(
+            jnp.concatenate([p, agg_p], -1))
+
+        if self.graph_norm:
+            h_out = h_out * snorm_n[..., None]
+        if self.batch_norm:
+            h_out = MaskedBatchNorm(name="batchnorm_h")(
+                h_out, node_mask, use_running_average=deterministic)
+        drop = lambda t: nn.Dropout(self.dropout)(
+            t, deterministic=deterministic)
+        return drop(h_out), drop(p_out)
+
+
+class PNALSPELayer(nn.Module):
+    out_dim: int
+    aggregators: Tuple[str, ...] = ("mean", "max", "min", "std")
+    scalers: Tuple[str, ...] = ("identity", "amplification", "attenuation")
+    avg_d_log: float = 1.0
+    towers: int = 1
+    dropout: float = 0.0
+    graph_norm: bool = True
+    batch_norm: bool = True
+    residual: bool = True
+    divide_input: bool = True
+    pretrans_layers: int = 1
+    posttrans_layers: int = 1
+
+    @nn.compact
+    def __call__(self, h, p, e_field, adj, node_mask, snorm_n,
+                 deterministic=True):
+        b, n, d = h.shape
+        real = (adj > 0) & pair_mask(node_mask)
+        residual = self.residual and d == self.out_dim
+        h_in, p_in = h, p
+        hp = jnp.concatenate([h, p], -1)
+        t_in = d // self.towers if self.divide_input else d
+        t_out = self.out_dim // self.towers
+        h_outs, p_outs = [], []
+        for t in range(self.towers):
+            if self.divide_input:
+                h_slice = hp[..., t * 2 * t_in:(t + 1) * 2 * t_in]
+                p_slice = p[..., t * t_in:(t + 1) * t_in]
+            else:
+                h_slice, p_slice = hp, p
+            ho, po = PNATower(
+                t_out, self.aggregators, self.scalers, self.avg_d_log,
+                self.dropout, self.graph_norm, self.batch_norm,
+                self.pretrans_layers, self.posttrans_layers,
+                name=f"tower_{t}")(h_slice, p_slice, e_field, real,
+                                   node_mask, snorm_n, deterministic)
+            h_outs.append(ho)
+            p_outs.append(po)
+        h_out = nn.leaky_relu(nn.Dense(self.out_dim, name="mixing_h")(
+            jnp.concatenate(h_outs, -1)))
+        p_out = jnp.tanh(nn.Dense(self.out_dim, name="mixing_p")(
+            jnp.concatenate(p_outs, -1)))
+        if residual:
+            h_out = h_in + h_out
+            p_out = p_in + p_out
+        mask_f = node_mask.astype(h.dtype)[..., None]
+        return h_out * mask_f, p_out * mask_f
+
+
+class PNALSPENet(nn.Module):
+    """PNA (+LSPE p channel) net for ZINC-style regression."""
+
+    num_atom_type: int
+    num_bond_type: int
+    hidden_dim: int = 64
+    out_dim: int = 64
+    n_layers: int = 4
+    pos_enc_dim: int = 20
+    pe_init: str = "rand_walk"
+    towers: int = 4
+    aggregators: Tuple[str, ...] = ("mean", "max", "min", "std")
+    scalers: Tuple[str, ...] = ("identity", "amplification", "attenuation")
+    avg_d_log: float = 1.0
+    dropout: float = 0.0
+    in_feat_dropout: float = 0.0
+    graph_norm: bool = True
+    batch_norm: bool = True
+    residual: bool = True
+    edge_feat: bool = False
+    readout: str = "mean"
+    n_out: int = 1
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        h = nn.Embed(self.num_atom_type, self.hidden_dim,
+                     name="embedding_h")(batch.x.astype(jnp.int32))
+        h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
+        e_field = None
+        if self.edge_feat and batch.edge_type is not None:
+            e_field = nn.Embed(self.num_bond_type, self.hidden_dim,
+                               name="embedding_e")(
+                batch.edge_type.astype(jnp.int32))
+        if self.pe_init == "rand_walk":
+            p = nn.Dense(self.hidden_dim, name="embedding_p")(batch.lap_pe)
+        else:
+            p = jnp.zeros_like(h)
+
+        n_per = jnp.maximum(batch.node_mask.sum(-1, keepdims=True), 1)
+        snorm_n = (batch.node_mask.astype(h.dtype)
+                   / jnp.sqrt(n_per.astype(h.dtype)))
+
+        for i in range(self.n_layers):
+            is_last = i + 1 == self.n_layers
+            h, p = PNALSPELayer(
+                out_dim=(self.out_dim if is_last else self.hidden_dim),
+                aggregators=self.aggregators, scalers=self.scalers,
+                avg_d_log=self.avg_d_log, towers=self.towers,
+                dropout=self.dropout, graph_norm=self.graph_norm,
+                batch_norm=self.batch_norm, residual=self.residual,
+                name=f"layer_{i}")(h, p, e_field, batch.adj,
+                                   batch.node_mask, snorm_n, deterministic)
+
+        if self.pe_init == "rand_walk":
+            p = nn.Dense(self.pos_enc_dim, name="p_out")(p)
+            h = nn.Dense(self.out_dim, name="Whp")(
+                jnp.concatenate([h, p], -1))
+
+        if self.readout == "sum":
+            hg = (h * batch.node_mask[..., None]).sum(1)
+        elif self.readout == "max":
+            hg = jnp.where(batch.node_mask[..., None], h,
+                           jnp.finfo(h.dtype).min).max(1)
+        else:
+            hg = masked_mean(h, batch.node_mask, axis=1)
+        return MLPReadout(self.n_out, name="mlp_readout")(hg)
+
+
+def average_log_degree(graphs) -> float:
+    """avg_d['log'] of the training set (pna_net.py net_params['avg_d'])."""
+    import numpy as np
+    logs = []
+    for g in graphs:
+        deg = np.zeros(g.num_nodes)
+        np.add.at(deg, g.edge_index[1], 1.0)
+        logs.extend(np.log(deg + 1.0))
+    return float(np.mean(logs)) if logs else 1.0

@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: fused GraphiT attention modulation.
+
+The GraphiT probability chain — masked softmax over keys, elementwise
+multiply by the PE kernel, per-key degree rescale, row re-normalization,
+query/key masking (transformer/models.py semantics, see
+ops/attention.py) — is a soup of ~8 elementwise/row-reduce ops over
+[B, H, N, N] tensors; unfused it costs one HBM round trip per op in both
+directions. This kernel computes the whole chain in VMEM in one pass per
+(batch, head) grid cell, with a hand-derived backward kernel (gradients are
+needed only w.r.t. the scores: pe/degree/masks are data).
+
+The jnp twin is `ops.attention.modulated_attention_from_scores` (attention
+output); `tests/test_pallas_modulation.py` asserts fwd and bwd equality.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_EPS = 1e-9
+
+
+def _fwd_kernel(scores_ref, pe_ref, deg_ref, qmask_ref, kmask_ref, out_ref):
+    s = scores_ref[0, 0]                          # [N, N]
+    kmask = kmask_ref[0]                          # [1, N] broadcast row
+    qmask = qmask_ref[0]
+    s = jnp.where(kmask > 0, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    a = e / e.sum(-1, keepdims=True)
+    t = a * pe_ref[0] * deg_ref[0]
+    denom = t.sum(-1, keepdims=True)
+    attn = t / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    out_ref[0, 0] = attn * qmask * kmask          # [n,1] rows, [1,n] cols
+
+
+def _bwd_kernel(scores_ref, pe_ref, deg_ref, qmask_ref, kmask_ref, g_ref,
+                ds_ref):
+    # recompute forward internals (cheaper than saving them)
+    s = scores_ref[0, 0]
+    kmask = kmask_ref[0]
+    qmask = qmask_ref[0]
+    s = jnp.where(kmask > 0, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    a = e / e.sum(-1, keepdims=True)
+    p = pe_ref[0] * deg_ref[0]                    # combined modulation
+    u = a * p
+    denom = u.sum(-1, keepdims=True)
+    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    guard = (jnp.abs(denom) > _EPS).astype(s.dtype)
+
+    g = g_ref[0, 0] * qmask * kmask               # [N, N]
+    r = (g * u).sum(-1, keepdims=True)
+    du = (g / safe - r / (safe * safe)) * guard
+    da = du * p
+    ds = a * (da - (da * a).sum(-1, keepdims=True))
+    ds_ref[0, 0] = ds
+
+
+def _pallas_call(kernel, scores, pe, deg, qmask, kmask, extra=()):
+    b, h, n, _ = scores.shape
+    specs = [
+        pl.BlockSpec((1, 1, n, n), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),           # scores
+        pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),           # pe
+        pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),           # degree row
+        pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),           # query mask col
+        pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),           # key mask row
+    ]
+    args = [scores, pe, deg, qmask, kmask]
+    for arr in extra:
+        specs.append(pl.BlockSpec((1, 1, n, n), lambda i, j: (i, j, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        args.append(arr)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, 1, n, n), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(scores.shape, scores.dtype),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _modulate(scores, pe, deg, qmask, kmask):
+    return _pallas_call(_fwd_kernel, scores, pe, deg, qmask, kmask)
+
+
+def _modulate_fwd(scores, pe, deg, qmask, kmask):
+    out = _pallas_call(_fwd_kernel, scores, pe, deg, qmask, kmask)
+    return out, (scores, pe, deg, qmask, kmask)
+
+
+def _modulate_bwd(res, g):
+    scores, pe, deg, qmask, kmask = res
+    ds = _pallas_call(_bwd_kernel, scores, pe, deg, qmask, kmask,
+                      extra=(g,))
+    # pe/degree/masks are dataset constants — zero cotangents
+    return (ds, jnp.zeros_like(pe), jnp.zeros_like(deg),
+            jnp.zeros_like(qmask), jnp.zeros_like(kmask))
+
+
+_modulate.defvjp(_modulate_fwd, _modulate_bwd)
+
+
+def fused_modulated_attention(
+    scores,
+    node_mask,
+    pe: Optional[jnp.ndarray] = None,
+    degree: Optional[jnp.ndarray] = None,
+):
+    """attn [B,H,N,N] from scaled scores, fused in one Pallas kernel.
+
+    Differentiable w.r.t. scores (pe/degree/masks are treated as data,
+    matching the training semantics: both are dataset constants).
+    """
+    b, h, n, _ = scores.shape
+    dtype = scores.dtype
+    pe_arr = pe.astype(dtype) if pe is not None \
+        else jnp.ones((b, n, n), dtype)
+    deg_arr = (degree.astype(dtype) if degree is not None
+               else jnp.ones((b, n), dtype)).reshape(b, 1, n)
+    qmask = node_mask.astype(dtype).reshape(b, n, 1)
+    kmask = node_mask.astype(dtype).reshape(b, 1, n)
+    return _modulate(scores, pe_arr, deg_arr, qmask, kmask)
