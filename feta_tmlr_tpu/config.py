@@ -4,18 +4,22 @@ from __future__ import annotations
 
 import os
 
-# Use the fused Pallas modulation kernel inside attention layers when
-# running on TPU (pair-masked/packed batches fall back to the jnp path).
-# auto: enabled on non-CPU backends. Override with FETA_PALLAS=0/1.
+# Fused Pallas modulation kernel inside attention layers.
+# Default OFF: at the reference's shapes (N=48, H=8, B=128) a (B, H) grid
+# of tiny [N, N] programs measured ~12.7 ms/step vs ~8 ms for the
+# XLA-fused chain on v5e (A/B, same process) — the kernel pays grid
+# overhead and blocks surrounding fusion. It remains available
+# (FETA_PALLAS=1) for large-N workloads where one (batch, head) tile is
+# substantial work.
 _env = os.environ.get("FETA_PALLAS")
-PALLAS_MODULATION = None if _env is None else _env == "1"
+PALLAS_MODULATION = False if _env is None else _env == "1"
 
 
 def use_pallas_modulation() -> bool:
-    if PALLAS_MODULATION is not None:
-        return PALLAS_MODULATION
-    import jax
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except Exception:
-        return False
+    if PALLAS_MODULATION:
+        import jax
+        try:
+            return jax.devices()[0].platform != "cpu"
+        except Exception:
+            return False
+    return False

@@ -57,22 +57,26 @@ def random_graph_dataset(
     """
     rng = np.random.default_rng(seed)
     graphs = []
+    scores = []
     for _ in range(n_graphs):
         n = int(rng.integers(min_nodes, max_nodes + 1))
         g = random_connected_graph(rng, n, n_features, edge_prob)
         mean_deg = g.num_edges / n
+        scores.append(mean_deg + 0.3 * float(g.x.mean()))
         if node_level:
             deg = np.zeros(n)
             np.add.at(deg, g.edge_index[0], 1.0)
             g.y = (deg > np.median(deg)).astype(np.int32)
-        elif task == "classification":
-            g.y = np.int32(mean_deg > (2.0 + edge_prob * (n - 1)) / 1.0 * 0.9)
-            # tie label also to features so it's not degenerate
-            g.y = np.int32((mean_deg + g.x.mean()) > 2.1) % n_classes
-        else:
+        elif task != "classification":
             g.y = np.float32(mean_deg + 0.1 * g.x.sum())
         g.compute_degree_feature()
         graphs.append(g)
+    if not node_level and task == "classification":
+        # balanced labels: median split of a graph statistic so both
+        # classes are learnable AND populated
+        med = float(np.median(scores))
+        for g, s in zip(graphs, scores):
+            g.y = np.int64(s > med)
     return graphs
 
 

@@ -136,3 +136,19 @@ def load_fold_indices(
     skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
     splits = list(skf.split(np.zeros(len(labels)), labels))
     return splits[fold_idx - 1]
+
+
+def make_splits(n: int, n_folds: int = 10, seed: int = 0,
+                test_ratio: float = 0.1):
+    """Nested CV split generator (gckn/utils.py:164-191): yields
+    (train_idx, val_idx, test_idx) per outer fold with an inner val split."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    fold_size = n // n_folds
+    for f in range(n_folds):
+        test = perm[f * fold_size:(f + 1) * fold_size]
+        rest = np.concatenate([perm[: f * fold_size],
+                               perm[(f + 1) * fold_size:]])
+        n_val = max(int(len(rest) * test_ratio), 1)
+        val, train = rest[:n_val], rest[n_val:]
+        yield train, val, test

@@ -25,14 +25,16 @@ def _load_lib():
     if _LIB is None and os.path.isfile(_LIB_PATH):
         lib = ctypes.CDLL(_LIB_PATH)
         i32p = ctypes.POINTER(ctypes.c_int32)
-        lib.count_paths.argtypes = [
-            i32p, i32p, ctypes.c_int32, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int64)]
-        lib.count_paths.restype = ctypes.c_int
-        lib.fill_paths.argtypes = [
-            i32p, i32p, ctypes.c_int32, ctypes.c_int32,
-            ctypes.POINTER(i32p)]
-        lib.fill_paths.restype = ctypes.c_int
+        for count_name, fill_name in (("count_paths", "fill_paths"),
+                                      ("count_walks", "fill_walks")):
+            getattr(lib, count_name).argtypes = [
+                i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64)]
+            getattr(lib, count_name).restype = ctypes.c_int
+            getattr(lib, fill_name).argtypes = [
+                i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(i32p)]
+            getattr(lib, fill_name).restype = ctypes.c_int
         _LIB = lib
     return _LIB
 
@@ -75,6 +77,57 @@ def enumerate_paths(edge_index: np.ndarray, n_nodes: int, k: int
         indptr.ctypes.data_as(i32p), indices.ctypes.data_as(i32p),
         n_nodes, k, ptrs)
     return paths, counts
+
+
+def enumerate_walks(edge_index: np.ndarray, n_nodes: int, k: int
+                    ) -> Tuple[List[np.ndarray], np.ndarray]:
+    """All walks with 1..k nodes (revisits allowed, no immediate
+    backtracking — graphs_fast.pyx:110-129 `all_walks`)."""
+    lib = _load_lib()
+    if lib is None:
+        return enumerate_walks_py(edge_index, n_nodes, k)
+    indptr, indices = _to_csr(edge_index, n_nodes)
+    counts = np.zeros((k, n_nodes), dtype=np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.count_walks(
+        indptr.ctypes.data_as(i32p), indices.ctypes.data_as(i32p),
+        n_nodes, k, counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    walks = [np.empty((int(counts[s - 1].sum()), s), dtype=np.int32)
+             for s in range(1, k + 1)]
+    ptrs = (i32p * k)(*[w.ctypes.data_as(i32p) for w in walks])
+    lib.fill_walks(
+        indptr.ctypes.data_as(i32p), indices.ctypes.data_as(i32p),
+        n_nodes, k, ptrs)
+    return walks, counts
+
+
+def enumerate_walks_py(edge_index: np.ndarray, n_nodes: int, k: int
+                       ) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Pure-python golden twin of `enumerate_walks`."""
+    indptr, indices = _to_csr(edge_index, n_nodes)
+    adj = [indices[indptr[u]:indptr[u + 1]].tolist()
+           for u in range(n_nodes)]
+    out: List[List[List[int]]] = [[] for _ in range(k)]
+    counts = np.zeros((k, n_nodes), dtype=np.int64)
+
+    def dfs(path, start):
+        out[len(path) - 1].append(list(path))
+        counts[len(path) - 1, start] += 1
+        if len(path) >= k:
+            return
+        prev = path[-2] if len(path) >= 2 else -1
+        for v in adj[path[-1]]:
+            if v == prev:
+                continue
+            path.append(v)
+            dfs(path, start)
+            path.pop()
+
+    for u in range(n_nodes):
+        dfs([u], u)
+    walks = [np.asarray(out[s], dtype=np.int32).reshape(-1, s + 1)
+             for s in range(k)]
+    return walks, counts
 
 
 def enumerate_paths_py(edge_index: np.ndarray, n_nodes: int, k: int

@@ -89,6 +89,7 @@ class FeTAEncoder(nn.Module):
     learn_only_filter_order_coeff: bool = False
     use_skip_conn: bool = True
     laplacian_norm: Optional[str] = "sym"
+    remat: bool = False            # rematerialize layers (trade FLOPs for HBM)
 
     @property
     def head_dim(self) -> int:
@@ -154,14 +155,18 @@ class FeTAEncoder(nn.Module):
         attn = None
         allout_filtered = None
         coefficients = []
+        # static argnums (self=0): deterministic=5, need_heads=7 — both feed
+        # python control flow inside the layer
+        layer_cls = (nn.remat(GraphiTEncoderLayer, static_argnums=(5, 7))
+                     if self.remat else GraphiTEncoderLayer)
         for layer_idx in range(self.n_layers):
             filtered = dynamic and (not self.last_layer_filter
                                     or layer_idx + 1 == self.n_layers)
-            out, attn, out_each_head = GraphiTEncoderLayer(
+            out, attn, out_each_head = layer_cls(
                 self.d_model, self.n_heads, self.dim_feedforward,
                 self.dropout, self.batch_norm, name=f"layer_{layer_idx}")(
-                    out, pe, node_mask, degree=degree,
-                    deterministic=deterministic, need_heads=filtered)
+                    out, pe, node_mask, degree, deterministic, None,
+                    filtered)
             if not filtered:
                 continue
 

