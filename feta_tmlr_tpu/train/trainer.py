@@ -131,6 +131,10 @@ class Trainer:
             self.optimizer = make_optimizer(c.lr, c.weight_decay)
             self.plateau = None
         self._jit_step = jax.jit(self._step)
+        # donating variant for tight loops (fit): the input TrainState's
+        # buffers are reused in place, halving peak HBM for the update.
+        # Callers must not touch the passed-in state afterwards.
+        self._jit_step_donated = jax.jit(self._step, donate_argnums=(0,))
         self._jit_eval = jax.jit(self._eval_logits)
 
     # -- core fns ---------------------------------------------------------
@@ -201,7 +205,8 @@ class Trainer:
                     rng) -> Tuple[TrainState, float]:
         losses = []
         for i, b in enumerate(batches):
-            state, loss = self._jit_step(state, b, jax.random.fold_in(rng, i))
+            state, loss = self._jit_step_donated(
+                state, b, jax.random.fold_in(rng, i))
             losses.append(loss)
         return state, float(np.mean([np.asarray(l) for l in losses]))
 
