@@ -1,0 +1,82 @@
+"""LPE-tier SBM node classification (PATTERN/CLUSTER), JSON-config driven.
+
+Equivalent of /root/reference/LPE/main_SBMs_node_classification.py: SAN
+family with node-level readout, weighted CE + class-balanced accuracy.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
+from feta_tmlr_tpu.experiments.common import make_batches
+from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
+from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
+from feta_tmlr_tpu.train import Trainer, TrainConfig
+from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
+
+MODELS = {"SAN": (SANNet, {}), "SAN_NodeSpectra": (SANNodeSpectra, {})}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--model", type=str, default="SAN_NodeSpectra")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=41)
+    p.add_argument("--n-nodes", type=int, default=64)
+    p.add_argument("--n-classes", type=int, default=2)
+    p.add_argument("--max_freqs", type=int, default=10)
+    p.add_argument("--synthetic-graphs", type=int, default=48)
+    args = p.parse_args(argv)
+
+    cfg = (load_config(args.config) if args.config
+           else {"model": args.model, "params": {}, "net_params": {}})
+    model_name = args.model or cfg.get("model")
+    cls, extra = MODELS[model_name]
+    params = cfg["params"]
+    epochs = args.epochs or params.get("epochs", 50)
+
+    print("[warn] GNNBenchmark files not bundled - synthetic SBM fallback")
+    graphs = sbm_like_dataset(seed=args.seed, n_graphs=args.synthetic_graphs,
+                              n_nodes=args.n_nodes,
+                              n_classes=args.n_classes)
+    # SBM node features are small categorical ids; use them directly
+    import numpy as np
+    for g in graphs:
+        g.x = np.argmax(g.x, -1).astype(np.int32)[:, None]
+        g.edge_type = np.ones(g.num_edges, np.int32)
+    apply_laplace_decomp(graphs, args.max_freqs)
+
+    kwargs = model_kwargs_for(cls, cfg["net_params"])
+    kwargs.update(extra)
+    kwargs.setdefault("hidden_dim", 32)
+    kwargs.setdefault("out_dim", 32)
+    kwargs.setdefault("n_heads", 4)
+    kwargs.setdefault("n_layers", 3)
+    kwargs.setdefault("lpe_dim", 8)
+    model = cls(num_atom_type=3, num_bond_type=2, node_level=True,
+                n_out=args.n_classes, **kwargs)
+
+    n = len(graphs)
+    tr, va = graphs[: int(0.8 * n)], graphs[int(0.8 * n):]
+    max_nodes = max(g.num_nodes for g in graphs)
+    train_b = make_batches(tr, params.get("batch_size", 16), max_nodes,
+                           shuffle_seed=args.seed)
+    val_b = make_batches(va, params.get("batch_size", 16), max_nodes)
+    trainer = Trainer(
+        model,
+        TrainConfig(task="node_clf", lr=params.get("init_lr", 1e-3),
+                    epochs=epochs, schedule="plateau", sign_flip=False,
+                    seed=args.seed),
+        steps_per_epoch=len(train_b))
+    result = trainer.fit(train_b, val_batches=val_b, epochs=epochs,
+                         log_fn=lambda row: print(
+                             {k: (round(v, 5) if isinstance(v, float)
+                                  else v) for k, v in row.items()}))
+    print("best_val:", result["best_val"])
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""LPE-tier TU graph classification, JSON-config driven.
+
+Equivalent of /root/reference/LPE/main_TUs_graph_classification.py: SAN
+family with float (one-hot) node features, CE + accuracy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from feta_tmlr_tpu.data import random_graph_dataset
+from feta_tmlr_tpu.data.tu import load_fold_indices, load_tu_dataset
+from feta_tmlr_tpu.experiments.common import make_batches
+from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
+from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
+from feta_tmlr_tpu.train import Trainer, TrainConfig
+from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
+
+MODELS = {"SAN": (SANNet, {}), "SAN_NodeSpectra": (SANNodeSpectra, {})}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--model", type=str, default="SAN_NodeSpectra")
+    p.add_argument("--dataset", type=str, default="NCI1")
+    p.add_argument("--datadir", type=str, default="dataset")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--fold-idx", type=int, default=1)
+    p.add_argument("--seed", type=int, default=41)
+    p.add_argument("--max_freqs", type=int, default=10)
+    p.add_argument("--synthetic-graphs", type=int, default=60)
+    args = p.parse_args(argv)
+
+    cfg = (load_config(args.config) if args.config
+           else {"model": args.model, "params": {}, "net_params": {}})
+    cls, extra = MODELS[args.model or cfg.get("model")]
+    params = cfg["params"]
+    epochs = args.epochs or params.get("epochs", 100)
+
+    path = os.path.join(args.datadir, args.dataset)
+    if os.path.isdir(path):
+        graphs, _ = load_tu_dataset(args.dataset, args.datadir)
+    else:
+        print(f"[warn] {path} not found - synthetic fallback")
+        graphs = random_graph_dataset(seed=args.seed,
+                                      n_graphs=args.synthetic_graphs,
+                                      n_features=7)
+    n_classes = len({int(g.y) for g in graphs})
+    apply_laplace_decomp(graphs, args.max_freqs)
+    tr_idx, te_idx = load_fold_indices(
+        graphs, args.fold_idx, name=args.dataset,
+        fold_dir=f"{args.datadir}/fold-idx", seed=args.seed)
+
+    kwargs = model_kwargs_for(cls, cfg["net_params"])
+    kwargs.update(extra)
+    kwargs.setdefault("hidden_dim", 32)
+    kwargs.setdefault("out_dim", 32)
+    kwargs.setdefault("n_heads", 4)
+    kwargs.setdefault("n_layers", 3)
+    kwargs.setdefault("lpe_dim", 8)
+    model = cls(num_atom_type=1, num_bond_type=1, categorical_input=False,
+                n_out=n_classes, **kwargs)
+
+    max_nodes = max(g.num_nodes for g in graphs)
+    train_b = make_batches([graphs[i] for i in tr_idx],
+                           params.get("batch_size", 32), max_nodes,
+                           shuffle_seed=args.seed)
+    test_b = make_batches([graphs[i] for i in te_idx],
+                          params.get("batch_size", 32), max_nodes)
+    trainer = Trainer(
+        model,
+        TrainConfig(task="graph_clf", lr=params.get("init_lr", 1e-3),
+                    epochs=epochs, schedule="plateau", sign_flip=False,
+                    seed=args.seed),
+        steps_per_epoch=len(train_b))
+    result = trainer.fit(train_b, val_batches=test_b, test_batches=test_b,
+                         epochs=epochs,
+                         log_fn=lambda row: print(
+                             {k: (round(v, 5) if isinstance(v, float)
+                                  else v) for k, v in row.items()}))
+    print("best_val:", result["best_val"], "test:", result.get("test"))
+    return result
+
+
+if __name__ == "__main__":
+    main()

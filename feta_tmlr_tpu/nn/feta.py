@@ -38,6 +38,26 @@ from feta_tmlr_tpu.ops.laplacian import cheb_scaled_laplacian, gcn_norm_dense
 from feta_tmlr_tpu.ops.masking import masked_mean
 
 
+class _ScannedGraphiTBody(nn.Module):
+    """scan body: one GraphiT layer, carry = node features."""
+
+    d_model: int
+    n_heads: int
+    dim_feedforward: int
+    dropout: float
+    batch_norm: bool
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, pe, node_mask, degree):
+        x, _, _ = GraphiTEncoderLayer(
+            self.d_model, self.n_heads, self.dim_feedforward,
+            self.dropout, self.batch_norm, name="layer")(
+                carry, pe, node_mask, degree=degree,
+                deterministic=self.deterministic, need_heads=False)
+        return x, ()
+
+
 class FilterCoefficientHead(nn.Module):
     """Coefficient GCN over the (detached) attention graph.
 
@@ -90,6 +110,9 @@ class FeTAEncoder(nn.Module):
     use_skip_conn: bool = True
     laplacian_norm: Optional[str] = "sym"
     remat: bool = False            # rematerialize layers (trade FLOPs for HBM)
+    scan_layers: bool = False      # lax.scan over the unfiltered layers:
+                                   # ~L-times smaller XLA program (compile
+                                   # time), same math; params stack [L-1,...]
 
     @property
     def head_dim(self) -> int:
@@ -159,7 +182,24 @@ class FeTAEncoder(nn.Module):
         # python control flow inside the layer
         layer_cls = (nn.remat(GraphiTEncoderLayer, static_argnums=(5, 7))
                      if self.remat else GraphiTEncoderLayer)
-        for layer_idx in range(self.n_layers):
+
+        start_layer = 0
+        if (self.scan_layers and self.n_layers > 1
+                and (self.last_layer_filter or not dynamic)):
+            scanned = nn.scan(
+                _ScannedGraphiTBody,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.n_layers - 1,
+            )(d_model=self.d_model, n_heads=self.n_heads,
+              dim_feedforward=self.dim_feedforward, dropout=self.dropout,
+              batch_norm=self.batch_norm, deterministic=deterministic,
+              name="scan_layers")
+            out, _ = scanned(out, pe, node_mask, degree)
+            start_layer = self.n_layers - 1
+
+        for layer_idx in range(start_layer, self.n_layers):
             filtered = dynamic and (not self.last_layer_filter
                                     or layer_idx + 1 == self.n_layers)
             out, attn, out_each_head = layer_cls(

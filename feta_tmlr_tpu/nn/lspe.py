@@ -113,6 +113,7 @@ class GraphiTSpectraLSPELayer(nn.Module):
     use_bias: bool = False
     filter_order: int = 4
     edge_features: bool = True
+    spectra: bool = True           # False -> plain GraphiT_GT_LSPE layer
 
     @nn.compact
     def __call__(self, h, p, e_emb, adj, node_mask, k_rw=None,
@@ -128,17 +129,21 @@ class GraphiTSpectraLSPELayer(nn.Module):
             dh, self.num_heads, self.full_graph, self.use_bias,
             self.edge_features, self.adaptive_edge_pe, name="attention_h")(
                 jnp.concatenate([h, p], -1), e_emb, adj, node_mask, k_rw)
-        coeff = SANCoeffHead(self.filter_order, name="coeff_head")(
-            attn, node_mask)
-        lhat = san_structure_laplacian(struct, node_mask)
-        heads = h_attn.reshape(b, n, self.num_heads, dh).transpose(0, 2, 1, 3)
-        w = self.param("cheb_weight", nn.initializers.glorot_uniform(),
-                       (self.filter_order, dh, dh))
-        cb = self.param("cheb_bias", nn.initializers.zeros, (dh,))
-        filt = cheb_filter_scalar_coeff(heads, lhat, coeff, w, cb)
-        filt = nn.Dense(dh, name="filt_linear")(jnp.tanh(filt))
-        filt = filt.transpose(0, 2, 1, 3).reshape(b, n, self.out_dim)
-        h = h_attn + filt
+        if self.spectra:
+            coeff = SANCoeffHead(self.filter_order, name="coeff_head")(
+                attn, node_mask)
+            lhat = san_structure_laplacian(struct, node_mask)
+            heads = h_attn.reshape(
+                b, n, self.num_heads, dh).transpose(0, 2, 1, 3)
+            w = self.param("cheb_weight", nn.initializers.glorot_uniform(),
+                           (self.filter_order, dh, dh))
+            cb = self.param("cheb_bias", nn.initializers.zeros, (dh,))
+            filt = cheb_filter_scalar_coeff(heads, lhat, coeff, w, cb)
+            filt = nn.Dense(dh, name="filt_linear")(jnp.tanh(filt))
+            filt = filt.transpose(0, 2, 1, 3).reshape(b, n, self.out_dim)
+            h = h_attn + filt
+        else:
+            h = h_attn
         h = drop(h)
         h = nn.Dense(self.out_dim, name="O_h")(h)
         if self.residual and h_in1.shape[-1] == self.out_dim:
@@ -197,6 +202,7 @@ class GraphiTSpectraNet(nn.Module):
     use_lapeig_loss: bool = False
     readout: str = "mean"
     n_out: int = 1
+    spectra: bool = True           # False -> plain GraphiT-LSPE net
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
@@ -227,7 +233,7 @@ class GraphiTSpectraNet(nn.Module):
                 batch_norm=self.batch_norm, residual=self.residual,
                 adaptive_edge_pe=self.adaptive_edge_pe,
                 filter_order=self.filter_order,
-                edge_features=e_emb is not None,
+                edge_features=e_emb is not None, spectra=self.spectra,
                 name=f"layer_{i}")(h, p, e_emb, batch.adj, batch.node_mask,
                                    k_rw, deterministic)
 

@@ -188,6 +188,7 @@ class DiffGraphTransformerGenGCN(nn.Module):
     last_layer_filter: bool = True
     learn_only_filter_order_coeff: bool = False
     use_skip_conn: bool = True
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True,
@@ -204,7 +205,8 @@ class DiffGraphTransformerGenGCN(nn.Module):
             filter_order=self.filter_order, gnn_type=self.gnn_type,
             last_layer_filter=self.last_layer_filter,
             learn_only_filter_order_coeff=self.learn_only_filter_order_coeff,
-            use_skip_conn=self.use_skip_conn, name="encoder")(
+            use_skip_conn=self.use_skip_conn,
+            scan_layers=self.scan_layers, name="encoder")(
                 x, batch.pe, batch.adj, batch.node_mask,
                 degree=batch.degree, deterministic=deterministic)
         pooled = masked_mean(out, batch.node_mask, axis=1)

@@ -334,15 +334,20 @@ class SANNet(nn.Module):
     residual: bool = True
     readout: str = "mean"
     n_out: int = 1
+    node_level: bool = False       # per-node logits (SBM tier)
+    categorical_input: bool = True  # False: float features (TU tier)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
-        node_ids = batch.x.astype(jnp.int32)
         h_dim = (self.hidden_dim - self.lpe_dim if self.lpe == "node"
                  else self.hidden_dim)
         e_dim = (self.hidden_dim - self.lpe_dim if self.lpe == "edge"
                  else self.hidden_dim)
-        h = nn.Embed(self.num_atom_type, h_dim, name="embedding_h")(node_ids)
+        if self.categorical_input:
+            h = nn.Embed(self.num_atom_type, h_dim,
+                         name="embedding_h")(batch.x.astype(jnp.int32))
+        else:
+            h = nn.Dense(h_dim, name="embedding_h")(batch.x)
         e_emb = None
         if batch.edge_type is not None:
             e_emb = nn.Embed(self.num_bond_type, e_dim,
@@ -375,6 +380,8 @@ class SANNet(nn.Module):
                 spectra=False, name=f"layer_{i}")(
                     h, e_emb, batch.adj, batch.node_mask, deterministic)
 
+        if self.node_level:
+            return MLPReadout(self.n_out, name="mlp_readout")(h)
         if self.readout == "sum":
             hg = (h * batch.node_mask[..., None]).sum(1)
         elif self.readout == "max":
@@ -412,12 +419,17 @@ class SANNodeSpectra(nn.Module):
     last_layer_filter: bool = False
     readout: str = "mean"
     n_out: int = 1
+    node_level: bool = False
+    categorical_input: bool = True
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
-        node_ids = batch.x.astype(jnp.int32)
-        h = nn.Embed(self.num_atom_type, self.hidden_dim - self.lpe_dim,
-                     name="embedding_h")(node_ids)
+        if self.categorical_input:
+            h = nn.Embed(self.num_atom_type, self.hidden_dim - self.lpe_dim,
+                         name="embedding_h")(batch.x.astype(jnp.int32))
+        else:
+            h = nn.Dense(self.hidden_dim - self.lpe_dim,
+                         name="embedding_h")(batch.x)
         e_emb = nn.Embed(self.num_bond_type, self.hidden_dim,
                          name="embedding_e")(
             batch.edge_type.astype(jnp.int32)) \
@@ -442,6 +454,8 @@ class SANNodeSpectra(nn.Module):
                 name=f"layer_{i}")(h, e_emb, batch.adj, batch.node_mask,
                                    deterministic)
 
+        if self.node_level:
+            return MLPReadout(self.n_out, name="mlp_readout")(h)
         if self.readout == "sum":
             hg = (h * batch.node_mask[..., None]).sum(1)
         elif self.readout == "max":

@@ -257,7 +257,10 @@ class Trainer:
                     or (mode == "min" and vm[key] < best_val)
                     or (mode == "max" and vm[key] > best_val))
                 if improved:
-                    best_val, best_state, best_epoch = vm[key], state, epoch
+                    # deep-copy on device: the donated fit loop will reuse
+                    # (invalidate) the live state's buffers next epoch
+                    best_val, best_epoch = vm[key], epoch
+                    best_state = jax.tree_util.tree_map(jnp.copy, state)
                 if self.plateau is not None:
                     new_lr = self.plateau.step(vm[key], cfg.lr)
                     state = _set_lr(state, new_lr)
@@ -265,6 +268,8 @@ class Trainer:
             history.append(row)
             if log_fn:
                 log_fn(row)
+        if val_batches is None:
+            best_state = state        # no selection: final state is live
         result = {"history": history, "best_epoch": best_epoch,
                   "best_val": best_val, "state": best_state}
         if test_batches is not None:
