@@ -22,7 +22,9 @@ from feta_tmlr_tpu.experiments.common import make_batches
 from feta_tmlr_tpu.nn.gat import GATFeTANet
 from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
 from feta_tmlr_tpu.nn.lspe import GraphiTSpectraNet
+from feta_tmlr_tpu.nn.pna import PNALSPENet, average_log_degree
 from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
+from feta_tmlr_tpu.nn.san_lspe import SANLSPENet
 from feta_tmlr_tpu.pe import PStepRWEncoding
 from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
 from feta_tmlr_tpu.pe.rwpe import rwpe
@@ -36,7 +38,10 @@ MODEL_REGISTRY = {
     "SAN_NodeSpectra": (SANNodeSpectra, {}),
     "GATFeTA": (GATFeTANet, {}),
     "GraphiTSpectra": (GraphiTSpectraNet, {}),
+    "GraphiT": (GraphiTSpectraNet, {"spectra": False}),
     "GatedGCN": (GatedGCNLSPENet, {}),
+    "SAN_LSPE": (SANLSPENet, {}),
+    "PNA": (PNALSPENet, {}),
 }
 
 NUM_ATOM_TYPE = 28
@@ -85,13 +90,15 @@ def main(argv=None):
     # per-model PE precompute
     if cls in (SANNet, SANNodeSpectra):
         apply_laplace_decomp(graphs, args.max_freqs)
-    if cls in (GraphiTSpectraNet, GatedGCNLSPENet):
+    if cls in (GraphiTSpectraNet, GatedGCNLSPENet, SANLSPENet, PNALSPENet):
         dim = kwargs.get("pos_enc_dim", 20)
         for g in graphs:
             g.lap_pe = rwpe(g, dim)
         if kwargs.get("adaptive_edge_pe"):
             PStepRWEncoding(p=2, beta=0.25,
                             normalization="sym").apply_to(graphs)
+        if cls is PNALSPENet:
+            kwargs.setdefault("avg_d_log", average_log_degree(graphs))
 
     if cls is GATFeTANet:
         model = cls(num_atom_type=NUM_ATOM_TYPE, **kwargs)

@@ -64,3 +64,19 @@ def test_lspe_trains():
                                     sign_flip=False))
     res = tr.fit([gb], val_batches=[gb])
     assert res["history"][-1]["loss"] < res["history"][0]["loss"]
+
+
+def test_san_lspe_net():
+    from feta_tmlr_tpu.nn.san_lspe import SANLSPENet
+    gb = _batch(n_graphs=4)
+    model = SANLSPENet(num_atom_type=28, num_bond_type=4, hidden_dim=16,
+                       out_dim=16, n_heads=2, n_layers=2, pos_enc_dim=8,
+                       batch_norm=True)
+    variables = model.init(jax.random.key(0), gb)
+    out = model.apply(variables, gb)
+    assert out.shape == (4, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+    grads = jax.grad(lambda v: jnp.abs(
+        model.apply(v, gb).squeeze(-1) - gb.y).mean())(variables)
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree_util.tree_leaves(grads))
