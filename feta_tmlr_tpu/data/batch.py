@@ -126,6 +126,7 @@ def collate_graphs(
     with_coo: bool = False,
     max_nodes: Optional[int] = None,
     dtype=np.float32,
+    node_labels: Optional[bool] = None,
 ) -> GraphBatch:
     """Pure-numpy host collation into a GraphBatch.
 
@@ -181,7 +182,6 @@ def collate_graphs(
                     "optional attributes must be consistent across a batch")
 
     ys = []
-    node_labels = None
     for i, g in enumerate(graphs):
         m = g.num_nodes
         x[i, :m] = g.x.reshape(m) if squeeze_x else g.x
@@ -205,15 +205,26 @@ def collate_graphs(
 
     y = None
     if ys:
-        if ys[0].ndim >= 1 and ys[0].shape[0] == graphs[0].num_nodes and (
-            len(set(yy.shape[0] for yy in ys)) > 1
-            or ys[0].shape[0] != 1
-        ):
-            # per-node labels (SBM tier): pad to [B, N]
-            node_labels = np.full((bsz, n) + ys[0].shape[1:], -1, dtype=ys[0].dtype)
+        if node_labels is None:
+            # infer per-node labels ONLY when every graph's label length
+            # equals its own node count; a fixed-size batch where a
+            # graph-level task vector could coincide (e.g. 128 tasks on a
+            # 128-node graph) is ambiguous and must be made explicit
+            all_match = all(
+                yy.ndim >= 1 and yy.shape[0] == g.num_nodes
+                for yy, g in zip(ys, graphs))
+            sizes_vary = len({g.num_nodes for g in graphs}) > 1
+            if all_match and not sizes_vary and graphs[0].num_nodes > 1:
+                raise ValueError(
+                    "ambiguous labels: every y length equals the (uniform) "
+                    "node count; pass node_labels=True/False explicitly")
+            node_labels = all_match and sizes_vary
+        if node_labels:
+            # per-node labels (SBM tier): pad to [B, N] with -1
+            yb = np.full((bsz, n) + ys[0].shape[1:], -1, dtype=ys[0].dtype)
             for i, yy in enumerate(ys):
-                node_labels[i, : yy.shape[0]] = yy
-            y = node_labels
+                yb[i, : yy.shape[0]] = yy
+            y = yb
         else:
             y = np.stack(ys)
 

@@ -71,8 +71,16 @@ def pack_graphs(
               if use_lap else None)
     degree = np.zeros((bsz, row_len), dtype) if use_deg else None
 
-    y0 = np.asarray(g0.y)
-    y = np.zeros((bsz, g_max) + y0.shape, y0.dtype)
+    if g0.y is None:
+        y = None
+    else:
+        y0 = np.asarray(g0.y)
+        if y0.ndim >= 1 and y0.shape[0] == g0.num_nodes and y0.shape[0] > 1:
+            raise NotImplementedError(
+                "pack_graphs supports graph-level labels only; per-node "
+                "labels (SBM tier) need slot-offset packing — use "
+                "collate_graphs for node-level tasks")
+        y = np.zeros((bsz, g_max) + y0.shape, y0.dtype)
 
     for r, members in enumerate(rows):
         off = 0
@@ -92,7 +100,8 @@ def pack_graphs(
                 lap_pe[r, sl, : g.lap_pe.shape[-1]] = g.lap_pe
             if use_deg:
                 degree[r, sl] = g.degree
-            y[r, slot] = np.asarray(g.y)
+            if y is not None:
+                y[r, slot] = np.asarray(g.y)
             off += n
 
     return GraphBatch(

@@ -127,16 +127,19 @@ def sbm_like_dataset(seed: int = 0, n_graphs: int = 8, n_nodes: int = 128,
     """PATTERN/CLUSTER-shaped graphs: dense-ish blocks, per-node labels."""
     rng = np.random.default_rng(seed)
     graphs = []
-    for _ in range(n_graphs):
-        labels = rng.integers(0, n_classes, size=n_nodes)
+    for gi in range(n_graphs):
+        # vary sizes slightly (real SBM benchmarks do; also keeps the
+        # node-label inference in collate_graphs unambiguous)
+        n_g = max(4, n_nodes - int(rng.integers(0, max(n_nodes // 8, 2))))
+        labels = rng.integers(0, n_classes, size=n_g)
         p_in, p_out = 0.2, 0.05
         probs = np.where(labels[:, None] == labels[None, :], p_in, p_out)
-        upper = np.triu(rng.random((n_nodes, n_nodes)) < probs, k=1)
+        upper = np.triu(rng.random((n_g, n_g)) < probs, k=1)
         rows, cols = np.nonzero(upper)
         edge_index = np.stack(
             [np.concatenate([rows, cols]), np.concatenate([cols, rows])]
         ).astype(np.int32)
-        x = np.eye(3, dtype=np.float32)[rng.integers(0, 3, size=n_nodes)]
+        x = np.eye(3, dtype=np.float32)[rng.integers(0, 3, size=n_g)]
         g = Graph(x=x, edge_index=edge_index, y=labels.astype(np.int32))
         g.compute_degree_feature()
         graphs.append(g)

@@ -143,11 +143,11 @@ def make_batches(graphs: Sequence[Graph], batch_size: int,
 
 
 def run_and_log(trainer, train_b, val_b, test_b, args, outdir,
-                extra_results=None):
+                extra_results=None, rebatch_fn=None):
     logger = CSVLogger(outdir) if outdir else None
     result = trainer.fit(
         train_b, val_batches=val_b, test_batches=test_b,
-        epochs=args.epochs,
+        epochs=args.epochs, rebatch_fn=rebatch_fn,
         log_fn=(logger.log if logger else
                 lambda row: print({k: (round(v, 5)
                                        if isinstance(v, float) else v)

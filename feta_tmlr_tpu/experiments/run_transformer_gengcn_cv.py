@@ -47,6 +47,11 @@ def main(argv=None):
                            shuffle_seed=args.seed)
     test_b = make_batches(test_graphs, args.batch_size, max_nodes)
 
+    def rebatch(epoch):
+        # per-epoch graph-level reshuffle (reference DataLoader shuffle=True)
+        return make_batches(train_graphs, args.batch_size, max_nodes,
+                            shuffle_seed=args.seed + epoch)
+
     model = DiffGraphTransformerGenGCN(
         in_size=in_size, nb_class=n_classes, d_model=args.dim_hidden,
         nb_heads=args.nb_heads, dim_feedforward=2 * args.dim_hidden,
@@ -62,7 +67,8 @@ def main(argv=None):
                     schedule="step", step_size=50, gamma=0.5,
                     sign_flip=args.lappe, seed=args.seed),
         steps_per_epoch=len(train_b))
-    return run_and_log(trainer, train_b, test_b, test_b, args, outdir)
+    return run_and_log(trainer, train_b, test_b, test_b, args, outdir,
+                       rebatch_fn=rebatch)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,10 @@ import flax.linen as nn
 from feta_tmlr_tpu.nn.layers import GraphiTEncoderLayer
 from feta_tmlr_tpu.ops.arma import arma_filter_dynamic, gcn_norm_no_self_loops
 from feta_tmlr_tpu.ops.cheb import cheb_filter_dynamic, cheb_filter_scalar_coeff
-from feta_tmlr_tpu.ops.laplacian import cheb_scaled_laplacian, gcn_norm_dense
+from feta_tmlr_tpu.ops.laplacian import (
+    cheb_scaled_laplacian,
+    gcn_norm_directed,
+)
 from feta_tmlr_tpu.ops.masking import masked_mean
 
 
@@ -74,9 +77,12 @@ class FilterCoefficientHead(nn.Module):
     def __call__(self, attn, node_mask):
         # attn: [B, H, N, N]; heads stay a batch axis (the reference flattens
         # them into a H*B sparse graph with index offsets, models.py:178-186).
+        # attn[i, j] is the weight of directed edge i -> j; PyG's GCNConv
+        # normalizes with in-degrees and aggregates at the destination
+        # (gcn_norm_directed), so propagation contracts over the SOURCE axis.
         a = jax.lax.stop_gradient(attn)               # detach (models.py:282)
         mask_h = node_mask[:, None, :]                # broadcast over heads
-        a_norm = gcn_norm_dense(a, mask_h)            # [B, H, N, N]
+        a_norm = gcn_norm_directed(a, mask_h)         # [B, H, N(src), N(dst)]
 
         c = self.num_coefficients
         ones = jnp.ones(attn.shape[:3] + (c,), attn.dtype)
@@ -84,7 +90,7 @@ class FilterCoefficientHead(nn.Module):
             "gcn_kernel",
             nn.initializers.glorot_uniform(), (c, c))
         b = self.param("gcn_bias", nn.initializers.zeros, (c,))
-        h = jnp.einsum("bhmn,bhnc->bhmc", a_norm, ones) @ w + b
+        h = jnp.einsum("bhij,bhic->bhjc", a_norm, ones) @ w + b
         h = jnp.tanh(h)
         pooled = masked_mean(h, mask_h, axis=2)       # [B, H, C] mean pool
         return nn.Dense(c, name="coeff_linear")(pooled)

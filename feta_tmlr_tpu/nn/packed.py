@@ -22,7 +22,10 @@ from feta_tmlr_tpu.nn.feta import FilterCoefficientHead
 from feta_tmlr_tpu.nn.layers import GraphiTEncoderLayer
 from feta_tmlr_tpu.nn.models import ClassifierMLP, coefficient_regularizer
 from feta_tmlr_tpu.ops.cheb import cheb_filter_dynamic_per_node
-from feta_tmlr_tpu.ops.laplacian import cheb_scaled_laplacian, gcn_norm_dense
+from feta_tmlr_tpu.ops.laplacian import (
+    cheb_scaled_laplacian,
+    gcn_norm_directed,
+)
 
 
 def membership(graph_id, node_mask, n_graphs: int):
@@ -54,13 +57,13 @@ class PackedFilterCoefficientHead(nn.Module):
     def __call__(self, attn, node_mask, memb):
         a = jax.lax.stop_gradient(attn)
         mask_h = node_mask[:, None, :]
-        a_norm = gcn_norm_dense(a, mask_h)
+        a_norm = gcn_norm_directed(a, mask_h)          # [B,H,N(src),N(dst)]
         c = self.num_coefficients
         ones = jnp.ones(attn.shape[:3] + (c,), attn.dtype)
         w = self.param("gcn_kernel", nn.initializers.glorot_uniform(),
                        (c, c))
         b = self.param("gcn_bias", nn.initializers.zeros, (c,))
-        h = jnp.tanh(jnp.einsum("bhmn,bhnc->bhmc", a_norm, ones) @ w + b)
+        h = jnp.tanh(jnp.einsum("bhij,bhic->bhjc", a_norm, ones) @ w + b)
         pooled = per_graph_mean(h, memb)               # [B, H, G, C]
         return nn.Dense(c, name="coeff_linear")(pooled)
 

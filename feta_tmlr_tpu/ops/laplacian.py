@@ -40,7 +40,7 @@ def cheb_scaled_laplacian(
     adj,
     node_mask,
     normalization: Optional[str] = "sym",
-    lambda_max=2.0,
+    lambda_max=None,
 ):
     """Scaled Chebyshev Laplacian Lhat = 2 L / lambda_max - I, dense batched.
 
@@ -48,12 +48,21 @@ def cheb_scaled_laplacian(
       adj: [B, N, N] dense adjacency (may carry edge weights).
       node_mask: [B, N] bool validity mask.
       normalization: None | 'sym' | 'rw' (reference ChebNetDynamic.py:86).
-      lambda_max: scalar or [B] per-graph spectral bound (default 2.0 as in
-        ChebNetDynamic.py:139-140).
+      lambda_max: scalar or [B] per-graph spectral bound. Defaults to 2.0
+        only under 'sym' normalization (where eigenvalues are bounded by 2);
+        for 'rw'/None an explicit value is REQUIRED, exactly as the
+        reference refuses to run without one (ChebNetDynamic.py:135-140).
 
     Returns:
       Lhat: [B, N, N], rows/cols of padded nodes zeroed.
     """
+    if lambda_max is None:
+        if normalization != "sym":
+            raise ValueError(
+                "lambda_max is required for non-'sym' normalization "
+                "(the spectrum of D-A / I-D^-1 A is not bounded by 2; "
+                "reference ChebNetDynamic.py:135-140 raises here too)")
+        lambda_max = 2.0
     mask = node_mask.astype(adj.dtype)
     pm = pair_mask(node_mask).astype(adj.dtype)
     a = _strip_diag(adj * pm)
@@ -86,24 +95,53 @@ def cheb_scaled_laplacian(
 
 def gcn_norm_dense(adj, node_mask, add_self_loops: bool = True,
                    improved: bool = False):
-    """Dense batched GCN normalization: D~^{-1/2} (A + I) D~^{-1/2}.
+    """Dense batched GCN normalization for SYMMETRIC adjacencies.
 
-    Equivalent of PyG's `gcn_norm` used by the reference's coefficient GCN
-    (transformer/GenGCN.py:55-102 local copy; applied over the detached
-    attention graph in transformer/models.py:282). Self-loop weight is 1
-    (2 if improved). Zero-weight edges contribute zero to degrees, so
-    running this densely over a masked attention matrix is mathematically
-    identical to the reference's nonzero-filtered sparse path.
+    Equivalent of the reference's local `gcn_norm`
+    (transformer/GenGCN.py:55-102) when the graph is undirected:
+    `add_remaining_self_loops` keeps an existing self-loop's weight and only
+    fills missing diagonals with 1 (2 if improved); degrees are edge-weight
+    sums (row == column sums under symmetry).
+
+    For the *directed* attention graph of the coefficient GCN use
+    `gcn_norm_directed` — in-degrees and destination aggregation differ.
     """
     pm = pair_mask(node_mask).astype(adj.dtype)
     a = adj * pm
     n = a.shape[-1]
     if add_self_loops:
         fill = 2.0 if improved else 1.0
-        a = _strip_diag(a) + fill * node_mask.astype(a.dtype)[..., :, None] \
-            * jnp.eye(n, dtype=a.dtype)
+        eye = jnp.eye(n, dtype=a.dtype)
+        diag = jnp.diagonal(a, axis1=-2, axis2=-1)
+        missing = (diag == 0) & node_mask.astype(bool)
+        a = a + fill * missing.astype(a.dtype)[..., :, None] * eye
     deg = a.sum(-1)
     dis = jnp.where(deg > 0, jax_rsqrt(deg), 0.0)
+    return dis[..., :, None] * a * dis[..., None, :]
+
+
+def gcn_norm_directed(a, node_mask, fill: float = 1.0):
+    """PyG gcn_norm over a DIRECTED weighted graph, dense batched.
+
+    Exact semantics of the reference coefficient-GCN normalization
+    (transformer/GenGCN.py:89-102 over the detached attention graph,
+    models.py:240-287): a[..., i, j] is the weight of edge i -> j;
+    `add_remaining_self_loops` keeps existing (i, i) weights and fills only
+    missing ones; deg[j] = sum_i a[i, j] (in-degree via scatter_add over
+    col); norm(i->j) = deg^{-1/2}[i] * a[i, j] * deg^{-1/2}[j].
+
+    Returns anorm with the same [., i(src), j(dst)] layout; aggregate at the
+    destination with einsum('...ij,...ic->...jc', anorm, x).
+    """
+    pm = pair_mask(node_mask).astype(a.dtype)
+    a = a * pm
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    diag = jnp.diagonal(a, axis1=-2, axis2=-1)
+    missing = (diag == 0) & node_mask.astype(bool)
+    a = a + fill * missing.astype(a.dtype)[..., :, None] * eye
+    deg_in = a.sum(-2)                                 # column sums
+    dis = jnp.where(deg_in > 0, jax_rsqrt(deg_in), 0.0)
     return dis[..., :, None] * a * dis[..., None, :]
 
 

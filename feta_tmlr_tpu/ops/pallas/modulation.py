@@ -59,7 +59,10 @@ def _bwd_kernel(scores_ref, pe_ref, deg_ref, qmask_ref, kmask_ref, g_ref,
 
     g = g_ref[0, 0] * qmask * kmask               # [N, N]
     r = (g * u).sum(-1, keepdims=True)
-    du = (g / safe - r / (safe * safe)) * guard
+    # guard applies only to the denominator's own dependence on u: when
+    # |denom| <= eps the jnp twin divides by the constant 1.0, whose
+    # autodiff is the identity (du = g), NOT zero
+    du = g / safe - (r / (safe * safe)) * guard
     da = du * p
     ds = a * (da - (da * a).sum(-1, keepdims=True))
     ds_ref[0, 0] = ds

@@ -41,12 +41,17 @@ def cheb_scaled_laplacian_t(adj, node_mask, lambda_max=2.0):
 
 
 def gcn_norm_t(a, node_mask):
+    """PyG gcn_norm over the DIRECTED attention graph (a[i,j] = edge i->j):
+    keep existing self-loop weights, fill missing with 1, in-degree
+    normalization (GenGCN.py:89-102); aggregate at dst via a^T x."""
     n = a.shape[-1]
     eye = torch.eye(n, dtype=a.dtype)
-    a = a * (1 - eye) + node_mask.unsqueeze(-2).transpose(-1, -2) * eye
-    deg = a.sum(-1)
-    dis = torch.where(deg > 0, deg.clamp(min=1e-30) ** -0.5,
-                      torch.zeros_like(deg))
+    diag = a.diagonal(dim1=-2, dim2=-1)
+    missing = ((diag == 0) & node_mask.bool()).to(a.dtype)
+    a = a + missing.unsqueeze(-1) * eye
+    deg_in = a.sum(-2)
+    dis = torch.where(deg_in > 0, deg_in.clamp(min=1e-30) ** -0.5,
+                      torch.zeros_like(deg_in))
     return dis.unsqueeze(-1) * a * dis.unsqueeze(-2)
 
 
@@ -137,9 +142,10 @@ class TorchFeTA(nn.Module):
 
     def coeff_head(self, attn, node_mask):
         a = attn.detach()
-        an = gcn_norm_t(a, node_mask[:, None, :])
+        an = gcn_norm_t(a, node_mask[:, None, :])     # [B,H,src,dst]
         ones = torch.ones(a.shape[:3] + (self.n_coeff,), dtype=a.dtype)
-        hcoef = torch.tanh(self.coeff_gcn(an @ ones))
+        # destination aggregation: out[j] = sum_i an[i,j] x[i]
+        hcoef = torch.tanh(self.coeff_gcn(an.transpose(-1, -2) @ ones))
         m = node_mask[:, None, :, None]
         pooled = (hcoef * m).sum(2) / m.sum(2).clamp(min=1.0)
         return self.coeff_linear(pooled)              # [B,H,C]

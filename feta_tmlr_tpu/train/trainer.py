@@ -88,17 +88,17 @@ def task_loss(task: str, logits, batch: GraphBatch):
     raise ValueError(f"unknown task {task!r}")
 
 
-def task_metric(task: str, logits: np.ndarray, batch: GraphBatch):
+def task_metric(task: str, logits: np.ndarray, y, node_mask=None):
+    """Metric over a full split (logits/labels concatenated across batches —
+    ROC-AUC/AP are not decomposable per batch)."""
     if task == "graph_clf":
-        return {"acc": M.accuracy_graph(logits, batch.y)}
+        return {"acc": M.accuracy_graph(logits, y)}
     if task == "graph_reg":
-        return {"mae": M.mae(
-            np.asarray(logits).reshape(np.shape(batch.y)), batch.y)}
+        return {"mae": M.mae(np.asarray(logits).reshape(np.shape(y)), y)}
     if task == "node_clf":
-        return {"acc_sbm": M.accuracy_sbm(logits, batch.y,
-                                          mask=batch.node_mask)}
+        return {"acc_sbm": M.accuracy_sbm(logits, y, mask=node_mask)}
     if task == "binary_graph":
-        y = np.asarray(batch.y)
+        y = np.asarray(y)
         s = np.asarray(logits)
         if s.ndim == 1 or s.shape[-1] == 1:
             return {"rocauc": M.roc_auc(s.reshape(-1), y.reshape(-1))}
@@ -211,24 +211,34 @@ class Trainer:
         return state, float(np.mean([np.asarray(l) for l in losses]))
 
     def evaluate(self, state: TrainState, batches: Sequence[GraphBatch]):
-        all_logits, ys, masks = [], [], []
-        agg = {}
-        n = 0
+        """Split-level metrics: concatenate predictions over all batches
+        first (rank metrics like ROC-AUC/AP are not batch-decomposable, and
+        a positive-free batch would yield NaN). Requires node-level batches
+        to share a padded length (make_batches guarantees this)."""
+        logits_all, y_all, mask_all = [], [], []
         for b in batches:
-            logits = np.asarray(
-                self._jit_eval(state.params, state.batch_stats, b))
-            m = task_metric(self.cfg.task, logits, b)
-            k = logits.shape[0]
-            for key, v in m.items():
-                agg[key] = agg.get(key, 0.0) + v * k
-            n += k
-        return {k: v / n for k, v in agg.items()}
+            logits_all.append(np.asarray(
+                self._jit_eval(state.params, state.batch_stats, b)))
+            y_all.append(np.asarray(b.y))
+            if b.node_mask is not None:
+                mask_all.append(np.asarray(b.node_mask))
+        logits = np.concatenate(logits_all, axis=0)
+        y = np.concatenate(y_all, axis=0)
+        mask = np.concatenate(mask_all, axis=0) if mask_all else None
+        return task_metric(self.cfg.task, logits, y, mask)
 
     def fit(self, train_batches: Sequence[GraphBatch],
             val_batches: Optional[Sequence[GraphBatch]] = None,
             test_batches: Optional[Sequence[GraphBatch]] = None,
             epochs: Optional[int] = None,
-            log_fn: Optional[Callable[[dict], None]] = None):
+            log_fn: Optional[Callable[[dict], None]] = None,
+            rebatch_fn: Optional[Callable[[int], Sequence[GraphBatch]]]
+            = None):
+        """rebatch_fn(epoch) -> fresh training batches: full per-epoch
+        reshuffling at the graph level, matching the reference's
+        DataLoader(shuffle=True). Without it, the fixed batches are
+        replayed in a new ORDER each epoch (cheaper through the device
+        relay, but batch composition stays fixed)."""
         cfg = self.cfg
         # host->device transfers are expensive (here the chip sits behind a
         # network relay); place every batch on device once up front
@@ -241,21 +251,29 @@ class Trainer:
         state = self.init(init_rng, train_batches[0])
         history: List[dict] = []
         best_val, best_state, best_epoch = None, state, 0
+        order_rng = np.random.default_rng(cfg.seed)
         mode = "min" if cfg.task == "graph_reg" else "max"
         for epoch in range(epochs or cfg.epochs):
             t0 = time.perf_counter()
+            if rebatch_fn is not None and epoch > 0:
+                train_batches = [jax.device_put(b)
+                                 for b in rebatch_fn(epoch)]
+            epoch_batches = [train_batches[i] for i in
+                             order_rng.permutation(len(train_batches))]
             state, loss = self.train_epoch(
-                state, train_batches, jax.random.fold_in(rng, epoch))
+                state, epoch_batches, jax.random.fold_in(rng, epoch))
             row = {"epoch": epoch, "loss": loss,
                    "time": time.perf_counter() - t0}
             if val_batches is not None:
                 vm = self.evaluate(state, val_batches)
                 row.update({f"val_{k}": v for k, v in vm.items()})
                 key = next(iter(vm))
+                cur = vm[key]
                 improved = (
-                    best_val is None
-                    or (mode == "min" and vm[key] < best_val)
-                    or (mode == "max" and vm[key] > best_val))
+                    best_val is None or np.isnan(best_val)
+                    or (not np.isnan(cur)
+                        and ((mode == "min" and cur < best_val)
+                             or (mode == "max" and cur > best_val))))
                 if improved:
                     # deep-copy on device: the donated fit loop will reuse
                     # (invalidate) the live state's buffers next epoch

@@ -100,7 +100,25 @@ def test_collate_coo_view():
 def test_node_level_label_padding():
     from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
     graphs = sbm_like_dataset(seed=0, n_graphs=3, n_nodes=10)
-    gb = collate_graphs(graphs, max_nodes=12)
+    gb = collate_graphs(graphs, max_nodes=12, node_labels=True)
     assert gb.y.shape == (3, 12)
-    assert (gb.y[:, 10:] == -1).all()
-    assert (gb.y[:, :10] >= 0).all()
+    for i, g in enumerate(graphs):
+        n = g.num_nodes
+        assert (gb.y[i, n:] == -1).all()
+        assert (gb.y[i, :n] >= 0).all()
+
+
+def test_ambiguous_labels_rejected():
+    import pytest as _pytest
+    from feta_tmlr_tpu.data.batch import Graph
+    rng = np.random.default_rng(0)
+    graphs = []
+    for _ in range(3):
+        g = random_graph_dataset(seed=1, n_graphs=1, min_nodes=6,
+                                 max_nodes=6)[0]
+        g.y = rng.integers(0, 2, 6).astype(np.int64)  # len == node count
+        graphs.append(g)
+    with _pytest.raises(ValueError, match="ambiguous"):
+        collate_graphs(graphs)
+    gb = collate_graphs(graphs, node_labels=True)
+    assert gb.y.shape[1] == gb.max_nodes

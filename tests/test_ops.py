@@ -34,8 +34,12 @@ def batch():
 @pytest.mark.parametrize("norm", ["sym", "rw", None])
 def test_cheb_scaled_laplacian_matches_coo(batch, norm):
     graphs, gb = batch
+    # non-sym normalizations require an explicit lambda_max (reference
+    # ChebNetDynamic.py:135-140); the numpy twin uses 2.0 throughout
+    lam = {} if norm == "sym" else {"lambda_max": 2.0}
     lhat = np.asarray(cheb_scaled_laplacian(
-        jnp.asarray(gb.adj), jnp.asarray(gb.node_mask), normalization=norm))
+        jnp.asarray(gb.adj), jnp.asarray(gb.node_mask),
+        normalization=norm, **lam))
     for i, g in enumerate(graphs):
         n = g.num_nodes
         ref = coo_cheb_norm(g.edge_index, n, normalization=norm)
