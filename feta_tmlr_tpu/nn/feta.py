@@ -85,13 +85,15 @@ class FilterCoefficientHead(nn.Module):
         a_norm = gcn_norm_directed(a, mask_h)         # [B, H, N(src), N(dst)]
 
         c = self.num_coefficients
-        ones = jnp.ones(attn.shape[:3] + (c,), attn.dtype)
         w = self.param(
             "gcn_kernel",
             nn.initializers.glorot_uniform(), (c, c))
         b = self.param("gcn_bias", nn.initializers.zeros, (c,))
-        h = jnp.einsum("bhij,bhic->bhjc", a_norm, ones) @ w + b
-        h = jnp.tanh(h)
+        # the reference hardcodes ones as node features (models.py:280), so
+        # GCN(ones) = (col-sums of a_norm) outer (column-sums of W) — the
+        # [N, C] x [C, C] matmul collapses to an outer product (exact)
+        s = a_norm.sum(axis=2)                        # [B, H, N(dst)]
+        h = jnp.tanh(s[..., None] * w.sum(axis=0) + b)
         pooled = masked_mean(h, mask_h, axis=2)       # [B, H, C] mean pool
         return nn.Dense(c, name="coeff_linear")(pooled)
 

@@ -59,11 +59,12 @@ class PackedFilterCoefficientHead(nn.Module):
         mask_h = node_mask[:, None, :]
         a_norm = gcn_norm_directed(a, mask_h)          # [B,H,N(src),N(dst)]
         c = self.num_coefficients
-        ones = jnp.ones(attn.shape[:3] + (c,), attn.dtype)
         w = self.param("gcn_kernel", nn.initializers.glorot_uniform(),
                        (c, c))
         b = self.param("gcn_bias", nn.initializers.zeros, (c,))
-        h = jnp.tanh(jnp.einsum("bhij,bhic->bhjc", a_norm, ones) @ w + b)
+        # ones node features -> outer-product form (see FilterCoefficientHead)
+        s = a_norm.sum(axis=2)
+        h = jnp.tanh(s[..., None] * w.sum(axis=0) + b)
         pooled = per_graph_mean(h, memb)               # [B, H, G, C]
         return nn.Dense(c, name="coeff_linear")(pooled)
 
