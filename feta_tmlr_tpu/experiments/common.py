@@ -128,7 +128,8 @@ def apply_position_encodings(graphs: Sequence[Graph], args,
 
 def make_batches(graphs: Sequence[Graph], batch_size: int,
                  max_nodes: Optional[int] = None,
-                 shuffle_seed: Optional[int] = None) -> List[GraphBatch]:
+                 shuffle_seed: Optional[int] = None,
+                 node_labels: Optional[bool] = None) -> List[GraphBatch]:
     idx = np.arange(len(graphs))
     if shuffle_seed is not None:
         np.random.default_rng(shuffle_seed).shuffle(idx)
@@ -138,7 +139,8 @@ def make_batches(graphs: Sequence[Graph], batch_size: int,
     out = []
     for i in range(0, len(idx), batch_size):
         chunk = [graphs[j] for j in idx[i:i + batch_size]]
-        out.append(collate_graphs(chunk, max_nodes=max_nodes))
+        out.append(collate_graphs(chunk, max_nodes=max_nodes,
+                                  node_labels=node_labels))
     return out
 
 

@@ -62,8 +62,9 @@ def main(argv=None):
     tr, va = graphs[: int(0.8 * n)], graphs[int(0.8 * n):]
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, params.get("batch_size", 16), max_nodes,
-                           shuffle_seed=args.seed)
-    val_b = make_batches(va, params.get("batch_size", 16), max_nodes)
+                           shuffle_seed=args.seed, node_labels=True)
+    val_b = make_batches(va, params.get("batch_size", 16), max_nodes,
+                         node_labels=True)
     trainer = Trainer(
         model,
         TrainConfig(task="node_clf", lr=params.get("init_lr", 1e-3),

@@ -27,8 +27,15 @@ def kmeans_plus_plus(x, n_clusters, rng):
     closest = 1.0 - x.reshape(n, -1) @ centers[0].reshape(-1)
     closest = np.maximum(closest, 0)
     for c in range(1, n_clusters):
-        probs = closest / max(closest.sum(), EPS)
-        idx = rng.choice(n, p=probs)
+        total = closest.sum()
+        if total <= EPS:
+            # all remaining points coincide with chosen centers (common for
+            # discrete features): fall back to uniform seeding
+            idx = rng.integers(n)
+        else:
+            probs = np.asarray(closest, np.float64) / total
+            probs = probs / probs.sum()
+            idx = rng.choice(n, p=probs)
         centers[c] = x[idx]
         d = 1.0 - x.reshape(n, -1) @ centers[c].reshape(-1)
         closest = np.minimum(closest, np.maximum(d, 0))

@@ -6,6 +6,8 @@ from feta_tmlr_tpu.nn.models import (
     DiffGraphTransformerGCN,
     DiffGraphTransformerGenGCN,
     DiffGraphTransformerGenGCNSBM,
+    DiffGraphTransformerMolHiv,
+    DiffGraphTransformerSBM,
 )
 from feta_tmlr_tpu.nn.gnn import DenseGCNConv, DenseGENGCN
 
@@ -19,6 +21,8 @@ __all__ = [
     "DiffGraphTransformerGCN",
     "DiffGraphTransformerGenGCN",
     "DiffGraphTransformerGenGCNSBM",
+    "DiffGraphTransformerMolHiv",
+    "DiffGraphTransformerSBM",
     "DenseGCNConv",
     "DenseGENGCN",
 ]

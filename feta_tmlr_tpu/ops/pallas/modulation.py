@@ -28,70 +28,77 @@ _EPS = 1e-9
 
 
 def _fwd_kernel(scores_ref, pe_ref, deg_ref, qmask_ref, kmask_ref, out_ref):
-    s = scores_ref[0, 0]                          # [N, N]
+    # one grid cell per batch row; all H heads processed here (a (B, H)
+    # grid of [N, N] programs measured grid-overhead-bound: ~8 us x B*H)
     kmask = kmask_ref[0]                          # [1, N] broadcast row
-    qmask = qmask_ref[0]
-    s = jnp.where(kmask > 0, s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    a = e / e.sum(-1, keepdims=True)
-    t = a * pe_ref[0] * deg_ref[0]
-    denom = t.sum(-1, keepdims=True)
-    attn = t / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-    out_ref[0, 0] = attn * qmask * kmask          # [n,1] rows, [1,n] cols
+    qmask = qmask_ref[0]                          # [N, 1]
+    pd = pe_ref[0] * deg_ref[0]                   # [N, N] modulation
+    h = scores_ref.shape[1]
+    for hi in range(h):                           # static unroll, in-VMEM
+        s = scores_ref[0, hi]                     # [N, N]
+        s = jnp.where(kmask > 0, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        a = e / e.sum(-1, keepdims=True)
+        t = a * pd
+        denom = t.sum(-1, keepdims=True)
+        attn = t / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+        out_ref[0, hi] = attn * qmask * kmask
 
 
 def _bwd_kernel(scores_ref, pe_ref, deg_ref, qmask_ref, kmask_ref, g_ref,
                 ds_ref):
     # recompute forward internals (cheaper than saving them)
-    s = scores_ref[0, 0]
     kmask = kmask_ref[0]
     qmask = qmask_ref[0]
-    s = jnp.where(kmask > 0, s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    a = e / e.sum(-1, keepdims=True)
     p = pe_ref[0] * deg_ref[0]                    # combined modulation
-    u = a * p
-    denom = u.sum(-1, keepdims=True)
-    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-    guard = (jnp.abs(denom) > _EPS).astype(s.dtype)
+    h = scores_ref.shape[1]
+    for hi in range(h):
+        s = scores_ref[0, hi]
+        s = jnp.where(kmask > 0, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        a = e / e.sum(-1, keepdims=True)
+        u = a * p
+        denom = u.sum(-1, keepdims=True)
+        safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+        guard = (jnp.abs(denom) > _EPS).astype(s.dtype)
 
-    g = g_ref[0, 0] * qmask * kmask               # [N, N]
-    r = (g * u).sum(-1, keepdims=True)
-    # guard applies only to the denominator's own dependence on u: when
-    # |denom| <= eps the jnp twin divides by the constant 1.0, whose
-    # autodiff is the identity (du = g), NOT zero
-    du = g / safe - (r / (safe * safe)) * guard
-    da = du * p
-    ds = a * (da - (da * a).sum(-1, keepdims=True))
-    ds_ref[0, 0] = ds
+        g = g_ref[0, hi] * qmask * kmask          # [N, N]
+        r = (g * u).sum(-1, keepdims=True)
+        # guard applies only to the denominator's own dependence on u: when
+        # |denom| <= eps the jnp twin divides by the constant 1.0, whose
+        # autodiff is the identity (du = g), NOT zero
+        du = g / safe - (r / (safe * safe)) * guard
+        da = du * p
+        ds = a * (da - (da * a).sum(-1, keepdims=True))
+        ds_ref[0, hi] = ds
 
 
 def _pallas_call(kernel, scores, pe, deg, qmask, kmask, extra=()):
     b, h, n, _ = scores.shape
     specs = [
-        pl.BlockSpec((1, 1, n, n), lambda i, j: (i, j, 0, 0),
-                     memory_space=pltpu.VMEM),           # scores
-        pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, h, n, n), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),           # scores (all heads)
+        pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # pe
-        pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # degree row
-        pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # query mask col
-        pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # key mask row
     ]
     args = [scores, pe, deg, qmask, kmask]
     for arr in extra:
-        specs.append(pl.BlockSpec((1, 1, n, n), lambda i, j: (i, j, 0, 0),
+        specs.append(pl.BlockSpec((1, h, n, n), lambda i: (i, 0, 0, 0),
                                   memory_space=pltpu.VMEM))
         args.append(arr)
     return pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, 1, n, n), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, h, n, n), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(scores.shape, scores.dtype),
     )(*args)
