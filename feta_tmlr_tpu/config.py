@@ -5,12 +5,12 @@ from __future__ import annotations
 import os
 
 # Fused Pallas modulation kernel inside attention layers.
-# Default OFF: at the reference's shapes (N=48, H=8, B=128) a (B, H) grid
-# of tiny [N, N] programs measured ~12.7 ms/step vs ~8 ms for the
-# XLA-fused chain on v5e (A/B, same process) — the kernel pays grid
-# overhead and blocks surrounding fusion. It remains available
-# (FETA_PALLAS=1) for large-N workloads where one (batch, head) tile is
-# substantial work.
+# Default OFF: at the reference's shapes (N=48, H=8, B=128) the original
+# (B, H) grid of tiny [N, N] programs measured ~12.7 ms/step vs ~8 ms for
+# the XLA-fused chain (grid overhead); after regridding to (B,) with all
+# heads per program it reaches parity (7.0-7.8 ms A/B, within session
+# noise). Kept opt-in (FETA_PALLAS=1) — expected to win for large-N
+# workloads where each [H, N, N] tile is substantial work.
 _env = os.environ.get("FETA_PALLAS")
 PALLAS_MODULATION = False if _env is None else _env == "1"
 

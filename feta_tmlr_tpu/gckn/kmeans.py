@@ -19,12 +19,17 @@ def _normalize(x):
 
 
 def kmeans_plus_plus(x, n_clusters, rng):
-    """kmeans++ seeding on cosine distance (1 - x.c)."""
+    """kmeans++ seeding on cosine distance.
+
+    Samples are unit-normalized PER PATH POSITION, so the flattened dot
+    product of two identical samples is path_size, not 1 — the distance is
+    path_size - sim (cf. the reference's norm=kmer_size, gckn/utils.py)."""
     n = x.shape[0]
+    path_size = int(np.prod(x.shape[1:-1])) or 1
     centers = np.empty((n_clusters,) + x.shape[1:], dtype=x.dtype)
     idx = rng.integers(n)
     centers[0] = x[idx]
-    closest = 1.0 - x.reshape(n, -1) @ centers[0].reshape(-1)
+    closest = path_size - x.reshape(n, -1) @ centers[0].reshape(-1)
     closest = np.maximum(closest, 0)
     for c in range(1, n_clusters):
         total = closest.sum()
@@ -37,7 +42,7 @@ def kmeans_plus_plus(x, n_clusters, rng):
             probs = probs / probs.sum()
             idx = rng.choice(n, p=probs)
         centers[c] = x[idx]
-        d = 1.0 - x.reshape(n, -1) @ centers[c].reshape(-1)
+        d = path_size - x.reshape(n, -1) @ centers[c].reshape(-1)
         closest = np.minimum(closest, np.maximum(d, 0))
     return centers
 

@@ -133,8 +133,7 @@ class GCKNSupervised:
             self.init_params[f"layer_{i}_weight"] = layer.weight
         return batch
 
-    def apply(self, params, batch: PathBatch, train_stats=True):
-        """Per-graph logits [n_graphs, n_classes]."""
+    def pooled_features(self, params, batch: PathBatch):
         features = jnp.asarray(batch.features)
         for i, layer in enumerate(self.feature.layers):
             layer = dataclasses.replace(layer,
@@ -147,9 +146,26 @@ class GCKNSupervised:
         pooled = _jax.ops.segment_sum(flat, seg, batch.n_graphs + 1)
         cnt = _jax.ops.segment_sum(jnp.ones_like(seg, jnp.float32), seg,
                                    batch.n_graphs + 1)
-        pooled = (pooled / jnp.maximum(cnt, 1.0)[:, None])[: batch.n_graphs]
-        mean = pooled.mean(0)
-        var = pooled.var(0) + 1e-5
+        return (pooled / jnp.maximum(cnt, 1.0)[:, None])[: batch.n_graphs]
+
+    def compute_bn_stats(self, params, batch: PathBatch):
+        """Frozen BatchNorm statistics from a (training) split — the
+        counterpart of nn.BatchNorm1d's running averages in eval mode."""
+        pooled = self.pooled_features(params, batch)
+        return pooled.mean(0), pooled.var(0) + 1e-5
+
+    def apply(self, params, batch: PathBatch, bn_stats=None):
+        """Per-graph logits [n_graphs, n_classes].
+
+        bn_stats: optional (mean, var) from `compute_bn_stats` for
+        deterministic inference; without it, current-batch statistics are
+        used (training mode)."""
+        pooled = self.pooled_features(params, batch)
+        if bn_stats is None:
+            mean = pooled.mean(0)
+            var = pooled.var(0) + 1e-5
+        else:
+            mean, var = bn_stats
         normed = (pooled - mean) / jnp.sqrt(var)
         normed = normed * params["bn_scale"] + params["bn_bias"]
         return normed @ params["classifier_w"] + params["classifier_b"]

@@ -23,7 +23,7 @@ from feta_tmlr_tpu.nn.layers import MaskedBatchNorm
 from feta_tmlr_tpu.nn.san import MLPReadout, SANCoeffHead, \
     san_structure_laplacian
 from feta_tmlr_tpu.ops.cheb import cheb_filter_scalar_coeff
-from feta_tmlr_tpu.ops.masking import masked_mean, pair_mask
+from feta_tmlr_tpu.ops.masking import in_edge_mask, masked_mean, pair_mask
 
 
 class DenseGATConv(nn.Module):
@@ -53,7 +53,7 @@ class DenseGATConv(nn.Module):
             el[:, None, :, :].transpose(0, 3, 1, 2)
             + er[:, :, None, :].transpose(0, 3, 1, 2),
             negative_slope=self.negative_slope)
-        real = (adj > 0) & pair_mask(node_mask)
+        real = in_edge_mask(adj, node_mask)   # [dst, src] edge j->i
         scores = jnp.where(real[:, None], scores, -1e30)
         attn = jax.nn.softmax(scores, axis=-1)
         attn = attn * real[:, None]
@@ -86,7 +86,7 @@ class GATFeTALayer(nn.Module):
 
         coeff = SANCoeffHead(self.filter_order, name="coeff_head")(
             attn, node_mask)
-        struct = ((adj > 0) & pair_mask(node_mask)).astype(h.dtype)
+        struct = in_edge_mask(adj, node_mask).astype(h.dtype)
         lhat = san_structure_laplacian(struct, node_mask)
         heads = heads_out.transpose(0, 2, 1, 3)          # [B,H,N,dh]
         w = self.param("cheb_weight", nn.initializers.glorot_uniform(),

@@ -29,7 +29,7 @@ import flax.linen as nn
 from feta_tmlr_tpu.data.batch import GraphBatch
 from feta_tmlr_tpu.nn.layers import MaskedBatchNorm
 from feta_tmlr_tpu.nn.san import MLPReadout
-from feta_tmlr_tpu.ops.masking import masked_mean, pair_mask
+from feta_tmlr_tpu.ops.masking import in_edge_mask, masked_mean, pair_mask
 
 
 class GatedGCNLSPELayer(nn.Module):
@@ -41,7 +41,7 @@ class GatedGCNLSPELayer(nn.Module):
     @nn.compact
     def __call__(self, h, p, e, adj, node_mask, snorm_n, deterministic=True):
         b, n, _ = h.shape
-        real = ((adj > 0) & pair_mask(node_mask)).astype(h.dtype)
+        real = in_edge_mask(adj, node_mask).astype(h.dtype)
         residual = self.residual and h.shape[-1] == self.output_dim
         h_in, p_in, e_in = h, p, e
 
@@ -101,7 +101,10 @@ def lapeig_loss(p, adj, node_mask, pos_enc_dim: int, lambda_loss: float):
            - dis[..., :, None] * a * dis[..., None, :]) * pm
     pmask = p * node_mask[..., None]
     trace = jnp.einsum("bnk,bnm,bmk->", pmask, lap, pmask)
-    ptp = jnp.einsum("bnk,bnl->bkl", pmask, pmask)
+    # the reference computes the orthogonality term from DETACHED tensors
+    # via scipy (gatedgcn_net.py:152-156) — it contributes no gradient
+    p_det = jax.lax.stop_gradient(pmask)
+    ptp = jnp.einsum("bnk,bnl->bkl", p_det, p_det)
     frob = jnp.sum((ptp - jnp.eye(pos_enc_dim)) ** 2)
     n_total = jnp.maximum(node_mask.sum(), 1)
     bsz = p.shape[0]
@@ -139,6 +142,13 @@ class GatedGCNLSPENet(nn.Module):
         h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
         if self.pe_init == "rand_walk":
             p = nn.Dense(self.hidden_dim, name="embedding_p")(batch.lap_pe)
+        elif self.pe_init == "lap_pe" and batch.lap_pe is not None:
+            # reference LapPE variant embeds the PE and ADDS it to h
+            # (gatedgcn_net.py: h = h + embedding_p(p); p = None); the p
+            # channel then stays zero
+            h = h + nn.Dense(self.hidden_dim, name="embedding_p")(
+                batch.lap_pe)
+            p = jnp.zeros_like(h)
         else:
             p = jnp.zeros_like(h)
 

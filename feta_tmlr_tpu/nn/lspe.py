@@ -39,7 +39,11 @@ from feta_tmlr_tpu.nn.san import (
     san_structure_laplacian,
 )
 from feta_tmlr_tpu.ops.cheb import cheb_filter_scalar_coeff
-from feta_tmlr_tpu.ops.masking import masked_mean, pair_mask
+from feta_tmlr_tpu.ops.masking import (
+    in_edge_mask,
+    masked_mean,
+    pair_mask_no_diag,
+)
 
 
 class LSPEAttention(nn.Module):
@@ -61,8 +65,9 @@ class LSPEAttention(nn.Module):
         split = lambda t: t.reshape(b, n, hh, dh).transpose(0, 2, 1, 3)
         q, k, v = (split(dense(nm)(x)) for nm in ("Q", "K", "V"))
 
-        pm = pair_mask(node_mask)
-        real = (adj > 0) & pm
+        # full graph = complete graph without self loops; edge j -> i
+        pm = pair_mask_no_diag(node_mask)
+        real = in_edge_mask(adj, node_mask)
 
         def scores_of(qm, km, em):
             prod = jnp.einsum("bhid,bhjd->bhijd", qm, km)

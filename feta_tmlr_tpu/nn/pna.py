@@ -20,7 +20,7 @@ import flax.linen as nn
 from feta_tmlr_tpu.data.batch import GraphBatch
 from feta_tmlr_tpu.nn.layers import MaskedBatchNorm
 from feta_tmlr_tpu.nn.san import MLPReadout
-from feta_tmlr_tpu.ops.masking import masked_mean, pair_mask
+from feta_tmlr_tpu.ops.masking import in_edge_mask, masked_mean, pair_mask
 
 EPS = 1e-5
 
@@ -49,7 +49,10 @@ def _aggregate(msg, mask, deg, names: Sequence[str]):
         elif name in ("std", "var"):
             mean_sq = (msg * msg * m).sum(2) / d_safe
             var = nn.relu(mean_sq - mean * mean)
-            outs.append(jnp.sqrt(var + EPS) if name == "std" else var)
+            out = jnp.sqrt(var + EPS) if name == "std" else var
+            # zero-fill degree-0 nodes like DGL's update_all (otherwise
+            # sqrt(EPS) leaks and the attenuation scaler amplifies it)
+            outs.append(jnp.where(deg[..., None] > 0, out, 0.0))
         else:
             raise ValueError(f"unsupported aggregator {name!r}")
     return jnp.concatenate(outs, axis=-1)
@@ -156,7 +159,7 @@ class PNALSPELayer(nn.Module):
     def __call__(self, h, p, e_field, adj, node_mask, snorm_n,
                  deterministic=True):
         b, n, d = h.shape
-        real = (adj > 0) & pair_mask(node_mask)
+        real = in_edge_mask(adj, node_mask)   # [dst, src] edge j->i
         residual = self.residual and d == self.out_dim
         h_in, p_in = h, p
         hp = jnp.concatenate([h, p], -1)

@@ -33,7 +33,12 @@ import flax.linen as nn
 from feta_tmlr_tpu.data.batch import GraphBatch
 from feta_tmlr_tpu.nn.layers import MaskedBatchNorm
 from feta_tmlr_tpu.ops.cheb import cheb_filter_scalar_coeff
-from feta_tmlr_tpu.ops.masking import masked_mean, pair_mask
+from feta_tmlr_tpu.ops.masking import (
+    in_edge_mask,
+    masked_mean,
+    pair_mask,
+    pair_mask_no_diag,
+)
 
 
 def san_structure_laplacian(struct_adj, node_mask):
@@ -72,8 +77,10 @@ class SANAttention(nn.Module):
         k = split(dense("K")(h))
         v = split(dense("V")(h))
 
-        pm = pair_mask(node_mask)
-        real = (adj > 0) & pm
+        # admissible pairs exclude (i, i): the reference full graph is
+        # nx.complete_graph — no self loops (LSPE/data/molecules.py:202)
+        pm = pair_mask_no_diag(node_mask)
+        real = in_edge_mask(adj, node_mask)
         # score[b,h,i,j]: dst/query i, src/key j (DGL edge j->i convention)
         def scores_of(qm, km, em):
             prod = jnp.einsum("bhid,bhjd->bhijd", qm, km)
@@ -203,11 +210,17 @@ class SANSpectraLayer(nn.Module):
 class FreqTransformer(nn.Module):
     """Small transformer over the frequency (eigenvector) axis used by the
     learned-PE heads: tokens [S, M, C_in] -> Linear(C_in -> lpe_dim) ->
-    encoder layers with frequency masking -> masked sum pool [S, lpe_dim]."""
+    encoder layers with frequency masking -> masked sum pool [S, lpe_dim].
+
+    The reference builds torch nn.TransformerEncoderLayer with its DEFAULTS
+    (SAN_NodeSpectra.py:51): dim_feedforward=2048, dropout=0.1 — kept here.
+    """
 
     lpe_dim: int
     lpe_heads: int
     lpe_layers: int
+    ff_dim: int = 2048
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, tokens, freq_mask, deterministic=True):
@@ -235,11 +248,13 @@ class FreqTransformer(nn.Module):
         p = jnp.where(mask[:, None, :, None], p, 0.0)
         out = jnp.einsum("shmn,shnd->shmd", p, v)
         out = out.transpose(0, 2, 1, 3).reshape(s, m, d)
-        x = x + nn.Dense(d, name=f"proj_{idx}")(out)
+        drop = lambda t: nn.Dropout(self.dropout)(
+            t, deterministic=deterministic)
+        x = x + drop(nn.Dense(d, name=f"proj_{idx}")(out))
         x = nn.LayerNorm(epsilon=1e-5, name=f"n1_{idx}")(x)
-        ff = nn.Dense(4 * d, name=f"ff1_{idx}")(x)
-        ff = nn.Dense(d, name=f"ff2_{idx}")(nn.relu(ff))
-        x = nn.LayerNorm(epsilon=1e-5, name=f"n2_{idx}")(x + ff)
+        ff = nn.Dense(self.ff_dim, name=f"ff1_{idx}")(x)
+        ff = nn.Dense(d, name=f"ff2_{idx}")(drop(nn.relu(ff)))
+        x = nn.LayerNorm(epsilon=1e-5, name=f"n2_{idx}")(x + drop(ff))
         return x
 
 

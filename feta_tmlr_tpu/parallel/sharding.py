@@ -24,18 +24,27 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(place, batch)
 
 
-_TP_KERNEL_PATHS = ("qkv", "ff1")       # column-parallel (output dim)
-_TP_ROW_PATHS = ("out_proj", "ff2")     # row-parallel (input dim)
+# Megatron-style pairing: column-parallel producers followed by
+# row-parallel consumers (one psum per block). Module names per tier:
+#   GraphiT encoder: qkv -> out_proj, ff1 -> ff2
+#   SAN/LSPE tiers:  Q/K/V/Q_2/K_2/E/E_2 -> O_h/O_p, ffn1 -> ffn2
+#   GatedGCN:        A1/A2/B1/B2/B3/C1/C2 (independent, column ok)
+_TP_COL_NAMES = {"qkv", "qkv_kernel", "ff1", "Q", "K", "V", "Q_2", "K_2",
+                 "E", "E_2", "ffn1", "A1", "A2", "B1", "B2", "B3",
+                 "C1", "C2", "fc"}
+_TP_ROW_NAMES = {"out_proj", "out_proj_kernel", "ff2", "O_h", "O_p",
+                 "ffn2"}
 
 
-def _param_spec(path: str, leaf) -> P:
+def _param_spec(path_parts, leaf) -> P:
     ndim = getattr(leaf, "ndim", 0)
+    names = set(path_parts)
     if ndim == 2:
-        if any(k in path for k in _TP_KERNEL_PATHS):
+        if names & _TP_COL_NAMES:
             return P(None, "model")
-        if any(k in path for k in _TP_ROW_PATHS):
+        if names & _TP_ROW_NAMES:
             return P("model", None)
-    if ndim == 1 and any(k in path for k in _TP_KERNEL_PATHS):
+    if ndim == 1 and names & _TP_COL_NAMES:
         return P("model")
     return P()
 
@@ -51,8 +60,9 @@ def shard_params(params, mesh: Mesh):
     treedef = jax.tree_util.tree_structure(params)
     leaves = []
     for path, leaf in flat:
-        path_str = "/".join(str(p) for p in path)
-        spec = _param_spec(path_str, leaf)
+        parts = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        spec = _param_spec([str(p) for p in parts], leaf)
         # only shard if the dimension divides evenly
         axis_size = mesh.shape["model"]
         ok = True

@@ -139,7 +139,9 @@ class Trainer:
 
     # -- core fns ---------------------------------------------------------
     def init(self, rng, sample_batch: GraphBatch) -> TrainState:
-        variables = self.model.init(rng, sample_batch)
+        # jit the init: eager init dispatches hundreds of tiny ops, each
+        # paying full latency through the device relay
+        variables = jax.jit(self.model.init)(rng, sample_batch)
         params = {"params": variables["params"]}
         return TrainState(params=params,
                           opt_state=self.optimizer.init(params),

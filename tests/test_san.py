@@ -69,6 +69,8 @@ def test_san_attention_matches_numpy():
             w = np.where(real,
                          np.exp(np.clip(s_real, -5, 5)) / (gamma + 1),
                          gamma * np.exp(np.clip(s_fake, -5, 5)) / (gamma + 1))
+            # the reference full graph has no self loops
+            np.fill_diagonal(w, 0.0)
             ref_out = (w @ v) / (w.sum(-1, keepdims=True) + 1e-6)
             np.testing.assert_allclose(attn[b, head, :n, :n], w,
                                        rtol=1e-4, atol=1e-5)

@@ -48,5 +48,6 @@ def test_san_attention_edge_features_match_numpy():
             w = np.where(real,
                          np.exp(np.clip(s_real, -5, 5)) / (gamma + 1),
                          gamma * np.exp(np.clip(s_fake, -5, 5)) / (gamma + 1))
+            np.fill_diagonal(w, 0.0)   # full graph has no self loops
             np.testing.assert_allclose(attn[b, head, :n, :n], w,
                                        rtol=1e-4, atol=1e-5)
