@@ -52,7 +52,9 @@ def main(argv=None):
         model,
         TrainConfig(task="graph_reg", lr=args.lr,
                     weight_decay=args.weight_decay, epochs=args.epochs,
-                    schedule="plateau", sign_flip=False, seed=args.seed),
+                    schedule=("warmup" if args.warmup else "plateau"),
+                    warmup_steps=args.warmup or 2000,
+                    sign_flip=False, seed=args.seed),
         steps_per_epoch=len(train_b))
     return run_and_log(trainer, train_b, val_b, val_b, args, outdir)
 

@@ -51,6 +51,8 @@ def main(argv=None):
         TrainConfig(task="graph_reg", lr=args.lr,
                     weight_decay=args.weight_decay, epochs=args.epochs,
                     regularization=args.regularization,
+                    schedule=("warmup" if args.warmup else "constant"),
+                    warmup_steps=args.warmup or 2000,
                     sign_flip=args.lappe, seed=args.seed),
         steps_per_epoch=len(train_b))
     return run_and_log(trainer, train_b, val_b, val_b, args, outdir)

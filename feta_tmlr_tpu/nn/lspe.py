@@ -208,6 +208,7 @@ class GraphiTSpectraNet(nn.Module):
     readout: str = "mean"
     n_out: int = 1
     spectra: bool = True           # False -> plain GraphiT-LSPE net
+    node_level: bool = False       # per-node logits (LSPE SBM tier)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
@@ -247,6 +248,8 @@ class GraphiTSpectraNet(nn.Module):
             h = nn.Dense(self.out_dim, name="Whp")(
                 jnp.concatenate([h, p], -1))
 
+        if self.node_level:
+            return MLPReadout(self.n_out, name="mlp_readout")(h)
         if self.readout == "sum":
             hg = (h * batch.node_mask[..., None]).sum(1)
         elif self.readout == "max":

@@ -35,6 +35,20 @@ def warmup_then_constant(base_lr: float, warmup_steps: int):
     return schedule
 
 
+def warmup_inverse_sqrt(base_lr: float, warmup_steps: int,
+                        floor: float = 1e-6):
+    """Reference OGB/ZINC warmup (run_transformer_gengcn.py:310-316):
+    linear 1e-6 -> lr over `warmup` steps, then lr * sqrt(warmup / step)."""
+    def schedule(count):
+        import jax.numpy as jnp
+        s = jnp.maximum(count.astype(jnp.float32)
+                        if hasattr(count, "astype") else float(count), 1.0)
+        warm = floor + s * (base_lr - floor) / max(warmup_steps, 1)
+        decay = base_lr * (warmup_steps ** 0.5) * s ** -0.5
+        return jnp.where(s < warmup_steps, warm, decay)
+    return schedule
+
+
 class PlateauScheduler:
     """Host-side ReduceLROnPlateau (torch semantics, mode min/max)."""
 

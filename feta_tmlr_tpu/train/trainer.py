@@ -45,7 +45,8 @@ class TrainConfig:
     epochs: int = 100
     regularization: float = 0.0
     sign_flip: bool = True             # lap-PE sign-flip augmentation
-    schedule: str = "constant"         # constant | step | plateau
+    schedule: str = "constant"         # constant | step | plateau | warmup
+    warmup_steps: int = 2000           # for schedule='warmup' (ref default)
     step_size: int = 50                # StepLR epochs (reference: 50)
     gamma: float = 0.5
     plateau_patience: int = 10
@@ -62,13 +63,22 @@ def _model_outputs(out):
 
 
 def task_loss(task: str, logits, batch: GraphBatch):
+    packed = batch.graph_mask is not None
     if task == "graph_clf":
         n_class = logits.shape[-1]
         onehot = jax.nn.one_hot(batch.y, n_class)
-        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
+        ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
+        if packed:                                  # [B, G] slot mask
+            m = batch.graph_mask.astype(ce.dtype)
+            return jnp.sum(ce * m) / jnp.maximum(m.sum(), 1.0)
+        return jnp.mean(ce)
     if task == "graph_reg":
         pred = logits.reshape(jnp.shape(batch.y))
-        return jnp.mean(jnp.abs(pred - batch.y))
+        err = jnp.abs(pred - batch.y)
+        if packed:
+            m = batch.graph_mask.astype(err.dtype)
+            return jnp.sum(err * m) / jnp.maximum(m.sum(), 1.0)
+        return jnp.mean(err)
     if task == "node_clf":
         n_class = logits.shape[-1]
         labels = jnp.maximum(batch.y, 0)
@@ -119,6 +129,11 @@ class Trainer:
         if c.schedule == "step":
             lr = step_lr(c.lr, c.step_size, c.gamma, steps_per_epoch)
             self.optimizer = make_optimizer(lr, c.weight_decay)
+            self.plateau = None
+        elif c.schedule == "warmup":
+            from feta_tmlr_tpu.train.optim import warmup_inverse_sqrt
+            self.optimizer = make_optimizer(
+                warmup_inverse_sqrt(c.lr, c.warmup_steps), c.weight_decay)
             self.plateau = None
         elif c.schedule == "plateau":
             self.optimizer = make_optimizer(
@@ -219,10 +234,17 @@ class Trainer:
         to share a padded length (make_batches guarantees this)."""
         logits_all, y_all, mask_all = [], [], []
         for b in batches:
-            logits_all.append(np.asarray(
-                self._jit_eval(state.params, state.batch_stats, b)))
-            y_all.append(np.asarray(b.y))
-            if b.node_mask is not None:
+            logits = np.asarray(
+                self._jit_eval(state.params, state.batch_stats, b))
+            y = np.asarray(b.y)
+            if b.graph_mask is not None:
+                # packed batches: flatten the valid graph slots
+                gm = np.asarray(b.graph_mask).reshape(-1)
+                logits = logits.reshape((-1,) + logits.shape[2:])[gm]
+                y = y.reshape((-1,) + y.shape[2:])[gm]
+            logits_all.append(logits)
+            y_all.append(y)
+            if b.node_mask is not None and b.graph_mask is None:
                 mask_all.append(np.asarray(b.node_mask))
         logits = np.concatenate(logits_all, axis=0)
         y = np.concatenate(y_all, axis=0)
