@@ -1,0 +1,140 @@
+"""Trainable edge-partitioned Chebyshev node classifier.
+
+The BASELINE multi-host workload end to end: a node-classification model
+whose K-step Chebyshev aggregation runs over the edge-partitioned ring
+SpMM (parallel/edge_partition.py) under shard_map — node features and
+logits stay sharded [V/D, F] across the mesh, parameters are replicated,
+and JAX autodiff through shard_map inserts the gradient psums. This is the
+training-capable counterpart of the SpMM primitive: for SBM-scale graphs
+that exceed one chip's HBM, the graph never needs to be replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from feta_tmlr_tpu.parallel.edge_partition import (
+    PartitionedGraph,
+    partition_edges,
+    place_partitioned,
+)
+
+
+def init_params(rng, in_dim: int, hidden: int, n_classes: int,
+                k_order: int = 3) -> Dict[str, jnp.ndarray]:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    scale = lambda d: 1.0 / np.sqrt(d)
+    return {
+        # per Chebyshev order weights (static, GCN-style)
+        "cheb_w": jax.random.normal(k1, (k_order, in_dim, hidden))
+        * scale(in_dim),
+        "cheb_b": jnp.zeros((hidden,)),
+        "out_w": jax.random.normal(k2, (hidden, n_classes)) * scale(hidden),
+        "out_b": jnp.zeros((n_classes,)),
+    }
+
+
+def make_partitioned_forward(mesh: Mesh, k_order: int, axis: str = "data"):
+    """Returns forward(params, x_sh, src, dst, w, m) -> logits (sharded).
+
+    The Chebyshev recurrence Tx_k runs inside ONE shard_map so the ring
+    ppermute steps chain without host round trips; per-node MLP math is
+    plain sharded elementwise/matmul work.
+    """
+    n_shards = mesh.shape[axis]
+
+    def local_fn(params, x_local, src, dst, w, m):
+        def spmm(block):
+            my = jax.lax.axis_index(axis)
+            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+            def body(t, carry):
+                blk, acc = carry
+                s = (my - t) % n_shards
+                take = lambda a: jax.lax.dynamic_index_in_dim(
+                    a[0], s, keepdims=False)
+                msg = blk[take(src)] * (take(w) * take(m))[:, None]
+                acc = acc + jax.ops.segment_sum(
+                    msg, take(dst), x_local.shape[0])
+                blk = jax.lax.ppermute(blk, axis, perm)
+                return blk, acc
+
+            _, acc = jax.lax.fori_loop(
+                0, n_shards, body, (block, jnp.zeros_like(block)))
+            return acc
+
+        tx_prev = x_local
+        h = tx_prev @ params["cheb_w"][0]
+        if k_order > 1:
+            tx_cur = spmm(x_local)
+            h = h + tx_cur @ params["cheb_w"][1]
+            for k in range(2, k_order):
+                tx_next = 2.0 * spmm(tx_cur) - tx_prev
+                h = h + tx_next @ params["cheb_w"][k]
+                tx_prev, tx_cur = tx_cur, tx_next
+        h = jax.nn.relu(h + params["cheb_b"])
+        return h @ params["out_w"] + params["out_b"]
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None)),
+        out_specs=P(axis, None))
+
+
+def make_train_step(mesh: Mesh, k_order: int, lr: float = 1e-2,
+                    axis: str = "data"):
+    forward = make_partitioned_forward(mesh, k_order, axis)
+
+    @jax.jit
+    def step(params, x_sh, src, dst, w, m, labels, label_mask):
+        def loss_fn(p):
+            logits = forward(p, x_sh, src, dst, w, m)
+            n_class = logits.shape[-1]
+            onehot = jax.nn.one_hot(jnp.maximum(labels, 0), n_class)
+            ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
+            mk = label_mask.astype(ce.dtype)
+            return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    return step
+
+
+def prepare_inputs(edge_index: np.ndarray, x: np.ndarray,
+                   labels: np.ndarray, mesh: Mesh, axis: str = "data",
+                   normalize: bool = True):
+    """Partition + device_put a single large graph for partitioned training.
+
+    Edge weights default to the sym-normalized scaled Laplacian entries
+    (-a_ij / sqrt(d_i d_j), lambda_max = 2, diag 0), so the in-shard
+    recurrence reproduces `cheb_scaled_laplacian` semantics."""
+    n_nodes = x.shape[0]
+    if normalize:
+        deg = np.zeros(n_nodes)
+        np.add.at(deg, edge_index[1], 1.0)
+        dis = np.where(deg > 0, np.clip(deg, 1e-12, None) ** -0.5, 0.0)
+        w = -(dis[edge_index[0]] * dis[edge_index[1]]).astype(np.float32)
+    else:
+        w = np.ones(edge_index.shape[1], np.float32)
+    pg = partition_edges(edge_index, n_nodes, mesh.shape[axis], w)
+    x_sh, src, dst, ww, mm = place_partitioned(pg, x, mesh)
+    total = pg.n_shards * pg.nodes_per_shard
+    lab = np.full(total, -1, np.int32)
+    lab[: n_nodes] = labels
+    lmask = np.zeros(total, bool)
+    lmask[: n_nodes] = labels >= 0
+    sh1 = NamedSharding(mesh, P(axis))
+    return (x_sh, src, dst, ww, mm,
+            jax.device_put(lab, sh1), jax.device_put(lmask, sh1))
