@@ -103,14 +103,9 @@ class GraphiTEncoderLayer(nn.Module):
 
         a_mix = jnp.einsum("dhe,ghe->hdg", wq, wk)         # [h, d, d]
         xa = jnp.einsum("bnd,hdg->bhng", x, a_mix)
-        scores = jnp.einsum("bhng,bmg->bhnm", xa, x)
         c_q = jnp.einsum("bnd,dhe,he->bnh", x, wq, bk)     # q-side bias term
         c_k = jnp.einsum("bmd,dhe,he->bmh", x, wk, bq)
         c_0 = jnp.einsum("he,he->h", bq, bk)
-        scores = (scores + c_q.transpose(0, 2, 1)[:, :, :, None]
-                  + c_k.transpose(0, 2, 1)[:, :, None, :]
-                  + c_0[None, :, None, None])
-        scores = scores / jnp.sqrt(jnp.asarray(dh, x.dtype))
 
         v_nhd = jnp.einsum("bnd,dhe->bnhe", x, wv) + bv      # [B,N,H,dh]
 
@@ -118,31 +113,49 @@ class GraphiTEncoderLayer(nn.Module):
                            nn.initializers.lecun_normal(), (d, d))
         b_out = self.param("out_proj_bias", nn.initializers.zeros, (d,))
 
-        # modulation: fused Pallas kernel on TPU (jnp twin elsewhere / for
-        # pair-masked packed batches)
         from feta_tmlr_tpu.config import use_pallas_modulation
-        if pair_mask is None and use_pallas_modulation():
-            from feta_tmlr_tpu.ops.pallas import fused_modulated_attention
-            attn = fused_modulated_attention(scores, node_mask, pe=pe,
-                                             degree=degree)
-        else:
-            _, attn = modulated_attention_from_scores(
-                scores, None, node_mask, pe=pe, degree=degree,
-                pair_mask=pair_mask, values_needed=False)
+        use_pallas = pair_mask is None and use_pallas_modulation()
 
-        if need_heads:
-            # FeTA consumer path: materialize per-head outputs (the
-            # reference's need_heads=True contract, models.py:166-167)
-            heads = jnp.einsum("bhqk,bkhd->bhqd", attn, v_nhd)
-            out_each_head = heads.transpose(0, 2, 1, 3)      # [B,N,H,dh]
-            attn_out = out_each_head.reshape(b, n, d) @ w_out + b_out
-        else:
-            # fused attn@V@Wout: contract (head, key) jointly — one
-            # [N, H*N] x [H*N, D] batched matmul instead of H tiny ones
+        if not need_heads and use_pallas:
+            # fully fused flash-style path: the [H, N, N] score/attention
+            # tensors never reach HBM (ops/pallas/fused_attention.py)
+            from feta_tmlr_tpu.ops.pallas.fused_attention import \
+                fused_graphit_attention
             vw = jnp.einsum("bmhe,hef->bhmf", v_nhd,
                             w_out.reshape(h, dh, d))
-            attn_out = jnp.einsum("bhnm,bhmf->bnf", attn, vw) + b_out
+            attn_out = fused_graphit_attention(
+                xa, x, c_q, c_k, c_0, vw, node_mask, pe=pe,
+                degree=degree) + b_out
+            attn = None
             out_each_head = None
+        else:
+            scores = jnp.einsum("bhng,bmg->bhnm", xa, x)
+            scores = (scores + c_q.transpose(0, 2, 1)[:, :, :, None]
+                      + c_k.transpose(0, 2, 1)[:, :, None, :]
+                      + c_0[None, :, None, None])
+            scores = scores / jnp.sqrt(jnp.asarray(dh, x.dtype))
+            if use_pallas:
+                from feta_tmlr_tpu.ops.pallas import \
+                    fused_modulated_attention
+                attn = fused_modulated_attention(scores, node_mask, pe=pe,
+                                                 degree=degree)
+            else:
+                _, attn = modulated_attention_from_scores(
+                    scores, None, node_mask, pe=pe, degree=degree,
+                    pair_mask=pair_mask, values_needed=False)
+
+            if need_heads:
+                # FeTA consumer path: materialize per-head outputs (the
+                # reference's need_heads=True contract, models.py:166-167)
+                heads = jnp.einsum("bhqk,bkhd->bhqd", attn, v_nhd)
+                out_each_head = heads.transpose(0, 2, 1, 3)  # [B,N,H,dh]
+                attn_out = out_each_head.reshape(b, n, d) @ w_out + b_out
+            else:
+                # fused attn@V@Wout: contract (head, key) jointly
+                vw = jnp.einsum("bmhe,hef->bhmf", v_nhd,
+                                w_out.reshape(h, dh, d))
+                attn_out = jnp.einsum("bhnm,bhmf->bnf", attn, vw) + b_out
+                out_each_head = None
 
         drop = lambda t: nn.Dropout(self.dropout)(
             t, deterministic=deterministic)

@@ -1,0 +1,225 @@
+"""Pallas TPU kernel: fully fused GraphiT attention (flash-style).
+
+For layers that don't need per-head outputs (need_heads=False — all but the
+filtered layer in a FeTA encoder), the whole attention chain
+
+  scores_h = (xa_h x^T + cq + ck + c0) / sqrt(dh)
+  attn_h   = renormalize(softmax_masked(scores_h) * pe * degree) * masks
+  out      = sum_h attn_h @ vw_h + b_out
+
+runs inside one kernel per batch row: the [H, N, N] score/attention tensors
+live only in VMEM and never touch HBM in either direction (the XLA path
+writes+reads them in forward AND backward). The backward kernel recomputes
+attention (flash-attention style) and emits gradients w.r.t. xa, x, the
+bias-correction terms and vw; pe/degree/masks are data.
+
+Inputs are the MXU-friendly factorization used by GraphiTEncoderLayer:
+xa = x @ (Wq_h Wk_h^T), vw = v_h @ Wout_h, cq/ck/c0 the rank-1 bias terms.
+jnp twin: `fused_graphit_attention_ref` (tests/test_pallas_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_EPS = 1e-9
+
+
+def _attn_from_scores(scores, pd, qmask, kmask):
+    s = jnp.where(kmask > 0, scores, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    a = e / e.sum(-1, keepdims=True)
+    u = a * pd
+    denom = u.sum(-1, keepdims=True)
+    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    guard = (jnp.abs(denom) > _EPS).astype(s.dtype)
+    attn = (u / safe) * qmask * kmask
+    return a, u, safe, guard, attn
+
+
+def _fwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
+                deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref, out_ref):
+    x = x_ref[0]                                   # [N, D]
+    pd = pe_ref[0] * deg_ref[0]                    # [N, N]
+    kmask = kmask_ref[0]                           # [1, N]
+    qmask = qmask_ref[0]                           # [N, 1]
+    inv_sqrt = inv_sqrt_ref[0]
+    h = xa_ref.shape[1]
+    acc = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+    for hi in range(h):
+        scores = (jnp.dot(xa_ref[0, hi], x.T,
+                          preferred_element_type=jnp.float32)
+                  + cq_ref[0, :, hi][:, None] + ck_ref[0, :, hi][None, :]
+                  + c0_ref[0, 0, hi]) * inv_sqrt
+        _, _, _, _, attn = _attn_from_scores(scores, pd, qmask, kmask)
+        acc = acc + jnp.dot(attn, vw_ref[0, hi],
+                            preferred_element_type=jnp.float32)
+    out_ref[0] = acc
+
+
+def _bwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
+                deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref, g_ref,
+                dxa_ref, dx_ref, dcq_ref, dck_ref, dc0_ref, dvw_ref):
+    x = x_ref[0]
+    pd = pe_ref[0] * deg_ref[0]
+    kmask = kmask_ref[0]
+    qmask = qmask_ref[0]
+    inv_sqrt = inv_sqrt_ref[0]
+    g = g_ref[0]                                   # [N, D]
+    h = xa_ref.shape[1]
+    dx_acc = jnp.zeros(x.shape, x.dtype)
+    for hi in range(h):
+        scores = (jnp.dot(xa_ref[0, hi], x.T,
+                          preferred_element_type=jnp.float32)
+                  + cq_ref[0, :, hi][:, None] + ck_ref[0, :, hi][None, :]
+                  + c0_ref[0, 0, hi]) * inv_sqrt
+        a, u, safe, guard, attn = _attn_from_scores(scores, pd, qmask, kmask)
+
+        # d attn from the product; d vw from attn^T g
+        d_attn = jnp.dot(g, vw_ref[0, hi].T,
+                         preferred_element_type=jnp.float32)
+        dvw_ref[0, hi] = jnp.dot(attn.T, g,
+                                 preferred_element_type=jnp.float32)
+
+        # through the masks and renormalization (see modulation.py)
+        gm = d_attn * qmask * kmask
+        r = (gm * u).sum(-1, keepdims=True)
+        du = gm / safe - (r / (safe * safe)) * guard
+        da = du * pd
+        ds = a * (da - (da * a).sum(-1, keepdims=True))
+        ds = ds * inv_sqrt
+
+        dxa_ref[0, hi] = jnp.dot(ds, x, preferred_element_type=jnp.float32)
+        dx_acc = dx_acc + jnp.dot(ds.T, xa_ref[0, hi],
+                                  preferred_element_type=jnp.float32)
+        dcq_ref[0, :, hi] = ds.sum(-1)
+        dck_ref[0, :, hi] = ds.sum(0)
+        dc0_ref[0, 0, hi] = ds.sum()
+    dx_ref[0] = dx_acc
+
+
+def _specs(h, n, d, extra_nd=0):
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    row3 = lambda lead: vm((1,) + lead, lambda i: (i,) + (0,) * len(lead))
+    return [
+        row3((h, n, d)),       # xa
+        row3((n, d)),          # x
+        row3((n, h)),          # cq
+        row3((n, h)),          # ck
+        row3((1, h)),          # c0
+        row3((h, n, d)),       # vw
+        row3((n, n)),          # pe
+        row3((1, n)),          # deg
+        row3((n, 1)),          # qmask
+        row3((1, n)),          # kmask
+        vm((1, 1), lambda i: (0, 0)),   # inv_sqrt scalar (replicated)
+    ]
+
+
+def _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt):
+    b, h, n, d = xa.shape
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(b,),
+        in_specs=_specs(h, n, d),
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), xa.dtype),
+    )(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
+
+
+def _call_bwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt, g):
+    b, h, n, d = xa.shape
+    specs = _specs(h, n, d)
+    specs.append(pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM))   # g
+    row = lambda lead: pl.BlockSpec(
+        (1,) + lead, lambda i: (i,) + (0,) * len(lead),
+        memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, h, n, d), xa.dtype),   # dxa
+        jax.ShapeDtypeStruct((b, n, d), x.dtype),       # dx
+        jax.ShapeDtypeStruct((b, n, h), cq.dtype),      # dcq
+        jax.ShapeDtypeStruct((b, n, h), ck.dtype),      # dck
+        jax.ShapeDtypeStruct((b, 1, h), c0.dtype),      # dc0
+        jax.ShapeDtypeStruct((b, h, n, d), vw.dtype),   # dvw
+    )
+    out_specs = (row((h, n, d)), row((n, d)), row((n, h)), row((n, h)),
+                 row((1, h)), row((h, n, d)))
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(b,),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt, g)
+
+
+@jax.custom_vjp
+def _fused(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt):
+    return _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
+
+
+def _fused_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt):
+    out = _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
+    return out, (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
+
+
+def _fused_bwd(res, g):
+    xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt = res
+    dxa, dx, dcq, dck, dc0, dvw = _call_bwd(
+        xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt, g)
+    zeros = lambda t: jnp.zeros_like(t)
+    return (dxa, dx, dcq, dck, dc0, dvw, zeros(pe), zeros(deg),
+            zeros(qmask), zeros(kmask), zeros(inv_sqrt))
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
+                            degree=None):
+    """out[b, n, d] = sum_h modulated_attn_h @ vw_h, fully fused.
+
+    Args (B batch, H heads, N nodes, D model dim):
+      xa: [B, H, N, D] = x @ (Wq_h Wk_h^T); x: [B, N, D];
+      cq, ck: [B, N, H] rank-1 bias corrections; c0: [H];
+      vw: [B, H, N, D] = v_h @ Wout_h; node_mask [B, N];
+      pe [B, N, N] / degree [B, N] optional modulation (data, no grads).
+    """
+    b, h, n, d = xa.shape
+    dtype = xa.dtype
+    dh = d // h
+    pe_arr = pe.astype(dtype) if pe is not None else jnp.ones((b, n, n),
+                                                             dtype)
+    deg_arr = (degree.astype(dtype) if degree is not None
+               else jnp.ones((b, n), dtype)).reshape(b, 1, n)
+    qmask = node_mask.astype(dtype).reshape(b, n, 1)
+    kmask = node_mask.astype(dtype).reshape(b, 1, n)
+    inv_sqrt = jnp.full((1, 1), 1.0 / (dh ** 0.5), dtype)
+    return _fused(xa, x, cq, ck, c0.reshape(1, 1, h) *
+                  jnp.ones((b, 1, h), dtype), vw, pe_arr, deg_arr,
+                  qmask, kmask, inv_sqrt)
+
+
+def fused_graphit_attention_ref(xa, x, cq, ck, c0, vw, node_mask, pe=None,
+                                degree=None):
+    """jnp twin (same math, materialized tensors)."""
+    from feta_tmlr_tpu.ops.attention import modulated_attention_from_scores
+    b, h, n, d = xa.shape
+    dh = d // h
+    scores = (jnp.einsum("bhnd,bmd->bhnm", xa, x)
+              + cq.transpose(0, 2, 1)[:, :, :, None]
+              + ck.transpose(0, 2, 1)[:, :, None, :]
+              + c0.reshape(1, h, 1, 1)) / (dh ** 0.5)
+    _, attn = modulated_attention_from_scores(
+        scores, None, node_mask, pe=pe, degree=degree, values_needed=False)
+    return jnp.einsum("bhnm,bhmf->bnf", attn, vw)
