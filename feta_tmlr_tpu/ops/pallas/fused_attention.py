@@ -50,14 +50,17 @@ def _fwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
     pd = pe_ref[0] * deg_ref[0]                    # [N, N]
     kmask = kmask_ref[0]                           # [1, N]
     qmask = qmask_ref[0]                           # [N, 1]
-    inv_sqrt = inv_sqrt_ref[0]
+    inv_sqrt = inv_sqrt_ref[0, 0]
+    cq = cq_ref[0]                                 # [N, H] (block loads —
+    ck = ck_ref[0]                                 # Mosaic rejects strided
+    c0 = c0_ref[0]                                 # scalar VMEM accesses)
     h = xa_ref.shape[1]
     acc = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
     for hi in range(h):
         scores = (jnp.dot(xa_ref[0, hi], x.T,
                           preferred_element_type=jnp.float32)
-                  + cq_ref[0, :, hi][:, None] + ck_ref[0, :, hi][None, :]
-                  + c0_ref[0, 0, hi]) * inv_sqrt
+                  + cq[:, hi][:, None] + ck[:, hi][None, :]
+                  + c0[0, hi]) * inv_sqrt
         _, _, _, _, attn = _attn_from_scores(scores, pd, qmask, kmask)
         acc = acc + jnp.dot(attn, vw_ref[0, hi],
                             preferred_element_type=jnp.float32)
@@ -71,15 +74,19 @@ def _bwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
     pd = pe_ref[0] * deg_ref[0]
     kmask = kmask_ref[0]
     qmask = qmask_ref[0]
-    inv_sqrt = inv_sqrt_ref[0]
+    inv_sqrt = inv_sqrt_ref[0, 0]
+    cq = cq_ref[0]
+    ck = ck_ref[0]
+    c0 = c0_ref[0]
     g = g_ref[0]                                   # [N, D]
     h = xa_ref.shape[1]
     dx_acc = jnp.zeros(x.shape, x.dtype)
+    dcq_cols, dck_cols, dc0_cols = [], [], []
     for hi in range(h):
         scores = (jnp.dot(xa_ref[0, hi], x.T,
                           preferred_element_type=jnp.float32)
-                  + cq_ref[0, :, hi][:, None] + ck_ref[0, :, hi][None, :]
-                  + c0_ref[0, 0, hi]) * inv_sqrt
+                  + cq[:, hi][:, None] + ck[:, hi][None, :]
+                  + c0[0, hi]) * inv_sqrt
         a, u, safe, guard, attn = _attn_from_scores(scores, pd, qmask, kmask)
 
         # d attn from the product; d vw from attn^T g
@@ -99,10 +106,14 @@ def _bwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
         dxa_ref[0, hi] = jnp.dot(ds, x, preferred_element_type=jnp.float32)
         dx_acc = dx_acc + jnp.dot(ds.T, xa_ref[0, hi],
                                   preferred_element_type=jnp.float32)
-        dcq_ref[0, :, hi] = ds.sum(-1)
-        dck_ref[0, :, hi] = ds.sum(0)
-        dc0_ref[0, 0, hi] = ds.sum()
+        dcq_cols.append(ds.sum(-1))
+        dck_cols.append(ds.sum(0))
+        dc0_cols.append(ds.sum())
     dx_ref[0] = dx_acc
+    # full-block stores (no strided/scalar VMEM writes)
+    dcq_ref[0] = jnp.stack(dcq_cols, axis=-1)
+    dck_ref[0] = jnp.stack(dck_cols, axis=-1)
+    dc0_ref[0] = jnp.stack(dc0_cols).reshape(1, h)
 
 
 def _specs(h, n, d, extra_nd=0):
