@@ -9,7 +9,11 @@ import os
 # (B, H) grid of tiny [N, N] programs measured ~12.7 ms/step vs ~8 ms for
 # the XLA-fused chain (grid overhead); after regridding to (B,) with all
 # heads per program it reaches parity (7.0-7.8 ms A/B, within session
-# noise). Kept opt-in (FETA_PALLAS=1) — expected to win for large-N
+# noise). The fully fused flash-style kernel (fused_attention.py, zero
+# [H, N, N] HBM traffic, in-kernel MXU dots) measured 11.6 ms vs 6.5-8.5
+# for XLA at these shapes: the step is MXU-efficiency-bound and XLA's
+# (B*H)-batched matmuls beat sequential per-head in-kernel dots. Both
+# kernels stay opt-in (FETA_PALLAS=1); they should win for large-N
 # workloads where each [H, N, N] tile is substantial work.
 _env = os.environ.get("FETA_PALLAS")
 PALLAS_MODULATION = False if _env is None else _env == "1"

@@ -61,3 +61,29 @@ def test_make_splits_cover_all():
     for tr, va, te in folds:
         assert len(set(tr) & set(te)) == 0
         assert len(set(tr) & set(va)) == 0
+
+
+def test_lambda_max_power_iteration():
+    from feta_tmlr_tpu.data import collate_graphs, random_graph_dataset
+    from feta_tmlr_tpu.ops.lambda_max import laplacian_lambda_max
+    from feta_tmlr_tpu.ops import cheb_scaled_laplacian
+
+    graphs = random_graph_dataset(seed=5, n_graphs=4, min_nodes=5,
+                                  max_nodes=10, n_features=3)
+    gb = collate_graphs(graphs, max_nodes=12)
+    lam = np.asarray(laplacian_lambda_max(
+        jnp.asarray(gb.adj), jnp.asarray(gb.node_mask),
+        normalization=None, n_iters=200))
+    for i, g in enumerate(graphs):
+        n = g.num_nodes
+        a = np.zeros((n, n))
+        a[g.edge_index[0], g.edge_index[1]] = 1.0
+        lap = np.diag(a.sum(1)) - a
+        ref = np.abs(np.linalg.eigvalsh(lap)).max()
+        np.testing.assert_allclose(lam[i], ref, rtol=1e-3)
+    # and the scaled Laplacian accepts the per-graph vector
+    lhat = cheb_scaled_laplacian(jnp.asarray(gb.adj),
+                                 jnp.asarray(gb.node_mask),
+                                 normalization=None,
+                                 lambda_max=jnp.asarray(lam))
+    assert np.all(np.isfinite(np.asarray(lhat)))
