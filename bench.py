@@ -68,22 +68,12 @@ def make_graphs():
 
 
 def _measure_steps(step_fn, state, batch, n1=10, n2=30):
-    """Per-step seconds via the chained-steps difference method."""
-    def run(n, state):
-        t0 = time.perf_counter()
-        loss = None
-        for i in range(n):
-            state, loss = step_fn(state, batch,
-                                  jax.random.fold_in(jax.random.key(1), i))
-        if loss is not None:
-            v = float(loss)
-            assert np.isfinite(v), f"non-finite loss {v}"
-        return time.perf_counter() - t0, state
-
-    _, state = run(1, state)          # warmup/compile
-    t1, state = run(n1, state)
-    t2, state = run(n2, state)
-    return (t2 - t1) / (n2 - n1)
+    """Relay-aware per-step timing (canonical impl: utils/profiling.py)."""
+    from feta_tmlr_tpu.utils.profiling import timed_steps
+    return timed_steps(
+        step_fn, state, batch,
+        rng_fn=lambda i: jax.random.fold_in(jax.random.key(1), i),
+        n1=n1, n2=n2)
 
 
 def bench_packed(graphs, n_edges):

@@ -53,6 +53,8 @@ def base_parser(dataset_default: str) -> argparse.ArgumentParser:
     p.add_argument("--outdir", type=str, default="")
     p.add_argument("--warmup", type=int, default=None)
     p.add_argument("--batch-norm", action="store_true")
+    p.add_argument("--layer-norm", action="store_true",
+                   help="use layer norm (ZINC-style scripts default to BN)")
     p.add_argument("--zero-diag", action="store_true")
     p.add_argument("--fold-idx", type=int, default=1)
     p.add_argument("--weight-decay", type=float, default=1e-4)

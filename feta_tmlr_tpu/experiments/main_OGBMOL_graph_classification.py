@@ -51,7 +51,7 @@ def ogbmol_like(seed, n_graphs, n_tasks, num_atom_type=119,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default=None)
-    p.add_argument("--model", type=str, default="GatedGCN")
+    p.add_argument("--model", type=str, default=None)
     p.add_argument("--dataset", type=str, default="MOLTOX21",
                    choices=sorted(N_TASKS))
     p.add_argument("--epochs", type=int, default=None)
@@ -61,7 +61,8 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": args.model, "params": {}, "net_params": {}})
-    cls, extra = MODELS[args.model or cfg.get("model")]
+    cls, extra = MODELS[args.model or cfg.get("model")
+                        or "GatedGCN"]
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 50)
     n_tasks = N_TASKS[args.dataset]
@@ -91,6 +92,10 @@ def main(argv=None):
         model,
         TrainConfig(task="binary_graph", lr=params.get("init_lr", 1e-3),
                     epochs=epochs, schedule="plateau", sign_flip=False,
+                    # OGB metric per dataset: ROC-AUC for MOLTOX21,
+                    # AP for MOLPCBA (train_OGBMOL...:69-70)
+                    binary_metric=("rocauc" if args.dataset == "MOLTOX21"
+                                   else "ap"),
                     seed=args.seed),
         steps_per_epoch=len(train_b))
     result = trainer.fit(train_b, val_batches=val_b, epochs=epochs,

@@ -21,7 +21,7 @@ MODELS = {"SAN": (SANNet, {}), "SAN_NodeSpectra": (SANNodeSpectra, {})}
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default=None)
-    p.add_argument("--model", type=str, default="SAN_NodeSpectra")
+    p.add_argument("--model", type=str, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=41)
     p.add_argument("--n-nodes", type=int, default=64)
@@ -32,7 +32,7 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": args.model, "params": {}, "net_params": {}})
-    model_name = args.model or cfg.get("model")
+    model_name = args.model or cfg.get("model") or "SAN_NodeSpectra"
     cls, extra = MODELS[model_name]
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 50)

@@ -25,7 +25,7 @@ MODELS = {"SAN": (SANNet, {}), "SAN_NodeSpectra": (SANNodeSpectra, {})}
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default=None)
-    p.add_argument("--model", type=str, default="SAN_NodeSpectra")
+    p.add_argument("--model", type=str, default=None)
     p.add_argument("--dataset", type=str, default="NCI1")
     p.add_argument("--datadir", type=str, default="dataset")
     p.add_argument("--epochs", type=int, default=None)
@@ -37,7 +37,8 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": args.model, "params": {}, "net_params": {}})
-    cls, extra = MODELS[args.model or cfg.get("model")]
+    cls, extra = MODELS[args.model or cfg.get("model")
+                        or "SAN_NodeSpectra"]
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 100)
 

@@ -39,7 +39,7 @@ def molhiv_like(seed, n_graphs, num_atom_type=119, num_bond_type=5):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default=None)
-    p.add_argument("--model", type=str, default="SAN_NodeSpectra")
+    p.add_argument("--model", type=str, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=41)
     p.add_argument("--max_freqs", type=int, default=10)
@@ -48,7 +48,8 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": args.model, "params": {}, "net_params": {}})
-    cls, extra = MODELS[args.model or cfg.get("model")]
+    cls, extra = MODELS[args.model or cfg.get("model")
+                        or "SAN_NodeSpectra"]
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 50)
 

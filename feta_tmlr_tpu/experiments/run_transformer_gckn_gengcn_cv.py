@@ -38,8 +38,9 @@ def main(argv=None):
     # GCKN features via the lap-PE slot (reference wiring)
     pe_dim = gckn_encode_as_pe(
         graphs, dim=args.gckn_dim, path_size=args.gckn_path,
-        aggregation=args.gckn_agg, n_sampling_paths=args.n_sampling_paths,
-        seed=args.seed)
+        aggregation=args.gckn_agg, kernel_arg=args.gckn_sigma,
+        pooling=args.gckn_pooling,
+        n_sampling_paths=args.n_sampling_paths, seed=args.seed)
     args.lappe = True
     args.lap_dim = pe_dim
     apply_position_encodings(

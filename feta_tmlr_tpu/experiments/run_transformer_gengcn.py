@@ -25,6 +25,9 @@ def main(argv=None):
     p = base_parser("ZINC")
     p.set_defaults(nb_heads=8, nb_layers=10, dim_hidden=64, lap_dim=8)
     args = p.parse_args(argv)
+    # ZINC-style scripts default to BatchNorm; --layer-norm switches
+    # (reference run_transformer_gengcn.py:64 `batch_norm = not layer_norm`)
+    args.batch_norm = not args.layer_norm
     outdir = resolve_outdir(args, family="transformer_gengcn_zinc")
 
     print(f"[warn] ZINC files not bundled - synthetic molecule-shaped "
@@ -46,7 +49,7 @@ def main(argv=None):
         in_size=28, nb_class=1, d_model=args.dim_hidden,
         nb_heads=args.nb_heads, dim_feedforward=2 * args.dim_hidden,
         dropout=args.dropout, nb_layers=args.nb_layers,
-        batch_norm=not getattr(args, "layer_norm", False),
+        batch_norm=args.batch_norm,
         lap_pos_enc=args.lappe, lap_pos_enc_dim=args.lap_dim,
         filter_order=args.filter_order, gnn_type=args.gnn_type,
         last_layer_filter=args.last_layer_filter)
@@ -57,6 +60,9 @@ def main(argv=None):
                     regularization=args.regularization,
                     schedule=("warmup" if args.warmup else "plateau"),
                     warmup_steps=args.warmup or 2000,
+                    # reference ZINC plateau protocol
+                    # (run_transformer_gengcn.py:302-307)
+                    plateau_patience=15, plateau_factor=0.5, min_lr=1e-5,
                     sign_flip=args.lappe,
                     seed=args.seed),
         steps_per_epoch=len(train_b))

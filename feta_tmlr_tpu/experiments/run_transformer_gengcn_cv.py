@@ -34,8 +34,11 @@ def main(argv=None):
     outdir = resolve_outdir(args)
 
     graphs, in_size, n_classes, _real = load_tu_or_synthetic(args)
-    apply_position_encodings(graphs, args,
-                             cache_dir=("cache/pe" if _real else None))
+    # cache keyed per dataset, like the reference's cache/pe/{dataset}
+    # layout (run_transformer_gengcn_cv.py:311-313)
+    apply_position_encodings(
+        graphs, args,
+        cache_dir=(f"cache/pe/{args.dataset}" if _real else None))
     tr_idx, te_idx = load_fold_indices(
         graphs, args.fold_idx, name=args.dataset,
         fold_dir=f"{args.datadir}/fold-idx", seed=args.seed)

@@ -174,7 +174,8 @@ class GCKNSupervised:
 def gckn_encode_as_pe(graphs: Sequence[Graph], dim: int = 32,
                       path_size: int = 3, standardize: bool = True,
                       n_sampling_paths: int = 100000,
-                      aggregation: bool = False, seed: int = 0) -> int:
+                      aggregation: bool = False, kernel_arg: float = 0.5,
+                      pooling: str = "mean", seed: int = 0) -> int:
     """Attach GCKN features to graphs through the lap_pe slot
     (transformer/gckn_pe.py:10-41 + GCKNEncoding.apply_to :89-105).
 
@@ -182,7 +183,8 @@ def gckn_encode_as_pe(graphs: Sequence[Graph], dim: int = 32,
     """
     model = GCKNFeature.create(
         input_size=graphs[0].x.shape[-1], hidden_sizes=[dim],
-        path_sizes=[path_size], aggregation=aggregation, seed=seed)
+        path_sizes=[path_size], kernel_args=kernel_arg, pooling=pooling,
+        aggregation=aggregation, seed=seed)
     batch = model.unsup_train(graphs, n_sampling_paths, seed=seed)
     feats = model.encode(graphs, batch)
     if standardize:

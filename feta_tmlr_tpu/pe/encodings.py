@@ -105,7 +105,8 @@ class DiffusionEncoding(PositionEncoding):
         self.use_edge_attr = use_edge_attr
 
     def cache_key(self):
-        return f"diffusion_{self.beta}_{self.normalization}"
+        return (f"diffusion_{self.beta}_{self.normalization}"
+                f"_{self.use_edge_attr}")
 
     def compute_pe(self, graph: Graph) -> np.ndarray:
         ew = None
@@ -129,7 +130,8 @@ class PStepRWEncoding(PositionEncoding):
         self.use_edge_attr = use_edge_attr
 
     def cache_key(self):
-        return f"pstep_{self.p}_{self.beta}_{self.normalization}"
+        return (f"pstep_{self.p}_{self.beta}_{self.normalization}"
+                f"_{self.use_edge_attr}")
 
     def compute_pe(self, graph: Graph) -> np.ndarray:
         ew = None

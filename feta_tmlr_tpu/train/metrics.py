@@ -40,14 +40,18 @@ def accuracy_sbm(logits, labels, mask=None) -> float:
     if mask is not None:
         valid &= np.asarray(mask).ravel()
     pred, lab = pred[valid], lab[valid]
-    n_classes = logits.shape[-1]
-    recalls = []
-    for c in range(n_classes):
+    # reference: sum of per-class recalls / number of classes appearing in
+    # the confusion matrix, i.e. present in targets OR predictions
+    # (confusion_matrix(S, C).shape[0], LPE/train/metrics.py:34-51) —
+    # a class predicted but never true contributes 0 to the numerator
+    # while still widening the denominator
+    present = np.union1d(np.unique(lab), np.unique(pred))
+    recalls = 0.0
+    for c in present:
         in_c = lab == c
-        if in_c.sum() == 0:
-            continue  # reference averages only over present classes
-        recalls.append((pred[in_c] == c).mean())
-    return float(np.mean(recalls)) if recalls else 0.0
+        if in_c.sum() > 0:
+            recalls += (pred[in_c] == c).mean()
+    return float(recalls / max(len(present), 1))
 
 
 def binary_f1(pred, target) -> float:
@@ -86,7 +90,10 @@ def roc_auc(scores, labels) -> float:
 
 
 def average_precision(scores, labels) -> float:
-    """AP = sum_k (R_k - R_{k-1}) P_k over descending-score thresholds."""
+    """AP = sum_k (R_k - R_{k-1}) P_k over descending-score thresholds.
+
+    Ties are collapsed per unique threshold (sklearn/OGB semantics) so the
+    result is independent of input order."""
     scores = np.asarray(scores, dtype=np.float64).ravel()
     labels = np.asarray(labels).ravel()
     keep = ~np.isnan(scores) & (labels >= 0)
@@ -95,10 +102,17 @@ def average_precision(scores, labels) -> float:
     if n_pos == 0:
         return float("nan")
     order = np.argsort(-scores, kind="mergesort")
+    s = scores[order]
     lab = (labels[order] == 1).astype(np.float64)
     tp = np.cumsum(lab)
-    precision = tp / np.arange(1, len(lab) + 1)
-    return float((precision * lab).sum() / n_pos)
+    counts = np.arange(1, len(lab) + 1, dtype=np.float64)
+    # indices of the LAST element of each tied-score group = thresholds
+    boundary = np.flatnonzero(np.r_[s[1:] != s[:-1], True])
+    tp_t = tp[boundary]
+    prec_t = tp_t / counts[boundary]
+    rec_t = tp_t / n_pos
+    d_rec = np.diff(np.r_[0.0, rec_t])
+    return float((prec_t * d_rec).sum())
 
 
 def multitask_mean(metric_fn, scores, labels):

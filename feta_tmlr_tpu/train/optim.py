@@ -65,10 +65,14 @@ class PlateauScheduler:
         self.scale = 1.0
 
     def step(self, metric: float, base_lr: float) -> float:
+        # torch ReduceLROnPlateau default threshold_mode='rel':
+        # min: a < best * (1 - th); max: a > best * (1 + th)
         better = (
             self.best is None
-            or (self.mode == "min" and metric < self.best - self.threshold)
-            or (self.mode == "max" and metric > self.best + self.threshold)
+            or (self.mode == "min"
+                and metric < self.best * (1.0 - self.threshold))
+            or (self.mode == "max"
+                and metric > self.best * (1.0 + self.threshold))
         )
         if better:
             self.best = metric

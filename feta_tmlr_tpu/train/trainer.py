@@ -52,6 +52,7 @@ class TrainConfig:
     plateau_patience: int = 10
     plateau_factor: float = 0.5
     min_lr: float = 1e-6
+    binary_metric: str = "ap"          # multitask metric: ap | rocauc
     seed: int = 0
 
 
@@ -98,7 +99,8 @@ def task_loss(task: str, logits, batch: GraphBatch):
     raise ValueError(f"unknown task {task!r}")
 
 
-def task_metric(task: str, logits: np.ndarray, y, node_mask=None):
+def task_metric(task: str, logits: np.ndarray, y, node_mask=None,
+                binary_metric: str = "ap"):
     """Metric over a full split (logits/labels concatenated across batches —
     ROC-AUC/AP are not decomposable per batch)."""
     if task == "graph_clf":
@@ -114,6 +116,10 @@ def task_metric(task: str, logits: np.ndarray, y, node_mask=None):
             return {"rocauc": M.roc_auc(s.reshape(-1), y.reshape(-1))}
         if y.ndim < s.ndim:
             y = y[..., None]
+        # multitask metric choice mirrors OGB: rocauc for MOLTOX21-style
+        # tasks, AP for MOLPCBA (reference train_OGBMOL...:69-70)
+        if binary_metric == "rocauc":
+            return {"rocauc": M.multitask_mean(M.roc_auc, s, y)}
         return {"ap": M.multitask_mean(M.average_precision, s, y)}
     raise ValueError(task)
 
@@ -249,7 +255,8 @@ class Trainer:
         logits = np.concatenate(logits_all, axis=0)
         y = np.concatenate(y_all, axis=0)
         mask = np.concatenate(mask_all, axis=0) if mask_all else None
-        return task_metric(self.cfg.task, logits, y, mask)
+        return task_metric(self.cfg.task, logits, y, mask,
+                           binary_metric=self.cfg.binary_metric)
 
     def fit(self, train_batches: Sequence[GraphBatch],
             val_batches: Optional[Sequence[GraphBatch]] = None,

@@ -27,19 +27,26 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def timed_steps(step_fn: Callable, state, batch, rngs,
-                n1: int = 10, n2: int = 30) -> float:
-    """Per-step seconds via chained execution + forced scalar fetch."""
+def timed_steps(step_fn: Callable, state, batch, rng_fn: Callable,
+                n1: int = 10, n2: int = 30,
+                check_finite: bool = True) -> float:
+    """Per-step seconds via the chained-steps difference method.
+
+    rng_fn(i) supplies the per-step rng. The canonical implementation of
+    the relay-aware timing used by bench.py — keep edits here."""
     def run(n, state):
         t0 = time.perf_counter()
         loss = None
         for i in range(n):
-            state, loss = step_fn(state, batch, rngs[i % len(rngs)])
+            state, loss = step_fn(state, batch, rng_fn(i))
         if loss is not None:
-            float(loss)
+            v = float(loss)
+            if check_finite:
+                assert v == v and abs(v) != float("inf"), \
+                    f"non-finite loss {v}"
         return time.perf_counter() - t0, state
 
-    _, state = run(1, state)
+    _, state = run(1, state)                     # warmup / compile
     t1, state = run(n1, state)
     t2, state = run(n2, state)
     return (t2 - t1) / (n2 - n1)

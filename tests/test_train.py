@@ -96,3 +96,27 @@ def test_sklearn_cross_check_auc_ap():
                - roc_auc_score(labels, scores)) < 1e-9
     assert abs(M.average_precision(scores, labels)
                - average_precision_score(labels, scores)) < 1e-9
+
+
+def test_average_precision_tie_handling():
+    from sklearn.metrics import average_precision_score
+    # tied scores must collapse into one threshold (order-independent)
+    scores = np.array([0.5, 0.5])
+    labels = np.array([1, 0])
+    assert M.average_precision(scores, labels) == pytest.approx(
+        average_precision_score(labels, scores))
+    assert M.average_precision(scores[::-1], labels[::-1]) == \
+        pytest.approx(average_precision_score(labels, scores))
+    rng = np.random.default_rng(3)
+    s = np.round(rng.random(300), 1)               # heavy ties
+    l = (rng.random(300) > 0.5).astype(int)
+    assert M.average_precision(s, l) == pytest.approx(
+        average_precision_score(l, s), abs=1e-9)
+
+
+def test_accuracy_sbm_predicted_only_class_widens_denominator():
+    # targets only class 0, predictions include class 1:
+    # reference divides by 2 (classes in the confusion matrix)
+    logits = np.array([[[0.0, 2.0], [2.0, 0.0]]])  # preds: 1, 0
+    labels = np.array([[0, 0]])
+    assert M.accuracy_sbm(logits, labels) == pytest.approx(0.25)
