@@ -23,6 +23,8 @@ from feta_tmlr_tpu.train import Trainer, TrainConfig
 
 def main(argv=None):
     p = base_parser("ZINC")
+    p.add_argument("--packed", action="store_true",
+                   help="pack ~5 graphs per 128-lane row (nn/packed.py)")
     p.set_defaults(nb_heads=8, nb_layers=10, dim_hidden=64, lap_dim=8)
     args = p.parse_args(argv)
     # ZINC-style scripts default to BatchNorm; --layer-norm switches
@@ -40,6 +42,34 @@ def main(argv=None):
                   graphs[int(0.8 * n): int(0.9 * n)],
                   graphs[int(0.9 * n):])
     max_nodes = max(g.num_nodes for g in graphs)
+    if args.packed:
+        from feta_tmlr_tpu.data.pack import pack_graphs
+        from feta_tmlr_tpu.nn.packed import PackedDiffGraphTransformerGenGCN
+        split_pack = lambda gs: [
+            pack_graphs(gs[i:i + args.batch_size], row_len=128)
+            for i in range(0, len(gs), args.batch_size)]
+        train_b, val_b, test_b = split_pack(tr), split_pack(va), \
+            split_pack(te)
+        model = PackedDiffGraphTransformerGenGCN(
+            in_size=28, nb_class=1, d_model=args.dim_hidden,
+            nb_heads=args.nb_heads,
+            dim_feedforward=2 * args.dim_hidden, dropout=args.dropout,
+            nb_layers=args.nb_layers, batch_norm=args.batch_norm,
+            lap_pos_enc=args.lappe, lap_pos_enc_dim=args.lap_dim,
+            filter_order=args.filter_order,
+            last_layer_filter=args.last_layer_filter)
+        trainer = Trainer(
+            model,
+            TrainConfig(task="graph_reg", lr=args.lr,
+                        weight_decay=args.weight_decay,
+                        epochs=args.epochs,
+                        schedule=("warmup" if args.warmup else "plateau"),
+                        warmup_steps=args.warmup or 2000,
+                        plateau_patience=15, min_lr=1e-5,
+                        sign_flip=args.lappe, seed=args.seed),
+            steps_per_epoch=len(train_b))
+        return run_and_log(trainer, train_b, val_b, test_b, args, outdir)
+
     train_b = make_batches(tr, args.batch_size, max_nodes,
                            shuffle_seed=args.seed)
     val_b = make_batches(va, args.batch_size, max_nodes)
