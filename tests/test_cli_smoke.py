@@ -1,0 +1,31 @@
+"""Experiment-CLI smoke tests (tiny configs, synthetic fallbacks)."""
+
+import pytest
+
+
+def test_canonical_gengcn_cv():
+    from feta_tmlr_tpu.experiments import run_transformer_gengcn_cv as m
+    res = m.main(["--dataset", "MUTAG", "--epochs", "2",
+                  "--synthetic-graphs", "24", "--dim-hidden", "32",
+                  "--nb-layers", "2", "--batch-size", "12"])
+    assert res["best_val"] is not None
+
+
+def test_zinc_packed_cli():
+    from feta_tmlr_tpu.experiments import run_transformer_gengcn as m
+    res = m.main(["--epochs", "2", "--synthetic-graphs", "24",
+                  "--dim-hidden", "32", "--nb-layers", "2", "--packed",
+                  "--batch-size", "12"])
+    assert "test" in res
+
+
+def test_config_driven_zinc_main(tmp_path):
+    import json
+    from feta_tmlr_tpu.experiments import main_ZINC_graph_regression as m
+    cfg = {"model": "SAN", "params": {"epochs": 2, "batch_size": 12},
+           "net_params": {"hidden_dim": 16, "out_dim": 16, "n_heads": 2,
+                          "L": 2, "batch_norm": True}}
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    res = m.main(["--config", str(path), "--synthetic-graphs", "20"])
+    assert res["best_val"] is not None
