@@ -151,8 +151,18 @@ class FeTAEncoder(nn.Module):
         lhat = None
         anorm = None
         if self.gnn_type == "ChebConvDynamic":
+            lam = None
+            if self.laplacian_norm != "sym":
+                # the reference demands an explicit per-graph lambda_max
+                # for non-sym norms (ChebNetDynamic.py:68-74, via PyG's
+                # LaplacianLambdaMax transform); compute it on device
+                from feta_tmlr_tpu.ops.lambda_max import \
+                    laplacian_lambda_max
+                lam = laplacian_lambda_max(
+                    adj, node_mask, normalization=self.laplacian_norm)
             lhat = cheb_scaled_laplacian(
-                adj, node_mask, normalization=self.laplacian_norm)
+                adj, node_mask, normalization=self.laplacian_norm,
+                lambda_max=lam)
         elif self.gnn_type == "ARMAConvDynamic":
             anorm = gcn_norm_no_self_loops(adj, node_mask)
 

@@ -114,3 +114,32 @@ def test_dropout_rng_path():
     out2, _ = model.apply(params, gb, deterministic=False,
                           rngs={"dropout": jax.random.key(2)})
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_feta_non_sym_laplacian_norm():
+    """rw/None normalizations auto-compute per-graph lambda_max."""
+    gb = make_batch()
+    for norm in ("rw", None):
+        model = DiffGraphTransformerGenGCN(**MODEL_KW, filter_order=2)
+        # laplacian_norm lives on the encoder; build via FeTAEncoder direct
+        from feta_tmlr_tpu.nn.feta import FeTAEncoder
+        import flax.linen as nn_
+        import jax.numpy as jnp_
+
+        class M(nn_.Module):
+            @nn_.compact
+            def __call__(self, b):
+                x = nn_.Dense(32, name="emb")(b.x)
+                out, _, _ = FeTAEncoder(
+                    d_model=32, n_heads=4, n_layers=1, dim_feedforward=64,
+                    dropout=0.0, filter_order=2, laplacian_norm=norm,
+                    name="enc")(x, b.pe, b.adj, b.node_mask, b.degree)
+                return out
+
+        m = M()
+        p = m.init(jax.random.key(0), gb)
+        out = m.apply(p, gb)
+        assert np.all(np.isfinite(np.asarray(out))), norm
+        g = jax.grad(lambda pp: m.apply(pp, gb).sum())(p)
+        assert all(np.all(np.isfinite(np.asarray(l)))
+                   for l in jax.tree_util.tree_leaves(g)), norm
