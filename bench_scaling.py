@@ -25,10 +25,10 @@ import time
 
 import numpy as np
 
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "")
-     + " --xla_force_host_platform_device_count=8"))
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8")
 
 import jax
 

@@ -63,6 +63,7 @@ def main(argv=None):
             TrainConfig(task="graph_reg", lr=args.lr,
                         weight_decay=args.weight_decay,
                         epochs=args.epochs,
+                        regularization=args.regularization,
                         schedule=("warmup" if args.warmup else "plateau"),
                         warmup_steps=args.warmup or 2000,
                         plateau_patience=15, min_lr=1e-5,

@@ -44,24 +44,9 @@ class DenseGCNConv(nn.Module):
         return out
 
 
-def graph_laplacian_dense(adj, node_mask, normalization: Optional[str] = "sym"):
-    """Dense L (no Chebyshev scaling): None D-A | sym I-An | rw I-D^-1 A."""
-    pm = pair_mask(node_mask).astype(adj.dtype)
-    n = adj.shape[-1]
-    eye = jnp.eye(n, dtype=adj.dtype)
-    a = adj * pm * (1.0 - eye)
-    deg = a.sum(-1)
-    mask = node_mask.astype(adj.dtype)
-    if normalization == "sym":
-        dis = jnp.where(deg > 0, jax_rsqrt(deg), 0.0)
-        lap = -dis[..., :, None] * a * dis[..., None, :] \
-            + mask[..., :, None] * eye
-    elif normalization == "rw":
-        dinv = jnp.where(deg > 0, 1.0 / jnp.where(deg > 0, deg, 1.0), 0.0)
-        lap = -dinv[..., :, None] * a + mask[..., :, None] * eye
-    else:
-        lap = -a + deg[..., :, None] * eye
-    return lap * pm
+# canonical implementation lives in ops/laplacian.py; re-exported here for
+# existing importers
+from feta_tmlr_tpu.ops.laplacian import graph_laplacian_dense  # noqa: E402,F401
 
 
 class DenseGINEPlus(nn.Module):

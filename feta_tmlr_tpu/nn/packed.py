@@ -96,6 +96,13 @@ class PackedFeTAEncoder(nn.Module):
         pair = ((graph_id[:, :, None] == graph_id[:, None, :])
                 & node_mask[:, :, None] & node_mask[:, None, :])
         memb = membership(graph_id, node_mask, g_max)
+        if self.laplacian_norm != "sym":
+            raise NotImplementedError(
+                "packed batches support only 'sym' Chebyshev normalization:"
+                " rw/None need PER-GRAPH lambda_max, and a row-level power "
+                "iteration over the block-diagonal Laplacian would scale "
+                "every packed graph by the row maximum — use the unpacked "
+                "FeTAEncoder for those modes")
         lhat = cheb_scaled_laplacian(adj, node_mask,
                                      normalization=self.laplacian_norm)
         coeff_head = PackedFilterCoefficientHead(n_coeff, name="coeff_head")
@@ -127,7 +134,13 @@ class PackedFeTAEncoder(nn.Module):
                                                 cheb_bias)
             filt = filt.transpose(0, 2, 1, 3).reshape(b, n, d)
             filt = filt * node_mask.astype(filt.dtype)[..., None]
-            allout = filt if allout is None else allout + filt
+            if self.use_skip_conn:
+                allout = filt if allout is None else allout + filt
+            else:
+                # reference: filtered output replaces AND feeds forward
+                # (models.py:214-216)
+                allout = filt
+                out = allout
 
         if self.use_skip_conn and allout is not None:
             out = nn.Dense(self.d_model, name="linear_cat")(
@@ -183,7 +196,10 @@ class PackedDiffGraphTransformerGenGCN(nn.Module):
             bb, lh, gg, cc = coeff.shape
             flat = coeff.transpose(0, 2, 1, 3).reshape(bb * gg, lh, cc)
             gmask = batch.graph_mask.reshape(-1)
-            norms = jnp.sqrt((flat ** 2).sum(axis=(1, 2)))
+            # sqrt at exactly 0 has an inf VJP: empty slots have coeff==0,
+            # so guard the norm (their contribution is masked out anyway)
+            sq = (flat ** 2).sum(axis=(1, 2))
+            norms = jnp.sqrt(jnp.where(gmask, sq, 1.0))
             reg = jnp.sum(norms * gmask) / jnp.maximum(gmask.sum(), 1.0)
         else:
             reg = jnp.asarray(0.0)

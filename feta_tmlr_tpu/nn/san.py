@@ -64,10 +64,14 @@ class SANAttention(nn.Module):
     edge_features: bool = True
 
     @nn.compact
-    def __call__(self, h, e_emb, adj, node_mask):
+    def __call__(self, h, e_emb, adj, node_mask, gamma_value=None):
         """h: [B,N,D]; e_emb: [B,N,N,D] dense edge-feature embeddings or
         None; adj: [B,N,N] real-edge adjacency. Returns (h_out [B,N,H*dh],
-        attn [B,H,N,N], struct_adj [B,N,N])."""
+        attn [B,H,N,N], struct_adj [B,N,N]).
+
+        gamma_value: optional traced override of the static `gamma` field —
+        the SAN-LSPE net learns gamma as a parameter (san_gt_lspe_layer
+        clamps a shared nn.Parameter to [0, 1])."""
         b, n, _ = h.shape
         hh, dh = self.num_heads, self.out_dim
         dense = lambda name: nn.Dense(hh * dh, use_bias=self.use_bias,
@@ -103,7 +107,7 @@ class SANAttention(nn.Module):
                                           e_emb is not None) else None
             e_f_t = jnp.swapaxes(e_f, 1, 2) if e_f is not None else None
             s_fake = scores_of(q2, k2, e_f_t)
-            g = self.gamma
+            g = self.gamma if gamma_value is None else gamma_value
             w_real = jnp.exp(jnp.clip(s_real, -5.0, 5.0)) / (g + 1.0)
             w_fake = g * jnp.exp(jnp.clip(s_fake, -5.0, 5.0)) / (g + 1.0)
             attn = jnp.where(real[:, None], w_real,

@@ -30,7 +30,8 @@ class SANGTLSPELayer(nn.Module):
     edge_features: bool = True
 
     @nn.compact
-    def __call__(self, h, p, e_emb, adj, node_mask, deterministic=True):
+    def __call__(self, h, p, e_emb, adj, node_mask, deterministic=True,
+                 gamma_value=None):
         dh = self.out_dim // self.num_heads
         drop = lambda t: nn.Dropout(self.dropout)(
             t, deterministic=deterministic)
@@ -39,7 +40,8 @@ class SANGTLSPELayer(nn.Module):
         h_attn, _, _ = SANAttention(
             dh, self.num_heads, self.gamma, self.full_graph, self.use_bias,
             self.edge_features, name="attention_h")(
-                jnp.concatenate([h, p], -1), e_emb, adj, node_mask)
+                jnp.concatenate([h, p], -1), e_emb, adj, node_mask,
+                gamma_value=gamma_value)
         h = drop(h_attn)
         h = nn.Dense(self.out_dim, name="O_h")(h)
         if self.residual and h_in.shape[-1] == self.out_dim:
@@ -54,7 +56,8 @@ class SANGTLSPELayer(nn.Module):
 
         p_attn, _, _ = SANAttention(
             dh, self.num_heads, self.gamma, self.full_graph, self.use_bias,
-            self.edge_features, name="attention_p")(p, e_emb, adj, node_mask)
+            self.edge_features, name="attention_p")(
+                p, e_emb, adj, node_mask, gamma_value=gamma_value)
         p = drop(p_attn)
         p = jnp.tanh(nn.Dense(self.out_dim, name="O_p")(p))
         if self.residual and p_in.shape[-1] == self.out_dim:
@@ -83,7 +86,7 @@ class SANLSPENet(nn.Module):
     n_layers: int = 6
     pos_enc_dim: int = 20
     pe_init: str = "rand_walk"
-    gamma: float = 1e-5
+    gamma: float = 1e-5            # init value; LEARNED net-wide parameter
     full_graph: bool = True
     dropout: float = 0.0
     in_feat_dropout: float = 0.0
@@ -107,6 +110,12 @@ class SANLSPENet(nn.Module):
         else:
             p = jnp.zeros_like(h)
 
+        # reference SAN-LSPE learns gamma as one shared parameter, clamped
+        # to [0, 1] at use (san_net.py / san_gt_lspe_layer.py)
+        gamma_param = self.param(
+            "gamma", lambda rng: jnp.asarray(self.gamma, jnp.float32))
+        gamma_value = jnp.clip(gamma_param, 0.0, 1.0)
+
         for i in range(self.n_layers):
             is_last = i + 1 == self.n_layers
             h, p = SANGTLSPELayer(
@@ -116,7 +125,7 @@ class SANLSPENet(nn.Module):
                 layer_norm=self.layer_norm, batch_norm=self.batch_norm,
                 residual=self.residual, edge_features=e_emb is not None,
                 name=f"layer_{i}")(h, p, e_emb, batch.adj, batch.node_mask,
-                                   deterministic)
+                                   deterministic, gamma_value=gamma_value)
 
         if self.pe_init == "rand_walk":
             p = nn.Dense(self.pos_enc_dim, name="p_out")(p)

@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from feta_tmlr_tpu.nn.gnn import graph_laplacian_dense
+from feta_tmlr_tpu.ops.laplacian import graph_laplacian_dense
 
 
 def power_iteration_lambda_max(mat, node_mask, n_iters: int = 50,

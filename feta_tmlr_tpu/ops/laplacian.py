@@ -145,6 +145,30 @@ def gcn_norm_directed(a, node_mask, fill: float = 1.0):
     return dis[..., :, None] * a * dis[..., None, :]
 
 
+def graph_laplacian_dense(adj, node_mask, normalization: Optional[str] = "sym"):
+    """Dense unscaled Laplacian: None D-A | sym I-An | rw I-D^-1 A.
+
+    The one L builder shared by GENGCN polynomials (nn/gnn.py) and
+    lambda_max estimation (ops/lambda_max.py) — keep any semantic change
+    in sync with cheb_scaled_laplacian above."""
+    pm = pair_mask(node_mask).astype(adj.dtype)
+    n = adj.shape[-1]
+    eye = jnp.eye(n, dtype=adj.dtype)
+    a = adj * pm * (1.0 - eye)
+    deg = a.sum(-1)
+    mask = node_mask.astype(adj.dtype)
+    if normalization == "sym":
+        dis = jnp.where(deg > 0, jax_rsqrt(deg), 0.0)
+        lap = -dis[..., :, None] * a * dis[..., None, :] \
+            + mask[..., :, None] * eye
+    elif normalization == "rw":
+        dinv = jnp.where(deg > 0, 1.0 / jnp.where(deg > 0, deg, 1.0), 0.0)
+        lap = -dinv[..., :, None] * a + mask[..., :, None] * eye
+    else:
+        lap = -a + deg[..., :, None] * eye
+    return lap * pm
+
+
 def jax_rsqrt(x):
     # rsqrt with the deg>0 guard applied by callers; avoid NaN grads at 0
     return jnp.where(x > 0, x, 1.0) ** -0.5

@@ -118,32 +118,41 @@ def make_allgather_spmm(mesh: Mesh, axis: str = "data"):
         out_specs=P(axis, None))
 
 
-def make_ring_spmm(mesh: Mesh, axis: str = "data"):
-    """Ring schedule: block rotates via ppermute, bucket (my - t) % S is
-    processed at step t; permute overlaps with the local segment-sum."""
-    n_shards = mesh.shape[axis]
+def ring_spmm_local(axis: str, n_shards: int):
+    """Per-shard body of the ring schedule, reusable inside larger
+    shard_mapped computations (see parallel/partitioned_model.py):
+    the node block rotates via ppermute, bucket (my - t) % S is processed
+    at step t, and the permute overlaps with the local segment-sum."""
 
-    def local_fn(x_local, src, dst, w, m):
-        n_local = x_local.shape[0]
+    def apply(block0, src, dst, w, m, n_local):
         my = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
         def body(t, carry):
             block, acc = carry
             s = (my - t) % n_shards
-            acc = acc + _local_agg(
-                block,
-                jax.lax.dynamic_index_in_dim(src[0], s, keepdims=False),
-                jax.lax.dynamic_index_in_dim(dst[0], s, keepdims=False),
-                jax.lax.dynamic_index_in_dim(w[0], s, keepdims=False),
-                jax.lax.dynamic_index_in_dim(m[0], s, keepdims=False),
-                n_local)
+            take = lambda a: jax.lax.dynamic_index_in_dim(
+                a, s, keepdims=False)
+            acc = acc + _local_agg(block, take(src), take(dst), take(w),
+                                   take(m), n_local)
             block = jax.lax.ppermute(block, axis, perm)
             return block, acc
 
         _, acc = jax.lax.fori_loop(
-            0, n_shards, body, (x_local, jnp.zeros_like(x_local)))
+            0, n_shards, body, (block0, jnp.zeros_like(block0)))
         return acc
+
+    return apply
+
+
+def make_ring_spmm(mesh: Mesh, axis: str = "data"):
+    """shard_mapped ring SpMM (see ring_spmm_local)."""
+    n_shards = mesh.shape[axis]
+    local = ring_spmm_local(axis, n_shards)
+
+    def local_fn(x_local, src, dst, w, m):
+        return local(x_local, src[0], dst[0], w[0], m[0],
+                     x_local.shape[0])
 
     return shard_map(
         local_fn, mesh=mesh,

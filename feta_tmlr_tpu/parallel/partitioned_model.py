@@ -49,26 +49,13 @@ def make_partitioned_forward(mesh: Mesh, k_order: int, axis: str = "data"):
     plain sharded elementwise/matmul work.
     """
     n_shards = mesh.shape[axis]
+    from feta_tmlr_tpu.parallel.edge_partition import ring_spmm_local
+    ring = ring_spmm_local(axis, n_shards)
 
     def local_fn(params, x_local, src, dst, w, m):
         def spmm(block):
-            my = jax.lax.axis_index(axis)
-            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-
-            def body(t, carry):
-                blk, acc = carry
-                s = (my - t) % n_shards
-                take = lambda a: jax.lax.dynamic_index_in_dim(
-                    a[0], s, keepdims=False)
-                msg = blk[take(src)] * (take(w) * take(m))[:, None]
-                acc = acc + jax.ops.segment_sum(
-                    msg, take(dst), x_local.shape[0])
-                blk = jax.lax.ppermute(blk, axis, perm)
-                return blk, acc
-
-            _, acc = jax.lax.fori_loop(
-                0, n_shards, body, (block, jnp.zeros_like(block)))
-            return acc
+            return ring(block, src[0], dst[0], w[0], m[0],
+                        x_local.shape[0])
 
         tx_prev = x_local
         h = tx_prev @ params["cheb_w"][0]
@@ -122,8 +109,13 @@ def prepare_inputs(edge_index: np.ndarray, x: np.ndarray,
     recurrence reproduces `cheb_scaled_laplacian` semantics."""
     n_nodes = x.shape[0]
     if normalize:
+        # match cheb_scaled_laplacian's sym semantics: strip self loops,
+        # degrees = row sums of the stripped adjacency (A[src, dst]=1 ->
+        # row sum at src), weights -1/sqrt(d_src d_dst), zero diagonal
+        keep = edge_index[0] != edge_index[1]
+        edge_index = edge_index[:, keep]
         deg = np.zeros(n_nodes)
-        np.add.at(deg, edge_index[1], 1.0)
+        np.add.at(deg, edge_index[0], 1.0)
         dis = np.where(deg > 0, np.clip(deg, 1e-12, None) ** -0.5, 0.0)
         w = -(dis[edge_index[0]] * dis[edge_index[1]]).astype(np.float32)
     else:

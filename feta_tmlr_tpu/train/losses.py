@@ -12,16 +12,18 @@ import jax.numpy as jnp
 
 def hinge_loss(logits, labels, n_classes: int, weight=None,
                squared: bool = True, margin: float = 1.0):
-    """Multi-class (Crammer-Singer style, one-vs-all sum) squared hinge."""
+    """One-vs-all squared hinge (gckn/loss.py:8-43).
+
+    Reference semantics: loss = 0.5 * relu(margin - signs*logits)^2 with an
+    optional PER-CLASS weight [n_classes] applied before the class sum."""
     onehot = jax.nn.one_hot(labels, n_classes)
     signs = 2.0 * onehot - 1.0
     err = nn_relu(margin - signs * logits)
     if squared:
-        err = err ** 2
-    per_sample = err.sum(-1)
+        err = 0.5 * err ** 2
     if weight is not None:
-        per_sample = per_sample * weight
-    return per_sample.mean()
+        err = err * jnp.asarray(weight)[None, :]
+    return err.sum(-1).mean()
 
 
 def cross_entropy(logits, labels, n_classes: int, weight=None):

@@ -31,11 +31,14 @@ def test_walks_native_matches_twin_and_counts():
 def test_hinge_loss_values():
     logits = jnp.asarray([[2.0, -2.0], [0.5, -0.5]])
     labels = jnp.asarray([0, 1])
-    # sample 0: correct class margin 2 -> 0 loss; wrong class -2 -> 0
-    # sample 1: correct(1) logit -0.5 -> hinge (1-(-0.5))^2 = 2.25;
-    #           wrong(0) logit 0.5 -> (1+0.5-? sign=-1: relu(1+0.5)=1.5^2=2.25
+    # sample 0: both margins satisfied -> 0 loss
+    # sample 1: correct(1) logit -0.5 -> 0.5*(1.5)^2 = 1.125;
+    #           wrong(0) logit 0.5 -> 0.5*(1.5)^2 = 1.125
     val = float(hinge_loss(logits, labels, 2))
-    np.testing.assert_allclose(val, (0.0 + 2.25 + 2.25) / 2, atol=1e-6)
+    np.testing.assert_allclose(val, (0.0 + 1.125 + 1.125) / 2, atol=1e-6)
+    # per-class weights scale before the class sum
+    val_w = float(hinge_loss(logits, labels, 2, weight=[2.0, 0.0]))
+    np.testing.assert_allclose(val_w, (0.0 + 1.125 * 2) / 2, atol=1e-6)
     assert "ce" in LOSS and "hinge" in LOSS
 
 
