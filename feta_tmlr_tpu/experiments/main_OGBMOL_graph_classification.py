@@ -52,7 +52,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--model", type=str, default=None)
-    p.add_argument("--dataset", type=str, default="MOLTOX21",
+    p.add_argument("--dataset", type=str, default=None,
                    choices=sorted(N_TASKS))
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=41)
@@ -65,9 +65,16 @@ def main(argv=None):
                         or "GatedGCN"]
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 50)
-    n_tasks = N_TASKS[args.dataset]
+    # config "dataset" uses the reference's OGBG-MOLTOX21 naming
+    dataset = (args.dataset
+               or str(cfg.get("dataset") or "MOLTOX21")
+               .upper().replace("OGBG-", ""))
+    if dataset not in N_TASKS:
+        raise SystemExit(f"unknown dataset {dataset}; "
+                         f"choose from {sorted(N_TASKS)}")
+    n_tasks = N_TASKS[dataset]
 
-    print(f"[warn] {args.dataset} files not bundled - synthetic fallback")
+    print(f"[warn] {dataset} files not bundled - synthetic fallback")
     graphs = ogbmol_like(args.seed, args.synthetic_graphs, n_tasks)
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
@@ -92,9 +99,11 @@ def main(argv=None):
         model,
         TrainConfig(task="binary_graph", lr=params.get("init_lr", 1e-3),
                     epochs=epochs, schedule="plateau", sign_flip=False,
+                    regularization=(1.0 if kwargs.get("use_lapeig_loss")
+                                    else 0.0),
                     # OGB metric per dataset: ROC-AUC for MOLTOX21,
                     # AP for MOLPCBA (train_OGBMOL...:69-70)
-                    binary_metric=("rocauc" if args.dataset == "MOLTOX21"
+                    binary_metric=("rocauc" if dataset == "MOLTOX21"
                                    else "ap"),
                     seed=args.seed),
         steps_per_epoch=len(train_b))

@@ -10,12 +10,17 @@ import argparse
 
 from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
 from feta_tmlr_tpu.experiments.common import make_batches
+from feta_tmlr_tpu.nn.lspe import GraphiTSpectraNet
 from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
+from feta_tmlr_tpu.pe.encodings import PStepRWEncoding
 from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
+from feta_tmlr_tpu.pe.rwpe import rwpe
 from feta_tmlr_tpu.train import Trainer, TrainConfig
 from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
 
-MODELS = {"SAN": (SANNet, {}), "SAN_NodeSpectra": (SANNodeSpectra, {})}
+MODELS = {"SAN": (SANNet, {}), "SAN_NodeSpectra": (SANNodeSpectra, {}),
+          # LSPE SBM tier (GraphiT_SBM_PATTERN_LSPE.json)
+          "GraphiTSpectra": (GraphiTSpectraNet, {})}
 
 
 def main(argv=None):
@@ -46,15 +51,24 @@ def main(argv=None):
     for g in graphs:
         g.x = np.argmax(g.x, -1).astype(np.int32)[:, None]
         g.edge_type = np.ones(g.num_edges, np.int32)
-    apply_laplace_decomp(graphs, args.max_freqs)
-
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
     kwargs.setdefault("hidden_dim", 32)
     kwargs.setdefault("out_dim", 32)
     kwargs.setdefault("n_heads", 4)
     kwargs.setdefault("n_layers", 3)
-    kwargs.setdefault("lpe_dim", 8)
+    if cls is GraphiTSpectraNet:
+        # LSPE PE precompute: RWPE p channel + optional (I-gamma L)^p kernel
+        dim = kwargs.setdefault("pos_enc_dim", 12)
+        for g in graphs:
+            g.lap_pe = rwpe(g, dim)
+        if kwargs.get("adaptive_edge_pe"):
+            PStepRWEncoding(p=cfg["net_params"].get("p_steps", 2),
+                            beta=cfg["net_params"].get("gamma", 0.25),
+                            normalization="sym").apply_to(graphs)
+    else:
+        apply_laplace_decomp(graphs, args.max_freqs)
+        kwargs.setdefault("lpe_dim", 8)
     model = cls(num_atom_type=3, num_bond_type=2, node_level=True,
                 n_out=args.n_classes, **kwargs)
 

@@ -95,7 +95,9 @@ def main(argv=None):
         for g in graphs:
             g.lap_pe = rwpe(g, dim)
         if kwargs.get("adaptive_edge_pe"):
-            PStepRWEncoding(p=2, beta=0.25,
+            # k_RW = (I - gamma L)^p_steps (LSPE molecules.py make_full_graph)
+            PStepRWEncoding(p=cfg["net_params"].get("p_steps", 2),
+                            beta=cfg["net_params"].get("gamma", 0.25),
                             normalization="sym").apply_to(graphs)
         if cls is PNALSPENet:
             kwargs.setdefault("avg_d_log", average_log_degree(graphs))
@@ -119,6 +121,9 @@ def main(argv=None):
                     plateau_patience=params.get("lr_schedule_patience", 10),
                     plateau_factor=params.get("lr_reduce_factor", 0.5),
                     min_lr=params.get("min_lr", 1e-5),
+                    # lapeig-aux models return a pre-weighted scalar term
+                    regularization=(1.0 if kwargs.get("use_lapeig_loss")
+                                    else 0.0),
                     sign_flip=False, seed=args.seed),
         steps_per_epoch=len(train_b))
     result = trainer.fit(train_b, val_batches=val_b, test_batches=val_b,

@@ -48,8 +48,12 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": args.model, "params": {}, "net_params": {}})
-    cls, extra = MODELS[args.model or cfg.get("model")
-                        or "SAN_NodeSpectra"]
+    model_name = args.model or cfg.get("model") or "SAN_NodeSpectra"
+    cls, extra = MODELS[model_name]
+    # LPE config convention: model 'SAN' + net_params['LPE'] picks variant
+    lpe_kind = cfg["net_params"].get("LPE")
+    if model_name == "SAN" and lpe_kind in ("node", "edge"):
+        extra = dict(extra, lpe=lpe_kind)
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 50)
 

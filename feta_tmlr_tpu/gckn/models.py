@@ -170,6 +170,28 @@ class GCKNSupervised:
         normed = normed * params["bn_scale"] + params["bn_bias"]
         return normed @ params["classifier_w"] + params["classifier_b"]
 
+    def unsup_train_classifier(self, params, batch: PathBatch, labels,
+                               alpha: float = 0.0, loss: str = "ce",
+                               bn_stats=None):
+        """Fit only the linear head by L-BFGS on encoded features — the
+        counterpart of GCKNet.unsup_train_classifier
+        (gckn/models.py:264-266) after unsupervised feature training.
+        Returns params with classifier_w/b replaced by the fitted ones."""
+        from feta_tmlr_tpu.gckn.linear import LinearClassifier
+
+        pooled = self.pooled_features(params, batch)
+        if bn_stats is None:
+            bn_stats = pooled.mean(0), pooled.var(0) + 1e-5
+        mean, var = bn_stats
+        feats = np.asarray((pooled - mean) / jnp.sqrt(var)
+                           * params["bn_scale"] + params["bn_bias"])
+        clf = LinearClassifier(feats.shape[1], self.n_classes,
+                               alpha=alpha, loss=loss).fit(feats, labels)
+        out = dict(params)
+        out["classifier_w"] = jnp.asarray(clf.weight.T)
+        out["classifier_b"] = jnp.asarray(clf.bias)
+        return out
+
 
 def gckn_encode_as_pe(graphs: Sequence[Graph], dim: int = 32,
                       path_size: int = 3, standardize: bool = True,

@@ -127,6 +127,7 @@ class GatedGCNLSPENet(nn.Module):
     residual: bool = True
     use_lapeig_loss: bool = False
     lambda_loss: float = 1.0
+    alpha_loss: float = 1e-4
     readout: str = "mean"
     n_out: int = 1
 
@@ -187,5 +188,13 @@ class GatedGCNLSPENet(nn.Module):
             hg = masked_mean(h, batch.node_mask, axis=1)
         out = MLPReadout(self.n_out, name="mlp_readout")(hg)
         if self.use_lapeig_loss:
-            return out, p_final
+            # reference adds alpha * lapeig_loss to the task loss in its
+            # train loop (LSPE train_ZINC_graph_regression.py via
+            # model.loss: loss_A + alpha * loss_B); return it pre-weighted
+            # as the scalar aux term the Trainer adds with
+            # regularization=1.0
+            aux = self.alpha_loss * lapeig_loss(
+                p_final, batch.adj, batch.node_mask,
+                self.pos_enc_dim, self.lambda_loss)
+            return out, aux
         return out

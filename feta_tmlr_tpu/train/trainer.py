@@ -131,6 +131,12 @@ class Trainer:
                  steps_per_epoch: int = 1):
         self.model = model
         self.cfg = config
+        # FeTA models take regularization= to emit the coefficient
+        # regularizer (models.py:543-546); lapeig-aux models return their
+        # pre-weighted term unconditionally and take no such kwarg
+        import inspect
+        self._model_takes_reg = ("regularization" in inspect.signature(
+            type(model).__call__).parameters)
         c = config
         if c.schedule == "step":
             lr = step_lr(c.lr, c.step_size, c.gamma, steps_per_epoch)
@@ -177,7 +183,7 @@ class Trainer:
 
     def _apply(self, params, batch_stats, batch, deterministic, rng=None):
         kwargs = {}
-        if self.cfg.regularization > 0:
+        if self.cfg.regularization > 0 and self._model_takes_reg:
             kwargs["regularization"] = self.cfg.regularization
         rngs = {"dropout": rng} if rng is not None else None
         mutable = ["batch_stats"] if (batch_stats is not None

@@ -58,6 +58,8 @@ _NET_PARAM_MAP = {
     "adaptive_edge_PE": "adaptive_edge_pe",
     "use_lapeig_loss": "use_lapeig_loss",
     "lambda_loss": "lambda_loss",
+    "alpha_loss": "alpha_loss",
+    "init_gamma": "gamma",        # SAN-LSPE learned-gamma init value
     "last_layer_filter": "last_layer_filter",
 }
 

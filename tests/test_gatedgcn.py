@@ -70,17 +70,19 @@ def test_gatedgcn_net_and_lapeig():
                             hidden_dim=16, out_dim=16, n_layers=2,
                             pos_enc_dim=6, use_lapeig_loss=True)
     variables = model.init(jax.random.key(0), gb)
-    out, p = model.apply(variables, gb)
+    out, aux = model.apply(variables, gb)
     assert out.shape == (4, 1)
+    # aux is the pre-weighted scalar alpha * lapeig_loss, trainer-addable
+    assert jnp.shape(aux) == () and np.isfinite(float(aux))
+    p = jax.random.normal(jax.random.key(1), gb.adj.shape[:2] + (6,))
     ll = lapeig_loss(p, jnp.asarray(gb.adj), jnp.asarray(gb.node_mask),
                      6, lambda_loss=1.0)
     assert np.isfinite(float(ll))
 
     def loss_fn(v):
-        o, pv = model.apply(v, gb)
+        o, aux_v = model.apply(v, gb)
         task = jnp.abs(o.squeeze(-1) - gb.y).mean()
-        return task + 1e-4 * lapeig_loss(
-            pv, jnp.asarray(gb.adj), jnp.asarray(gb.node_mask), 6, 1.0)
+        return task + aux_v
 
     grads = jax.grad(loss_fn)(variables)
     assert all(np.all(np.isfinite(np.asarray(g)))
