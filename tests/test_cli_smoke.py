@@ -19,6 +19,27 @@ def test_zinc_packed_cli():
     assert "test" in res
 
 
+def test_plain_transformer_cli():
+    from feta_tmlr_tpu.experiments import run_transformer as m
+    res = m.main(["--epochs", "2", "--synthetic-graphs", "24",
+                  "--dim-hidden", "32", "--nb-layers", "2",
+                  "--batch-size", "12"])
+    assert "test" in res
+
+
+def test_vanilla_and_gcn_transformer_cli():
+    from feta_tmlr_tpu.experiments import run_transformer as m1
+    from feta_tmlr_tpu.experiments import run_transformer_gcn as m2
+    res = m1.main(["--epochs", "1", "--synthetic-graphs", "16",
+                   "--dim-hidden", "16", "--nb-layers", "1", "--vanilla",
+                   "--batch-size", "8"])
+    assert "test" in res
+    res = m2.main(["--epochs", "1", "--synthetic-graphs", "16",
+                   "--dim-hidden", "16", "--nb-layers", "1",
+                   "--batch-size", "8"])
+    assert "test" in res
+
+
 def test_config_driven_zinc_main(tmp_path):
     import json
     from feta_tmlr_tpu.experiments import main_ZINC_graph_regression as m
