@@ -58,6 +58,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=41)
     p.add_argument("--max_freqs", type=int, default=10)
     p.add_argument("--synthetic-graphs", type=int, default=96)
+    p.add_argument("--ckpt-dir", type=str, default=None,
+                   help="per-epoch keep-latest checkpoints (orbax)")
     args = p.parse_args(argv)
 
     cfg = (load_config(args.config) if args.config
@@ -124,10 +126,14 @@ def main(argv=None):
                     # lapeig-aux models return a pre-weighted scalar term
                     regularization=(1.0 if kwargs.get("use_lapeig_loss")
                                     else 0.0),
+                    # reference stop protocol: break at min_lr / max_time
+                    # hours (LPE main_ZINC_graph_regression.py:199-208)
+                    stop_at_min_lr=True,
+                    max_time_h=params.get("max_time"),
                     sign_flip=False, seed=args.seed),
         steps_per_epoch=len(train_b))
     result = trainer.fit(train_b, val_batches=val_b, test_batches=val_b,
-                         epochs=epochs,
+                         epochs=epochs, ckpt_dir=args.ckpt_dir,
                          log_fn=lambda row: print(
                              {k: (round(v, 5) if isinstance(v, float)
                                   else v) for k, v in row.items()}))

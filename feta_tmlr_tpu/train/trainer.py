@@ -52,6 +52,10 @@ class TrainConfig:
     plateau_patience: int = 10
     plateau_factor: float = 0.5
     min_lr: float = 1e-6
+    # reference stop conditions (LPE main_ZINC_graph_regression.py:199-208):
+    # break when the plateau schedule bottoms out / wall clock exceeded
+    stop_at_min_lr: bool = False
+    max_time_h: Optional[float] = None
     binary_metric: str = "ap"          # multitask metric: ap | rocauc
     seed: int = 0
 
@@ -270,12 +274,18 @@ class Trainer:
             epochs: Optional[int] = None,
             log_fn: Optional[Callable[[dict], None]] = None,
             rebatch_fn: Optional[Callable[[int], Sequence[GraphBatch]]]
-            = None):
+            = None,
+            ckpt_dir: Optional[str] = None):
         """rebatch_fn(epoch) -> fresh training batches: full per-epoch
         reshuffling at the graph level, matching the reference's
         DataLoader(shuffle=True). Without it, the fixed batches are
         replayed in a new ORDER each epoch (cheaper through the device
-        relay, but batch composition stays fixed)."""
+        relay, but batch composition stays fixed).
+
+        ckpt_dir: per-epoch checkpoint of the live TrainState with a
+        keep-latest policy — the reference saves every epoch and prunes
+        files older than epoch-1 (LPE main_ZINC_graph_regression.py:
+        184-195); resume via train.checkpoint.CheckpointManager."""
         cfg = self.cfg
         # host->device transfers are expensive (here the chip sits behind a
         # network relay); place every batch on device once up front
@@ -290,7 +300,13 @@ class Trainer:
         best_val, best_state, best_epoch = None, state, 0
         order_rng = np.random.default_rng(cfg.seed)
         mode = "min" if cfg.task == "graph_reg" else "max"
-        for epoch in range(epochs or cfg.epochs):
+        ckpt_mgr = None
+        if ckpt_dir is not None:
+            from feta_tmlr_tpu.train.checkpoint import CheckpointManager
+            ckpt_mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+        t_start = time.perf_counter()
+        try:
+          for epoch in range(epochs or cfg.epochs):
             t0 = time.perf_counter()
             if rebatch_fn is not None and epoch > 0:
                 train_batches = [jax.device_put(b)
@@ -323,6 +339,24 @@ class Trainer:
             history.append(row)
             if log_fn:
                 log_fn(row)
+            if ckpt_mgr is not None:
+                ckpt_mgr.save(epoch, state)
+            if (cfg.stop_at_min_lr and self.plateau is not None
+                    and row.get("lr", cfg.lr) <= cfg.min_lr):
+                print("lr <= min_lr, stopping")
+                break
+            if (cfg.max_time_h is not None
+                    and time.perf_counter() - t_start
+                    > cfg.max_time_h * 3600):
+                print("max_time reached, stopping")
+                break
+        except KeyboardInterrupt:
+            # reference catch: finish with the best state so far
+            # (LPE main_ZINC_graph_regression.py:209-211)
+            print("interrupted, exiting from training early")
+        finally:
+            if ckpt_mgr is not None:
+                ckpt_mgr.close()
         if val_batches is None:
             best_state = state        # no selection: final state is live
         result = {"history": history, "best_epoch": best_epoch,

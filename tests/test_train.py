@@ -120,3 +120,48 @@ def test_accuracy_sbm_predicted_only_class_widens_denominator():
     logits = np.array([[[0.0, 2.0], [2.0, 0.0]]])  # preds: 1, 0
     labels = np.array([[0, 0]])
     assert M.accuracy_sbm(logits, labels) == pytest.approx(0.25)
+
+
+def test_stop_at_min_lr_and_per_epoch_ckpt(tmp_path):
+    """Reference stop protocol (LPE main:199-208): break once the plateau
+    schedule reaches min_lr; per-epoch keep-latest orbax checkpoints."""
+    graphs = random_graph_dataset(seed=2, n_graphs=8, min_nodes=6,
+                                  max_nodes=10, n_features=7,
+                                  task="regression")
+    batch = _prep(graphs, max_nodes=12)
+    model = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=1, d_model=16, nb_heads=2, dim_feedforward=32,
+        dropout=0.0, nb_layers=1, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2)
+    trainer = Trainer(model, TrainConfig(
+        task="graph_reg", lr=1e-3, epochs=50, schedule="plateau",
+        plateau_patience=0, plateau_factor=0.1, min_lr=1e-5,
+        stop_at_min_lr=True, sign_flip=False))
+    result = trainer.fit([batch], val_batches=[batch],
+                         ckpt_dir=str(tmp_path / "ckpts"))
+    # patience 0 + factor 0.1: lr decays every non-improving epoch and
+    # hits min_lr within a few epochs -> early stop long before 50
+    assert len(result["history"]) < 50
+    from feta_tmlr_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    assert mgr.latest_step() == result["history"][-1]["epoch"]
+    restored = mgr.restore(result["state"])
+    assert all(np.all(np.isfinite(np.asarray(leaf))) for leaf in
+               jax.tree_util.tree_leaves(restored.params))
+    mgr.close()
+
+
+def test_max_time_stop():
+    graphs = random_graph_dataset(seed=3, n_graphs=8, min_nodes=6,
+                                  max_nodes=10, n_features=7,
+                                  task="regression")
+    batch = _prep(graphs, max_nodes=12)
+    model = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=1, d_model=16, nb_heads=2, dim_feedforward=32,
+        dropout=0.0, nb_layers=1, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2)
+    trainer = Trainer(model, TrainConfig(
+        task="graph_reg", lr=1e-3, epochs=500, max_time_h=1e-7,
+        sign_flip=False))
+    result = trainer.fit([batch])
+    assert len(result["history"]) < 500
