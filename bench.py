@@ -178,8 +178,16 @@ def bench_saturating(n_graphs=512):
 
 def main():
     graphs, n_edges = make_graphs()
+    # FETA_TRACE_DIR=<dir> captures a jax.profiler trace of the unpacked
+    # measurement for XProf/TensorBoard (utils/profiling.trace)
+    trace_dir = os.environ.get("FETA_TRACE_DIR")
     sec_packed = bench_packed(graphs, n_edges)
-    sec_unpacked = bench_unpacked(graphs, n_edges)
+    if trace_dir:
+        from feta_tmlr_tpu.utils.profiling import trace
+        with trace(trace_dir):
+            sec_unpacked = bench_unpacked(graphs, n_edges)
+    else:
+        sec_unpacked = bench_unpacked(graphs, n_edges)
     try:
         sec_torch = bench_torch_baseline(graphs)
     except Exception:
