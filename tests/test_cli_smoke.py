@@ -1,5 +1,6 @@
 """Experiment-CLI smoke tests (tiny configs, synthetic fallbacks)."""
 
+import numpy as np
 import pytest
 
 
@@ -50,3 +51,11 @@ def test_config_driven_zinc_main(tmp_path):
     path.write_text(json.dumps(cfg))
     res = m.main(["--config", str(path), "--synthetic-graphs", "20"])
     assert res["best_val"] is not None
+
+
+def test_gckn_sup_zinc_cli():
+    from feta_tmlr_tpu.experiments import gckn_sup as m
+    test_mae = m.main(["--epochs", "8", "--synthetic-graphs", "20",
+                       "--hidden-size", "8", "--path-size", "3",
+                       "--n-sampling-paths", "500"])
+    assert np.isfinite(test_mae)
