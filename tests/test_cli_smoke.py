@@ -59,3 +59,12 @@ def test_gckn_sup_zinc_cli():
                        "--hidden-size", "8", "--path-size", "3",
                        "--n-sampling-paths", "500"])
     assert np.isfinite(test_mae)
+
+
+def test_gckn_cv_cli():
+    from feta_tmlr_tpu.experiments import run_transformer_gckn_cv as m
+    res = m.main(["--dataset", "MUTAG", "--epochs", "2",
+                  "--synthetic-graphs", "20", "--dim-hidden", "16",
+                  "--nb-layers", "1", "--batch-size", "10",
+                  "--gckn-dim", "8", "--n-sampling-paths", "500"])
+    assert res["best_val"] is not None
