@@ -80,6 +80,8 @@ def main(argv=None):
         model,
         TrainConfig(task="binary_graph", lr=params.get("init_lr", 1e-3),
                     epochs=epochs, schedule="plateau", sign_flip=False,
+                    # ogbg-molhiv's OGB metric is ROC-AUC
+                    binary_metric="rocauc",
                     seed=args.seed),
         steps_per_epoch=len(train_b))
     result = trainer.fit(train_b, val_batches=val_b, epochs=epochs,

@@ -71,6 +71,9 @@ def main(argv=None):
                     regularization=args.regularization,
                     schedule=("warmup" if args.warmup else "constant"),
                     warmup_steps=args.warmup or 2000,
+                    # OGB Evaluator('ogbg-molhiv') metric is ROC-AUC
+                    # (run_transformer_gengcn_molhiv.py:215-222)
+                    binary_metric="rocauc",
                     sign_flip=args.lappe, seed=args.seed),
         steps_per_epoch=len(train_b))
     return run_and_log(trainer, train_b, val_b, test_b, args, outdir)

@@ -278,7 +278,9 @@ class DiffGraphTransformerMolHiv(nn.Module):
         h = nn.Dense(self.d_model, name="cls_fc1")(pooled)
         h = nn.leaky_relu(h)
         logits = nn.Dense(1, name="cls_fc2")(h).squeeze(-1)
-        return logits, nn.sigmoid(logits)
+        # (logits, reg, extra) trainer contract — _model_outputs reads
+        # element 1 as the scalar regularizer, so probs go in slot 2
+        return logits, 0.0, nn.sigmoid(logits)
 
 
 class DiffGraphTransformerGenGCNSBM(nn.Module):

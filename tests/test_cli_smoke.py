@@ -68,3 +68,12 @@ def test_gckn_cv_cli():
                   "--nb-layers", "1", "--batch-size", "10",
                   "--gckn-dim", "8", "--n-sampling-paths", "500"])
     assert res["best_val"] is not None
+
+
+def test_gckn_molhiv_cli():
+    from feta_tmlr_tpu.experiments import run_transformer_gckn_molhiv as m
+    res = m.main(["--epochs", "2", "--synthetic-graphs", "24",
+                  "--dim-hidden", "16", "--nb-layers", "1",
+                  "--batch-size", "12", "--gckn-dim", "8",
+                  "--n-sampling-paths", "500"])
+    assert res["best_val"] is not None

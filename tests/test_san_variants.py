@@ -49,7 +49,7 @@ def test_plain_sbm_and_molhiv_models():
                                     dim_feedforward=64, dropout=0.0,
                                     nb_layers=2)
     v2 = m2.init(jax.random.key(0), gb2)
-    logits, sig = m2.apply(v2, gb2)
+    logits, _reg, sig = m2.apply(v2, gb2)
     assert logits.shape == (8,)
     np.testing.assert_allclose(np.asarray(sig),
                                1 / (1 + np.exp(-np.asarray(logits))),
