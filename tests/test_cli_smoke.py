@@ -77,3 +77,19 @@ def test_gckn_molhiv_cli():
                   "--batch-size", "12", "--gckn-dim", "8",
                   "--n-sampling-paths", "500"])
     assert res["best_val"] is not None
+
+
+def test_gckn_sbm_and_molpcba_cli():
+    from feta_tmlr_tpu.experiments import run_transformer_gckn_SBM_cv as m1
+    from feta_tmlr_tpu.experiments import (
+        run_transformer_gckn_gengcn_molpcba as m2)
+    res = m1.main(["--epochs", "2", "--synthetic-graphs", "12",
+                   "--n-nodes", "20", "--dim-hidden", "16",
+                   "--nb-layers", "1", "--batch-size", "6",
+                   "--gckn-dim", "8", "--n-sampling-paths", "500"])
+    assert res["best_val"] is not None
+    res = m2.main(["--epochs", "2", "--synthetic-graphs", "16",
+                   "--dim-hidden", "16", "--nb-layers", "1",
+                   "--batch-size", "8", "--gckn-dim", "8",
+                   "--filter_order", "2", "--n-sampling-paths", "500"])
+    assert res["best_val"] is not None
