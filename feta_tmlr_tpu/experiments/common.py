@@ -19,8 +19,11 @@ import numpy as np
 
 from feta_tmlr_tpu.data import collate_graphs, random_graph_dataset
 from feta_tmlr_tpu.data.batch import Graph, GraphBatch
+from feta_tmlr_tpu.data.ogb_raw import load_ogb_or_synthetic
+from feta_tmlr_tpu.data.sbm import load_sbm_or_synthetic
 from feta_tmlr_tpu.data.synthetic import sbm_like_dataset, zinc_like_dataset
 from feta_tmlr_tpu.data.tu import load_fold_indices, load_tu_dataset
+from feta_tmlr_tpu.data.zinc import NUM_ATOM_TYPE, load_zinc_or_synthetic
 from feta_tmlr_tpu.pe import (
     POSENCODINGS,
     LapEncoding,
@@ -65,6 +68,8 @@ def base_parser(dataset_default: str) -> argparse.ArgumentParser:
     p.add_argument("--regularization", type=float, default=0.0)
     p.add_argument("--synthetic-graphs", type=int, default=120,
                    help="fallback dataset size when real data is absent")
+    p.add_argument("--max-graphs", type=int, default=None,
+                   help="head-slice each real split (smoke runs)")
     return p
 
 
@@ -103,6 +108,67 @@ def load_tu_or_synthetic(args):
         seed=args.seed, n_graphs=args.synthetic_graphs, min_nodes=8,
         max_nodes=24, n_features=7, n_classes=2)
     return graphs, 7, 2, False
+
+
+def onehot_x(graphs: Sequence[Graph], n_tags: int) -> Sequence[Graph]:
+    """Categorical node ids -> one-hot float features, the transformer
+    tier's input convention (reference GraphDataset.one_hot,
+    transformer/data.py:50-56)."""
+    eye = np.eye(n_tags, dtype=np.float32)
+    for g in graphs:
+        if np.issubdtype(g.x.dtype, np.integer):
+            g.x = eye[g.x.reshape(-1).astype(np.int64) % n_tags]
+    return graphs
+
+
+def load_zinc_tier(args, onehot: bool = True):
+    """ZINC train/val/test for the run_transformer* family.
+
+    (train, val, test, in_size, used_real). Real pickles under --datadir
+    (molecules/ layout) when present; synthetic fallback otherwise. With
+    onehot=True node ids become [n, 28] one-hot floats, matching the
+    reference's `GraphDataset(..., n_tags=28)` path (transformer/data.py).
+    """
+    tr, va, te, used = load_zinc_or_synthetic(
+        args.datadir, seed=args.seed, n_synthetic=args.synthetic_graphs,
+        max_graphs_per_split=getattr(args, "max_graphs", None))
+    if onehot:
+        for split in (tr, va, te):
+            onehot_x(split, NUM_ATOM_TYPE)
+    return tr, va, te, NUM_ATOM_TYPE, used
+
+
+def load_sbm_tier(args, onehot: bool = True):
+    """PATTERN/CLUSTER train/val/test for the SBM runners.
+
+    (train, val, test, in_size, n_classes, used_real). Accepts --dataset
+    'PATTERN' or 'SBM_PATTERN'; real pickles under --datadir (SBMs/ layout)
+    when present.
+    """
+    name = str(args.dataset)
+    if not name.startswith("SBM_"):
+        name = f"SBM_{name}"
+    tr, va, te, used = load_sbm_or_synthetic(
+        args.datadir, name, seed=args.seed,
+        n_synthetic=args.synthetic_graphs,
+        n_nodes=getattr(args, "n_nodes", 96),
+        max_graphs_per_split=getattr(args, "max_graphs", None))
+    all_graphs = tr + va + te
+    n_tags = int(max(int(g.x.max()) for g in all_graphs)) + 1
+    n_classes = int(max(int(g.y.max()) for g in all_graphs)) + 1
+    if onehot:
+        for split in (tr, va, te):
+            onehot_x(split, n_tags)
+    return tr, va, te, n_tags, n_classes, used
+
+
+def load_ogb_tier(args, name: str, synthetic_fn,
+                  min_nodes: Optional[int] = None):
+    """(train, val, test, used_real) for the OGB runners; real raw-CSV
+    layout under --datadir when present."""
+    return load_ogb_or_synthetic(
+        args.datadir, name, synthetic_fn, min_nodes=min_nodes,
+        max_graphs=getattr(args, "max_graphs", None))
 
 
 def apply_position_encodings(graphs: Sequence[Graph], args,

@@ -12,6 +12,7 @@ import argparse
 
 import numpy as np
 
+from feta_tmlr_tpu.data.ogb_raw import load_ogb_or_synthetic
 from feta_tmlr_tpu.data.synthetic import random_connected_graph
 from feta_tmlr_tpu.experiments.common import make_batches
 from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
@@ -57,6 +58,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=41)
     p.add_argument("--synthetic-graphs", type=int, default=64)
+    p.add_argument("--data-dir", type=str, default="data",
+                   help="root holding ogbg_<dataset>/raw CSVs")
+    p.add_argument("--max-graphs", type=int, default=None)
     args = p.parse_args(argv)
 
     cfg = (load_config(args.config) if args.config
@@ -74,8 +78,15 @@ def main(argv=None):
                          f"choose from {sorted(N_TASKS)}")
     n_tasks = N_TASKS[dataset]
 
-    print(f"[warn] {dataset} files not bundled - synthetic fallback")
-    graphs = ogbmol_like(args.seed, args.synthetic_graphs, n_tasks)
+    tr, va, te, used_real = load_ogb_or_synthetic(
+        args.data_dir, f"ogbg-{dataset.lower()}",
+        lambda: ogbmol_like(args.seed, args.synthetic_graphs, n_tasks),
+        min_nodes=6, max_graphs=args.max_graphs)
+    graphs = tr + va + te
+    if used_real:
+        # single categorical id per node (LSPE features='simple' analogue)
+        for g in graphs:
+            g.x = g.x[:, :1].astype(np.int32)
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
     kwargs.setdefault("hidden_dim", 32)
@@ -89,12 +100,12 @@ def main(argv=None):
     model = cls(num_atom_type=119, num_bond_type=5, n_out=n_tasks,
                 **kwargs)
 
-    n = len(graphs)
-    tr, va = graphs[: int(0.8 * n)], graphs[int(0.8 * n):]
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, params.get("batch_size", 32), max_nodes,
                            shuffle_seed=args.seed)
     val_b = make_batches(va, params.get("batch_size", 32), max_nodes)
+    test_b = (make_batches(te, params.get("batch_size", 32), max_nodes)
+              if te else None)
     trainer = Trainer(
         model,
         TrainConfig(task="binary_graph", lr=params.get("init_lr", 1e-3),
@@ -107,7 +118,8 @@ def main(argv=None):
                                    else "ap"),
                     seed=args.seed),
         steps_per_epoch=len(train_b))
-    result = trainer.fit(train_b, val_batches=val_b, epochs=epochs,
+    result = trainer.fit(train_b, val_batches=val_b,
+                         test_batches=test_b, epochs=epochs,
                          log_fn=lambda row: print(
                              {k: (round(v, 5) if isinstance(v, float)
                                   else v) for k, v in row.items()}))

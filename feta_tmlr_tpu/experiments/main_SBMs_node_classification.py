@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import argparse
 
-from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
+from feta_tmlr_tpu.data.sbm import load_sbm_or_synthetic
 from feta_tmlr_tpu.experiments.common import make_batches
 from feta_tmlr_tpu.nn.lspe import GraphiTSpectraNet
 from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
@@ -33,6 +33,10 @@ def main(argv=None):
     p.add_argument("--n-classes", type=int, default=2)
     p.add_argument("--max_freqs", type=int, default=10)
     p.add_argument("--synthetic-graphs", type=int, default=48)
+    p.add_argument("--dataset", type=str, default="SBM_PATTERN")
+    p.add_argument("--data-dir", type=str, default="data",
+                   help="root holding SBMs/<name>_{train,val,test}.pkl")
+    p.add_argument("--max-graphs", type=int, default=None)
     args = p.parse_args(argv)
 
     cfg = (load_config(args.config) if args.config
@@ -42,15 +46,17 @@ def main(argv=None):
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 50)
 
-    print("[warn] GNNBenchmark files not bundled - synthetic SBM fallback")
-    graphs = sbm_like_dataset(seed=args.seed, n_graphs=args.synthetic_graphs,
-                              n_nodes=args.n_nodes,
-                              n_classes=args.n_classes)
-    # SBM node features are small categorical ids; use them directly
+    name = cfg.get("dataset", args.dataset)
+    if not str(name).startswith("SBM_"):
+        name = f"SBM_{name}"
+    tr, va, te, _real = load_sbm_or_synthetic(
+        args.data_dir, name, seed=args.seed,
+        n_synthetic=args.synthetic_graphs, n_nodes=args.n_nodes,
+        n_classes=args.n_classes, max_graphs_per_split=args.max_graphs)
+    graphs = tr + va + te
     import numpy as np
-    for g in graphs:
-        g.x = np.argmax(g.x, -1).astype(np.int32)[:, None]
-        g.edge_type = np.ones(g.num_edges, np.int32)
+    n_tags = int(max(int(g.x.max()) for g in graphs)) + 1
+    n_classes = int(max(int(g.y.max()) for g in graphs)) + 1
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
     kwargs.setdefault("hidden_dim", 32)
@@ -69,23 +75,24 @@ def main(argv=None):
     else:
         apply_laplace_decomp(graphs, args.max_freqs)
         kwargs.setdefault("lpe_dim", 8)
-    model = cls(num_atom_type=3, num_bond_type=2, node_level=True,
-                n_out=args.n_classes, **kwargs)
+    model = cls(num_atom_type=n_tags, num_bond_type=2, node_level=True,
+                n_out=n_classes, **kwargs)
 
-    n = len(graphs)
-    tr, va = graphs[: int(0.8 * n)], graphs[int(0.8 * n):]
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, params.get("batch_size", 16), max_nodes,
                            shuffle_seed=args.seed, node_labels=True)
     val_b = make_batches(va, params.get("batch_size", 16), max_nodes,
                          node_labels=True)
+    test_b = make_batches(te, params.get("batch_size", 16), max_nodes,
+                          node_labels=True)
     trainer = Trainer(
         model,
         TrainConfig(task="node_clf", lr=params.get("init_lr", 1e-3),
                     epochs=epochs, schedule="plateau", sign_flip=False,
                     seed=args.seed),
         steps_per_epoch=len(train_b))
-    result = trainer.fit(train_b, val_batches=val_b, epochs=epochs,
+    result = trainer.fit(train_b, val_batches=val_b,
+                         test_batches=test_b, epochs=epochs,
                          log_fn=lambda row: print(
                              {k: (round(v, 5) if isinstance(v, float)
                                   else v) for k, v in row.items()}))

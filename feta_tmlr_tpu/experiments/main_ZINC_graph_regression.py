@@ -17,7 +17,7 @@ import os
 import numpy as np
 
 from feta_tmlr_tpu.data import collate_graphs
-from feta_tmlr_tpu.data.synthetic import zinc_categorical_dataset
+from feta_tmlr_tpu.data.zinc import load_zinc_or_synthetic
 from feta_tmlr_tpu.experiments.common import make_batches
 from feta_tmlr_tpu.nn.gat import GATFeTANet
 from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
@@ -58,6 +58,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=41)
     p.add_argument("--max_freqs", type=int, default=10)
     p.add_argument("--synthetic-graphs", type=int, default=96)
+    p.add_argument("--data-dir", type=str, default="data",
+                   help="root holding molecules/{train,val,test}.pickle")
+    p.add_argument("--zinc-full", action="store_true",
+                   help="load every molecule (ZINC-full) instead of the "
+                        "10k/1k/1k index subset")
+    p.add_argument("--max-graphs", type=int, default=None,
+                   help="head-slice each real split (smoke runs)")
     p.add_argument("--ckpt-dir", type=str, default=None,
                    help="per-epoch keep-latest checkpoints (orbax)")
     args = p.parse_args(argv)
@@ -80,11 +87,10 @@ def main(argv=None):
     lr = args.init_lr or params.get("init_lr", 1e-3)
     batch_size = args.batch_size or params.get("batch_size", 128)
 
-    print("[warn] ZINC files not bundled - synthetic molecule fallback")
-    graphs = zinc_categorical_dataset(seed=args.seed,
-                                      n_graphs=args.synthetic_graphs,
-                                      num_atom_type=NUM_ATOM_TYPE,
-                                      num_bond_type=NUM_BOND_TYPE)
+    tr, va, te, _real = load_zinc_or_synthetic(
+        args.data_dir, seed=args.seed, n_synthetic=args.synthetic_graphs,
+        subset=not args.zinc_full, max_graphs_per_split=args.max_graphs)
+    graphs = tr + va + te
     cls, extra = MODEL_REGISTRY[model_name]
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
@@ -110,11 +116,10 @@ def main(argv=None):
         model = cls(num_atom_type=NUM_ATOM_TYPE,
                     num_bond_type=NUM_BOND_TYPE, **kwargs)
 
-    n = len(graphs)
-    tr, va = graphs[: int(0.8 * n)], graphs[int(0.8 * n):]
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, batch_size, max_nodes, shuffle_seed=args.seed)
     val_b = make_batches(va, batch_size, max_nodes)
+    test_b = make_batches(te, batch_size, max_nodes)
     trainer = Trainer(
         model,
         TrainConfig(task="graph_reg", lr=lr,
@@ -132,7 +137,7 @@ def main(argv=None):
                     max_time_h=params.get("max_time"),
                     sign_flip=False, seed=args.seed),
         steps_per_epoch=len(train_b))
-    result = trainer.fit(train_b, val_batches=val_b, test_batches=val_b,
+    result = trainer.fit(train_b, val_batches=val_b, test_batches=test_b,
                          epochs=epochs, ckpt_dir=args.ckpt_dir,
                          log_fn=lambda row: print(
                              {k: (round(v, 5) if isinstance(v, float)

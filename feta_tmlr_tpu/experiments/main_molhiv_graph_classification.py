@@ -12,6 +12,7 @@ import argparse
 import numpy as np
 
 from feta_tmlr_tpu.data.batch import Graph
+from feta_tmlr_tpu.data.ogb_raw import load_ogb_or_synthetic
 from feta_tmlr_tpu.data.synthetic import random_connected_graph
 from feta_tmlr_tpu.experiments.common import make_batches
 from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
@@ -44,6 +45,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=41)
     p.add_argument("--max_freqs", type=int, default=10)
     p.add_argument("--synthetic-graphs", type=int, default=64)
+    p.add_argument("--data-dir", type=str, default="data",
+                   help="root holding ogbg_molhiv/raw CSVs")
+    p.add_argument("--max-graphs", type=int, default=None)
     args = p.parse_args(argv)
 
     cfg = (load_config(args.config) if args.config
@@ -57,8 +61,16 @@ def main(argv=None):
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 50)
 
-    print("[warn] ogbg-molhiv files not bundled - synthetic fallback")
-    graphs = molhiv_like(args.seed, args.synthetic_graphs)
+    tr, va, te, used_real = load_ogb_or_synthetic(
+        args.data_dir, "ogbg-molhiv",
+        lambda: molhiv_like(args.seed, args.synthetic_graphs),
+        min_nodes=6, max_graphs=args.max_graphs)
+    graphs = tr + va + te
+    if used_real:
+        # this tier's nets embed a single categorical id per node/edge
+        # (LSPE features='simple' keeps leading columns, ogb_mol.py:199-203)
+        for g in graphs:
+            g.x = g.x[:, :1].astype(np.int32)
     apply_laplace_decomp(graphs, args.max_freqs)
 
     kwargs = model_kwargs_for(cls, cfg["net_params"])
@@ -70,12 +82,12 @@ def main(argv=None):
     kwargs.setdefault("lpe_dim", 8)
     model = cls(num_atom_type=119, num_bond_type=5, n_out=1, **kwargs)
 
-    n = len(graphs)
-    tr, va = graphs[: int(0.8 * n)], graphs[int(0.8 * n):]
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, params.get("batch_size", 32), max_nodes,
                            shuffle_seed=args.seed)
     val_b = make_batches(va, params.get("batch_size", 32), max_nodes)
+    test_b = (make_batches(te, params.get("batch_size", 32), max_nodes)
+              if te else None)
     trainer = Trainer(
         model,
         TrainConfig(task="binary_graph", lr=params.get("init_lr", 1e-3),
@@ -84,7 +96,8 @@ def main(argv=None):
                     binary_metric="rocauc",
                     seed=args.seed),
         steps_per_epoch=len(train_b))
-    result = trainer.fit(train_b, val_batches=val_b, epochs=epochs,
+    result = trainer.fit(train_b, val_batches=val_b,
+                         test_batches=test_b, epochs=epochs,
                          log_fn=lambda row: print(
                              {k: (round(v, 5) if isinstance(v, float)
                                   else v) for k, v in row.items()}))

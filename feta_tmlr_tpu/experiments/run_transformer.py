@@ -13,11 +13,11 @@ from __future__ import annotations
 from feta_tmlr_tpu.experiments.common import (
     apply_position_encodings,
     base_parser,
+    load_zinc_tier,
     make_batches,
     resolve_outdir,
     run_and_log,
 )
-from feta_tmlr_tpu.data.synthetic import zinc_like_dataset
 from feta_tmlr_tpu.nn.models import DiffGraphTransformer, GraphTransformer
 from feta_tmlr_tpu.train import Trainer, TrainConfig
 
@@ -31,15 +31,9 @@ def main(argv=None):
     args.batch_norm = not args.layer_norm
     outdir = resolve_outdir(args, family="transformer_zinc")
 
-    print(f"[warn] ZINC files not bundled - synthetic molecule-shaped "
-          f"fallback ({args.synthetic_graphs} graphs)")
-    graphs = zinc_like_dataset(seed=args.seed,
-                               n_graphs=args.synthetic_graphs)
+    tr, va, te, in_size, _real = load_zinc_tier(args)
+    graphs = tr + va + te
     apply_position_encodings(graphs, args)
-    n = len(graphs)
-    tr, va, te = (graphs[: int(0.8 * n)],
-                  graphs[int(0.8 * n): int(0.9 * n)],
-                  graphs[int(0.9 * n):])
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, args.batch_size, max_nodes,
                            shuffle_seed=args.seed)
@@ -48,14 +42,14 @@ def main(argv=None):
 
     if args.vanilla:
         model = GraphTransformer(
-            in_size=28, nb_class=1, d_model=args.dim_hidden,
+            in_size=in_size, nb_class=1, d_model=args.dim_hidden,
             nb_heads=args.nb_heads,
             dim_feedforward=2 * args.dim_hidden, dropout=args.dropout,
             nb_layers=args.nb_layers, lap_pos_enc=args.lappe,
             lap_pos_enc_dim=args.lap_dim)
     else:
         model = DiffGraphTransformer(
-            in_size=28, nb_class=1, d_model=args.dim_hidden,
+            in_size=in_size, nb_class=1, d_model=args.dim_hidden,
             nb_heads=args.nb_heads,
             dim_feedforward=2 * args.dim_hidden, dropout=args.dropout,
             nb_layers=args.nb_layers, batch_norm=args.batch_norm,

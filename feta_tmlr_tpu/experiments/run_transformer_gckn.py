@@ -7,11 +7,11 @@ from __future__ import annotations
 from feta_tmlr_tpu.experiments.common import (
     apply_position_encodings,
     base_parser,
+    load_zinc_tier,
     make_batches,
     resolve_outdir,
     run_and_log,
 )
-from feta_tmlr_tpu.data.synthetic import zinc_like_dataset
 from feta_tmlr_tpu.gckn.models import gckn_encode_as_pe
 from feta_tmlr_tpu.nn import DiffGraphTransformer
 from feta_tmlr_tpu.train import Trainer, TrainConfig
@@ -26,24 +26,22 @@ def main(argv=None):
     args = p.parse_args(argv)
     outdir = resolve_outdir(args, family="transformer_gckn_zinc")
 
-    print("[warn] ZINC files not bundled - synthetic fallback")
-    graphs = zinc_like_dataset(seed=args.seed,
-                               n_graphs=args.synthetic_graphs)
+    tr, va, te, in_size, _real = load_zinc_tier(args)
+    graphs = tr + va + te
     pe_dim = gckn_encode_as_pe(graphs, dim=args.gckn_dim,
                                path_size=args.gckn_path,
                                n_sampling_paths=args.n_sampling_paths,
                                seed=args.seed)
     apply_position_encodings(
         graphs, type("A", (), {**vars(args), "lappe": False})())
-    n = len(graphs)
-    tr, va = graphs[: int(0.9 * n)], graphs[int(0.9 * n):]
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, args.batch_size, max_nodes,
                            shuffle_seed=args.seed)
     val_b = make_batches(va, args.batch_size, max_nodes)
+    test_b = make_batches(te, args.batch_size, max_nodes)
 
     model = DiffGraphTransformer(
-        in_size=28, nb_class=1, d_model=args.dim_hidden,
+        in_size=in_size, nb_class=1, d_model=args.dim_hidden,
         nb_heads=args.nb_heads, dim_feedforward=2 * args.dim_hidden,
         dropout=args.dropout, nb_layers=args.nb_layers,
         batch_norm=args.batch_norm, lap_pos_enc=True,
@@ -56,7 +54,7 @@ def main(argv=None):
                     warmup_steps=args.warmup or 2000,
                     sign_flip=False, seed=args.seed),
         steps_per_epoch=len(train_b))
-    return run_and_log(trainer, train_b, val_b, val_b, args, outdir)
+    return run_and_log(trainer, train_b, val_b, test_b, args, outdir)
 
 
 if __name__ == "__main__":

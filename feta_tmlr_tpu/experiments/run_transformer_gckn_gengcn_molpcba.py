@@ -12,9 +12,12 @@ absent.
 
 from __future__ import annotations
 
+import numpy as np
+
 from feta_tmlr_tpu.experiments.common import (
     apply_position_encodings,
     base_parser,
+    load_ogb_tier,
     make_batches,
     resolve_outdir,
     run_and_log,
@@ -38,24 +41,28 @@ def main(argv=None):
     args = p.parse_args(argv)
     outdir = resolve_outdir(args, family="transformer_gckn_gengcn_molpcba")
 
-    print("[warn] ogbg-molpcba files not bundled - synthetic fallback")
-    graphs = ogb_like_dataset(args.seed, args.synthetic_graphs,
-                              n_tasks=N_TASKS)
+    tr, va, te, _real = load_ogb_tier(
+        args, "ogbg-molpcba",
+        lambda: ogb_like_dataset(args.seed, args.synthetic_graphs,
+                                 n_tasks=N_TASKS))
+    graphs = tr + va + te
+    # task count from the data (reference reads dataset.num_tasks from the
+    # OGB meta; molpcba = 128, fixtures may be narrower)
+    n_tasks = int(np.atleast_1d(graphs[0].y).shape[0])
     pe_dim = gckn_encode_as_pe(graphs, dim=args.gckn_dim,
                                path_size=args.gckn_path,
                                n_sampling_paths=args.n_sampling_paths,
                                seed=args.seed)
     apply_position_encodings(
         graphs, type("A", (), {**vars(args), "lappe": False})())
-    n = len(graphs)
-    tr, va = graphs[: int(0.85 * n)], graphs[int(0.85 * n):]
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, args.batch_size, max_nodes,
                            shuffle_seed=args.seed)
     val_b = make_batches(va, args.batch_size, max_nodes)
+    test_b = make_batches(te, args.batch_size, max_nodes)
 
     model = DiffGraphTransformerGenGCNMolPcba(
-        nb_class=N_TASKS, d_model=args.dim_hidden, nb_heads=args.nb_heads,
+        nb_class=n_tasks, d_model=args.dim_hidden, nb_heads=args.nb_heads,
         dim_feedforward=2 * args.dim_hidden, dropout=args.dropout,
         nb_layers=args.nb_layers, batch_norm=args.batch_norm,
         lap_pos_enc=True, lap_pos_enc_dim=pe_dim,
@@ -70,7 +77,7 @@ def main(argv=None):
                     warmup_steps=args.warmup or 2000,
                     sign_flip=False, seed=args.seed),
         steps_per_epoch=len(train_b))
-    return run_and_log(trainer, train_b, val_b, val_b, args, outdir)
+    return run_and_log(trainer, train_b, val_b, test_b, args, outdir)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ from __future__ import annotations
 from feta_tmlr_tpu.experiments.common import (
     apply_position_encodings,
     base_parser,
+    load_ogb_tier,
     make_batches,
     resolve_outdir,
     run_and_log,
@@ -33,9 +34,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     outdir = resolve_outdir(args, family="transformer_gckn_molhiv")
 
-    print("[warn] ogbg-molhiv files not bundled - synthetic OGB-shaped "
-          "fallback")
-    graphs = ogb_like_dataset(args.seed, args.synthetic_graphs)
+    tr, va, te, _real = load_ogb_tier(
+        args, "ogbg-molhiv",
+        lambda: ogb_like_dataset(args.seed, args.synthetic_graphs))
+    graphs = tr + va + te
     # GCKN featurizes the categorical atom columns as raw reals — the
     # kernel sees the same inputs the reference feeds it (one-hot-free,
     # run_transformer_gckn_molhiv wiring)
@@ -45,10 +47,6 @@ def main(argv=None):
                                seed=args.seed)
     apply_position_encodings(
         graphs, type("A", (), {**vars(args), "lappe": False})())
-    n = len(graphs)
-    tr, va, te = (graphs[: int(0.8 * n)],
-                  graphs[int(0.8 * n): int(0.9 * n)],
-                  graphs[int(0.9 * n):])
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, args.batch_size, max_nodes,
                            shuffle_seed=args.seed)

@@ -6,9 +6,12 @@ data-parallelism — see feta_tmlr_tpu.parallel)."""
 
 from __future__ import annotations
 
+import numpy as np
+
 from feta_tmlr_tpu.experiments.common import (
     apply_position_encodings,
     base_parser,
+    load_ogb_tier,
     make_batches,
     resolve_outdir,
     run_and_log,
@@ -27,19 +30,23 @@ def main(argv=None):
     args = p.parse_args(argv)
     outdir = resolve_outdir(args, family="transformer_gengcn_molpcba")
 
-    print("[warn] ogbg-molpcba files not bundled - synthetic fallback")
-    graphs = ogb_like_dataset(args.seed, args.synthetic_graphs,
-                              n_tasks=N_TASKS)
+    tr, va, te, _real = load_ogb_tier(
+        args, "ogbg-molpcba",
+        lambda: ogb_like_dataset(args.seed, args.synthetic_graphs,
+                                 n_tasks=N_TASKS))
+    graphs = tr + va + te
+    # task count from the data (reference reads dataset.num_tasks from the
+    # OGB meta; molpcba = 128, fixtures may be narrower)
+    n_tasks = int(np.atleast_1d(graphs[0].y).shape[0])
     apply_position_encodings(graphs, args)
-    n = len(graphs)
-    tr, va = graphs[: int(0.85 * n)], graphs[int(0.85 * n):]
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, args.batch_size, max_nodes,
                            shuffle_seed=args.seed)
     val_b = make_batches(va, args.batch_size, max_nodes)
+    test_b = make_batches(te, args.batch_size, max_nodes)
 
     model = DiffGraphTransformerGenGCNMolPcba(
-        nb_class=N_TASKS, d_model=args.dim_hidden, nb_heads=args.nb_heads,
+        nb_class=n_tasks, d_model=args.dim_hidden, nb_heads=args.nb_heads,
         dim_feedforward=2 * args.dim_hidden, dropout=args.dropout,
         nb_layers=args.nb_layers, batch_norm=args.batch_norm,
         lap_pos_enc=args.lappe, lap_pos_enc_dim=args.lap_dim,
@@ -54,7 +61,7 @@ def main(argv=None):
                     warmup_steps=args.warmup or 2000,
                     sign_flip=args.lappe, seed=args.seed),
         steps_per_epoch=len(train_b))
-    return run_and_log(trainer, train_b, val_b, val_b, args, outdir)
+    return run_and_log(trainer, train_b, val_b, test_b, args, outdir)
 
 
 if __name__ == "__main__":

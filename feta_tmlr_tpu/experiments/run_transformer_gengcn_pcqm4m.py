@@ -10,6 +10,7 @@ import numpy as np
 from feta_tmlr_tpu.experiments.common import (
     apply_position_encodings,
     base_parser,
+    load_ogb_tier,
     make_batches,
     resolve_outdir,
     run_and_log,
@@ -26,18 +27,23 @@ def main(argv=None):
     args = p.parse_args(argv)
     outdir = resolve_outdir(args, family="transformer_gengcn_pcqm4m")
 
-    print("[warn] PCQM4M files not bundled - synthetic fallback")
-    graphs = ogb_like_dataset(args.seed, args.synthetic_graphs)
-    rng = np.random.default_rng(args.seed)
-    for g in graphs:
-        g.y = np.float32(rng.uniform(0, 10))      # gap-like target
+    def _synthetic():
+        # PCQM4M ships SMILES (needs rdkit, not in this image); a user can
+        # still drop a pre-featurized OGB-layout graph table in --datadir
+        graphs = ogb_like_dataset(args.seed, args.synthetic_graphs)
+        rng = np.random.default_rng(args.seed)
+        for g in graphs:
+            g.y = np.float32(rng.uniform(0, 10))  # gap-like target
+        return graphs
+
+    tr, va, te, _real = load_ogb_tier(args, "pcqm4m_kddcup2021", _synthetic)
+    graphs = tr + va + te
     apply_position_encodings(graphs, args)
-    n = len(graphs)
-    tr, va = graphs[: int(0.9 * n)], graphs[int(0.9 * n):]
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, args.batch_size, max_nodes,
                            shuffle_seed=args.seed)
     val_b = make_batches(va, args.batch_size, max_nodes)
+    test_b = make_batches(te, args.batch_size, max_nodes)
 
     model = DiffGraphTransformerGenGCNPCQM4M(
         nb_class=1, d_model=args.dim_hidden, nb_heads=args.nb_heads,
@@ -55,7 +61,7 @@ def main(argv=None):
                     warmup_steps=args.warmup or 2000,
                     sign_flip=args.lappe, seed=args.seed),
         steps_per_epoch=len(train_b))
-    return run_and_log(trainer, train_b, val_b, val_b, args, outdir)
+    return run_and_log(trainer, train_b, val_b, test_b, args, outdir)
 
 
 if __name__ == "__main__":

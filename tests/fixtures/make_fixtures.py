@@ -1,0 +1,166 @@
+"""Generate tiny committed dataset fixtures in the REAL on-disk formats.
+
+Run from the repo root:  python tests/fixtures/make_fixtures.py
+
+Formats reproduced byte-compatibly with what the reference stack reads:
+  - ZINC molecule pickles + .index CSVs (LSPE/data/molecules.py:24-37):
+    torch tensors inside plain dicts.
+  - GNNBenchmark SBM pickles (LPE/data/SBMs.py:18-27): lists of DotDict
+    records whose class path points at the (non-importable) generating
+    notebook module — exactly the situation real downloads present.
+  - OGB raw CSV layout (what DglGraphPropPredDataset downloads):
+    raw/*.csv.gz + split/scaffold/*.csv.gz.
+"""
+
+import csv
+import gzip
+import os
+import pickle
+
+import numpy as np
+import torch
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+# --------------------------------------------------------------- ZINC
+def _random_molecule(rng, n):
+    atom = torch.from_numpy(rng.integers(0, 28, n).astype(np.int64))
+    bond = np.zeros((n, n), dtype=np.int64)
+    order = rng.permutation(n)
+    for a, b in zip(order[:-1], order[1:]):  # spanning chain
+        t = int(rng.integers(1, 4))
+        bond[a, b] = bond[b, a] = t
+    extra = rng.integers(0, n, size=(2, max(n // 3, 1)))
+    for a, b in zip(*extra):
+        if a != b and bond[a, b] == 0:
+            t = int(rng.integers(1, 4))
+            bond[a, b] = bond[b, a] = t
+    return {
+        "num_atom": int(n),
+        "atom_type": atom,
+        "bond_type": torch.from_numpy(bond),
+        "logP_SA_cycle_normalized": torch.tensor(
+            float(rng.standard_normal()), dtype=torch.float64),
+    }
+
+
+def make_zinc(root):
+    rng = np.random.default_rng(7)
+    os.makedirs(root, exist_ok=True)
+    sizes = {"train": 12, "val": 5, "test": 5}
+    for split, count in sizes.items():
+        mols = [_random_molecule(rng, int(rng.integers(6, 16)))
+                for _ in range(count)]
+        with open(os.path.join(root, f"{split}.pickle"), "wb") as f:
+            pickle.dump(mols, f)
+        # index file selecting a strict subset, reference CSV shape:
+        # one row of indices (LSPE/data/molecules.py:33-36)
+        idx = list(range(0, count, 2))
+        with open(os.path.join(root, f"{split}.index"), "w",
+                  newline="") as f:
+            csv.writer(f).writerow(idx)
+    print(f"wrote ZINC fixture -> {root}")
+
+
+# --------------------------------------------------------------- SBM
+class DotDict(dict):
+    def __getattr__(self, k):
+        return self[k]
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+# Real benchmarking-gnns pickles were written by the generating notebook, so
+# they reference ``__main__.DotDict`` — a class that does NOT exist in the
+# loading process. Running this script as __main__ reproduces that exactly:
+# naive pickle.load fails on these fixtures, the tolerant unpickler in
+# feta_tmlr_tpu/data/sbm.py is required, same as for the real files.
+
+
+def make_sbm(root, name="SBM_FIXTURE"):
+    rng = np.random.default_rng(11)
+    os.makedirs(root, exist_ok=True)
+    for split, count in (("train", 6), ("val", 3), ("test", 3)):
+        recs = []
+        for _ in range(count):
+            n = int(rng.integers(12, 24))
+            labels = rng.integers(0, 2, n)
+            p = np.where(labels[:, None] == labels[None, :], 0.5, 0.1)
+            upper = np.triu(rng.random((n, n)) < p, k=1)
+            W = (upper | upper.T).astype(np.int16)
+            rec = DotDict()
+            rec.node_feat = torch.from_numpy(
+                rng.integers(0, 3, n).astype(np.int64))
+            rec.W = torch.from_numpy(W)
+            rec.node_label = torch.from_numpy(labels.astype(np.int16))
+            recs.append(rec)
+        with open(os.path.join(root, f"{name}_{split}.pkl"), "wb") as f:
+            pickle.dump(recs, f)
+    print(f"wrote SBM fixture -> {root}")
+
+
+# --------------------------------------------------------------- OGB raw
+def _write_csv_gz(path, rows):
+    with gzip.open(path, "wt", newline="") as f:
+        w = csv.writer(f)
+        for r in rows:
+            w.writerow(r)
+
+
+def make_ogb(root, name_dir, n_graphs, n_tasks, with_nan, seed):
+    rng = np.random.default_rng(seed)
+    raw = os.path.join(root, name_dir, "raw")
+    split = os.path.join(root, name_dir, "split", "scaffold")
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(split, exist_ok=True)
+    num_nodes, num_edges, edges, nfeat, efeat, labels = [], [], [], [], [], []
+    for gi in range(n_graphs):
+        # include some <=5-node graphs to exercise the LSPE size filter
+        n = int(rng.integers(3, 6)) if gi % 5 == 4 else int(
+            rng.integers(7, 18))
+        order = rng.permutation(n)
+        und = [(int(a), int(b)) for a, b in zip(order[:-1], order[1:])]
+        ee = []
+        for a, b in und:  # both directions, local node ids
+            ee.append((a, b))
+            ee.append((b, a))
+        num_nodes.append([n])
+        num_edges.append([len(ee)])
+        edges.extend(ee)
+        nfeat.extend(rng.integers(0, 20, size=(n, 9)).tolist())
+        efeat.extend(rng.integers(0, 4, size=(len(ee), 3)).tolist())
+        if n_tasks == 1:
+            labels.append([int(rng.integers(0, 2))])
+        else:
+            row = [int(rng.integers(0, 2)) for _ in range(n_tasks)]
+            if with_nan:
+                for j in range(n_tasks):
+                    if rng.random() < 0.3:
+                        row[j] = ""  # unlabeled task cell (molpcba style)
+            labels.append(row)
+    _write_csv_gz(os.path.join(raw, "num-node-list.csv.gz"), num_nodes)
+    _write_csv_gz(os.path.join(raw, "num-edge-list.csv.gz"), num_edges)
+    _write_csv_gz(os.path.join(raw, "edge.csv.gz"), edges)
+    _write_csv_gz(os.path.join(raw, "node-feat.csv.gz"), nfeat)
+    _write_csv_gz(os.path.join(raw, "edge-feat.csv.gz"), efeat)
+    _write_csv_gz(os.path.join(raw, "graph-label.csv.gz"), labels)
+    idx = rng.permutation(n_graphs)
+    cut1, cut2 = int(0.6 * n_graphs), int(0.8 * n_graphs)
+    _write_csv_gz(os.path.join(split, "train.csv.gz"),
+                  [[int(i)] for i in idx[:cut1]])
+    _write_csv_gz(os.path.join(split, "valid.csv.gz"),
+                  [[int(i)] for i in idx[cut1:cut2]])
+    _write_csv_gz(os.path.join(split, "test.csv.gz"),
+                  [[int(i)] for i in idx[cut2:]])
+    print(f"wrote OGB fixture -> {os.path.join(root, name_dir)}")
+
+
+if __name__ == "__main__":
+    make_zinc(os.path.join(HERE, "molecules"))
+    make_sbm(os.path.join(HERE, "SBMs"))
+    make_ogb(HERE, "ogbg_molhiv", n_graphs=10, n_tasks=1,
+             with_nan=False, seed=3)
+    make_ogb(HERE, "ogbg_molpcba", n_graphs=8, n_tasks=8,
+             with_nan=True, seed=5)
