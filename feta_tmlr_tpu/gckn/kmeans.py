@@ -48,29 +48,41 @@ def kmeans_plus_plus(x, n_clusters, rng):
 
 
 def spherical_kmeans(x, n_clusters, n_iters: int = 100, seed: int = 0,
-                     tol: float = 1e-4, verbose: bool = False):
+                     tol: float = 1e-4, verbose: bool = False,
+                     init_centers=None):
     """x: [n, path_size, input] unit-normalized samples.
 
     Returns centroids [n_clusters, path_size, input], unit-normalized rows.
+    ``init_centers`` overrides the kmeans++ seeding (the reference's
+    random-permutation init path, gckn/utils.py:96-100 — also how the
+    reference-golden tests pin both sides to the same start).
     """
     rng = np.random.default_rng(seed)
     x = _normalize(np.asarray(x, dtype=np.float64))
     n = x.shape[0]
     flat = x.reshape(n, -1)
-    centers = kmeans_plus_plus(x, n_clusters, rng)
+    if init_centers is not None:
+        centers = np.array(init_centers, dtype=np.float64)
+    else:
+        centers = kmeans_plus_plus(x, n_clusters, rng)
     prev_sim = -np.inf
     for it in range(n_iters):
         cflat = centers.reshape(n_clusters, -1)
         sim = flat @ cflat.T                       # cosine similarity
         assign = sim.argmax(1)
-        mean_sim = sim[np.arange(n), assign].mean()
+        best = sim[np.arange(n), assign]
+        mean_sim = best.mean()
         for c in range(n_clusters):
             members = flat[assign == c]
-            if len(members) == 0:                  # re-seed empty cluster
-                centers[c] = x[rng.integers(n)]
+            if len(members) == 0:
+                # reference policy (gckn/utils.py:115-119): steal the
+                # least-well-represented point, mark it taken
+                idx = int(best.argmin())
+                centers[c] = x[idx]
+                best[idx] = 1.0
             else:
-                centers[c] = members.mean(0).reshape(centers.shape[1:])
-        centers = _normalize(centers)              # per-position row norm
+                centers[c] = _normalize(
+                    members.mean(0).reshape(centers.shape[1:]))
         if verbose:
             print(f"kmeans iter {it}: sim={mean_sim:.5f}")
         if abs(mean_sim - prev_sim) < tol:

@@ -81,11 +81,15 @@ def path_conv_agg(features, path_indices, segment_ids, num_segments,
     return segment_pool(emb, segment_ids, num_segments, pooling, path_mask)
 
 
-def matrix_inverse_sqrt(mat, eps: float = 1e-5):
-    """kappa(Gram)^{-1/2} via eigh (gckn/ops.py:5-45)."""
+def matrix_inverse_sqrt(mat, eps: float = 1e-2):
+    """kappa(Gram)^{-1/2} via eigh, exact reference semantics
+    (gckn/ops.py:13-28): eigenvalues clamped at 0, then 1/(sqrt(e)+eps)
+    with the reference's default eps=1e-2 (call site gckn/layers.py:81
+    uses the default). Backward comes from eigh autodiff where the
+    reference hand-derives the same expression (gckn/ops.py:30-45)."""
     w, v = jnp.linalg.eigh(mat)
-    w = jnp.maximum(w, eps) ** -0.5
-    return (v * w[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+    inv = 1.0 / (jnp.sqrt(jnp.maximum(w, 0.0)) + eps)
+    return (v * inv[..., None, :]) @ jnp.swapaxes(v, -1, -2)
 
 
 def normalize_rows(x, axis=-1):

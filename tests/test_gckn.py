@@ -87,7 +87,10 @@ def test_matrix_inverse_sqrt():
     rng = np.random.default_rng(2)
     a = rng.standard_normal((6, 6))
     gram = a @ a.T + 6 * np.eye(6)
-    inv_sqrt = np.asarray(matrix_inverse_sqrt(jnp.asarray(gram)))
+    # eps=0 isolates the mathematical property; the default eps=1e-2
+    # reproduces the reference's regularised formula and is covered by
+    # test_reference_goldens.py
+    inv_sqrt = np.asarray(matrix_inverse_sqrt(jnp.asarray(gram), eps=0.0))
     approx = inv_sqrt @ gram @ inv_sqrt
     np.testing.assert_allclose(approx, np.eye(6), atol=1e-4)
 
