@@ -79,6 +79,27 @@ def test_gckn_molhiv_cli():
     assert res["best_val"] is not None
 
 
+def test_gckn_gengcn_zinc_cli():
+    # headline FeTA+GCKN ZINC configuration
+    # (reference run_transformer_gckn_gengcn.py)
+    from feta_tmlr_tpu.experiments import run_transformer_gckn_gengcn as m
+    res = m.main(["--epochs", "2", "--synthetic-graphs", "20",
+                  "--dim-hidden", "16", "--nb-layers", "1",
+                  "--batch-size", "8", "--gckn-dim", "8",
+                  "--gckn-path", "3", "--filter_order", "2",
+                  "--n-sampling-paths", "400"])
+    assert res["best_val"] is not None
+
+
+def test_plain_molhiv_cli():
+    # plain GraphiT molhiv (reference run_transformer_molhiv.py:390-404)
+    from feta_tmlr_tpu.experiments import run_transformer_molhiv as m
+    res = m.main(["--epochs", "2", "--synthetic-graphs", "40",
+                  "--dim-hidden", "16", "--nb-layers", "1",
+                  "--batch-size", "8"])
+    assert np.isfinite(res["best_val"])
+
+
 def test_gckn_sbm_and_molpcba_cli():
     from feta_tmlr_tpu.experiments import run_transformer_gckn_SBM_cv as m1
     from feta_tmlr_tpu.experiments import (
