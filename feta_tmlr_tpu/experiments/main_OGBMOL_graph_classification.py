@@ -27,6 +27,8 @@ MODELS = {
     "GatedGCN": (GatedGCNLSPENet, {}),
     "PNA": (PNALSPENet, {}),
     "GraphiTSpectra": (GraphiTSpectraNet, {}),
+    "Spectra": (GraphiTSpectraNet, {}),
+    "GraphiT": (GraphiTSpectraNet, {"spectra": False}),
     "SAN": (SANLSPENet, {}),
 }
 N_TASKS = {"MOLTOX21": 12, "MOLPCBA": 128}
@@ -93,8 +95,13 @@ def main(argv=None):
     kwargs.setdefault("out_dim", 32)
     kwargs.setdefault("n_layers", 3)
     dim = kwargs.setdefault("pos_enc_dim", 12)
-    for g in graphs:
-        g.lap_pe = rwpe(g, dim)
+    pe_init = kwargs.get("pe_init", "rand_walk")
+    if pe_init == "rand_walk":
+        for g in graphs:
+            g.lap_pe = rwpe(g, dim)
+    elif pe_init == "lap_pe":
+        from feta_tmlr_tpu.pe import LapEncoding
+        LapEncoding(dim, normalization="sym").apply_to(graphs)
     if cls is PNALSPENet:
         kwargs.setdefault("avg_d_log", average_log_degree(graphs))
     model = cls(num_atom_type=119, num_bond_type=5, n_out=n_tasks,

@@ -18,9 +18,30 @@ from feta_tmlr_tpu.pe.rwpe import rwpe
 from feta_tmlr_tpu.train import Trainer, TrainConfig
 from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
 
-MODELS = {"SAN": (SANNet, {}), "SAN_NodeSpectra": (SANNodeSpectra, {}),
+MODELS = {"SAN": (SANNet, {}),
+          "SAN_NodeLPE": (SANNet, {"lpe": "node"}),
+          "SAN_NodeSpectra": (SANNodeSpectra, {}),
           # LSPE SBM tier (GraphiT_SBM_PATTERN_LSPE.json)
-          "GraphiTSpectra": (GraphiTSpectraNet, {})}
+          "GraphiTSpectra": (GraphiTSpectraNet, {}),
+          "Spectra": (GraphiTSpectraNet, {}),
+          "GraphiT": (GraphiTSpectraNet, {"spectra": False})}
+
+LPE_VARIANTS = {"node": "SAN_NodeLPE", "edge": "SAN_EdgeLPE",
+                "none": "SAN", "nodespectra": "SAN_NodeSpectra",
+                "spectral_node": "SAN_NodeSpectra"}
+
+
+
+def resolve_model_name(cfg, model_arg=None):
+    """LPE convention (load_net.py): 'GraphTransformer' (or legacy 'SAN')
+    + net_params['LPE'] picks the variant."""
+    model_name = model_arg or cfg.get("model") or "SAN_NodeSpectra"
+    lpe_kind = cfg["net_params"].get("LPE")
+    if model_name in ("SAN", "GraphTransformer") and lpe_kind:
+        model_name = LPE_VARIANTS.get(lpe_kind, model_name)
+    elif model_name == "GraphTransformer":
+        model_name = "SAN"
+    return model_name
 
 
 def main(argv=None):
@@ -41,7 +62,7 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": args.model, "params": {}, "net_params": {}})
-    model_name = args.model or cfg.get("model") or "SAN_NodeSpectra"
+    model_name = resolve_model_name(cfg, args.model)
     cls, extra = MODELS[model_name]
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 50)
@@ -88,7 +109,8 @@ def main(argv=None):
     trainer = Trainer(
         model,
         TrainConfig(task="node_clf", lr=params.get("init_lr", 1e-3),
-                    epochs=epochs, schedule="plateau", sign_flip=False,
+                    epochs=epochs, schedule="plateau",
+                    sign_flip=cls in (SANNet, SANNodeSpectra),
                     seed=args.seed),
         steps_per_epoch=len(train_b))
     result = trainer.fit(train_b, val_batches=val_b,

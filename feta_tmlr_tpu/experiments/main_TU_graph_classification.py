@@ -14,12 +14,44 @@ import numpy as np
 from feta_tmlr_tpu.data import random_graph_dataset
 from feta_tmlr_tpu.data.tu import load_fold_indices, load_tu_dataset
 from feta_tmlr_tpu.experiments.common import make_batches
+from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
+from feta_tmlr_tpu.nn.lspe import GraphiTSpectraNet
+from feta_tmlr_tpu.nn.pna import PNALSPENet, average_log_degree
 from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
+from feta_tmlr_tpu.pe.rwpe import rwpe
 from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
 from feta_tmlr_tpu.train import Trainer, TrainConfig
 from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
 
-MODELS = {"SAN": (SANNet, {}), "SAN_NodeSpectra": (SANNodeSpectra, {})}
+MODELS = {
+    "SAN": (SANNet, {}),
+    "SAN_NodeLPE": (SANNet, {"lpe": "node"}),
+    "SAN_EdgeLPE": (SANNet, {"lpe": "edge"}),
+    "SAN_NodeSpectra": (SANNodeSpectra, {}),
+    # LSPE-TU tier (nets/TU_graph_classification): float features in
+    "GatedGCN": (GatedGCNLSPENet, {"categorical_input": False}),
+    "PNA": (PNALSPENet, {"categorical_input": False}),
+    "GraphiT": (GraphiTSpectraNet, {"spectra": False,
+                                    "categorical_input": False}),
+    "Spectra": (GraphiTSpectraNet, {"categorical_input": False}),
+}
+
+LPE_VARIANTS = {"node": "SAN_NodeLPE", "edge": "SAN_EdgeLPE",
+                "none": "SAN", "nodespectra": "SAN_NodeSpectra",
+                "spectral_node": "SAN_NodeSpectra"}
+
+
+
+def resolve_model_name(cfg, model_arg=None):
+    """LPE convention (load_net.py): 'GraphTransformer' (or legacy 'SAN')
+    + net_params['LPE'] picks the variant."""
+    model_name = model_arg or cfg.get("model") or "SAN_NodeSpectra"
+    lpe_kind = cfg["net_params"].get("LPE")
+    if model_name in ("SAN", "GraphTransformer") and lpe_kind:
+        model_name = LPE_VARIANTS.get(lpe_kind, model_name)
+    elif model_name == "GraphTransformer":
+        model_name = "SAN"
+    return model_name
 
 
 def main(argv=None):
@@ -37,8 +69,8 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": args.model, "params": {}, "net_params": {}})
-    cls, extra = MODELS[args.model or cfg.get("model")
-                        or "SAN_NodeSpectra"]
+    model_name = resolve_model_name(cfg, args.model)
+    cls, extra = MODELS[model_name]
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 100)
 
@@ -52,6 +84,10 @@ def main(argv=None):
                                       n_features=7)
     n_classes = len({int(g.y) for g in graphs})
     apply_laplace_decomp(graphs, args.max_freqs)
+    if cls in (GatedGCNLSPENet, PNALSPENet, GraphiTSpectraNet):
+        dim = cfg["net_params"].get("pos_enc_dim", 12)
+        for g in graphs:
+            g.lap_pe = rwpe(g, dim)
     tr_idx, te_idx = load_fold_indices(
         graphs, args.fold_idx, name=args.dataset,
         fold_dir=f"{args.datadir}/fold-idx", seed=args.seed)
@@ -63,7 +99,10 @@ def main(argv=None):
     kwargs.setdefault("n_heads", 4)
     kwargs.setdefault("n_layers", 3)
     kwargs.setdefault("lpe_dim", 8)
-    model = cls(num_atom_type=1, num_bond_type=1, categorical_input=False,
+    if cls is PNALSPENet:
+        kwargs.setdefault("avg_d_log", average_log_degree(graphs))
+    kwargs.setdefault("categorical_input", False)
+    model = cls(num_atom_type=1, num_bond_type=1,
                 n_out=n_classes, **kwargs)
 
     max_nodes = max(g.num_nodes for g in graphs)
@@ -75,7 +114,9 @@ def main(argv=None):
     trainer = Trainer(
         model,
         TrainConfig(task="graph_clf", lr=params.get("init_lr", 1e-3),
-                    epochs=epochs, schedule="plateau", sign_flip=False,
+                    epochs=epochs, schedule="plateau",
+                    # eigvec flip for the SAN tier (LPE train loops:26-33)
+                    sign_flip=cls in (SANNet, SANNodeSpectra),
                     seed=args.seed),
         steps_per_epoch=len(train_b))
     result = trainer.fit(train_b, val_batches=test_b, test_batches=test_b,

@@ -19,7 +19,7 @@ import numpy as np
 from feta_tmlr_tpu.data import collate_graphs
 from feta_tmlr_tpu.data.zinc import load_zinc_or_synthetic
 from feta_tmlr_tpu.experiments.common import make_batches
-from feta_tmlr_tpu.nn.gat import GATFeTANet
+from feta_tmlr_tpu.nn.gat import GATFeTANet, GATNet
 from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
 from feta_tmlr_tpu.nn.lspe import GraphiTSpectraNet
 from feta_tmlr_tpu.nn.pna import PNALSPENet, average_log_degree
@@ -33,6 +33,7 @@ from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
 
 MODEL_REGISTRY = {
     "SAN": (SANNet, {"lpe": "none"}),
+    "GAT": (GATNet, {}),
     "SAN_NodeLPE": (SANNet, {"lpe": "node"}),
     "SAN_EdgeLPE": (SANNet, {"lpe": "edge"}),
     "SAN_NodeSpectra": (SANNodeSpectra, {}),
@@ -46,6 +47,33 @@ MODEL_REGISTRY = {
 
 NUM_ATOM_TYPE = 28
 NUM_BOND_TYPE = 4
+
+
+def resolve_model_name(cfg, model_arg=None):
+    """Reference model-name resolution.
+
+    LPE convention (LPE/nets/.../load_net.py:28-38): model
+    'GraphTransformer' (or legacy 'SAN') + net_params['LPE'] selects the
+    variant incl. the GAT baselines. LSPE convention
+    (LSPE/nets/.../load_net.py:27-35): pe_init marks the tier; 'SAN' there
+    is the SAN-LSPE net, 'Spectra' the GraphiT-Spectra net.
+    """
+    model_name = model_arg or cfg.get("model", "SAN_NodeSpectra")
+    lpe_kind = cfg["net_params"].get("LPE")
+    if model_name in ("SAN", "GraphTransformer") and lpe_kind:
+        model_name = {"node": "SAN_NodeLPE", "edge": "SAN_EdgeLPE",
+                      "none": "SAN",
+                      "nodespectra": "SAN_NodeSpectra",
+                      "spectral_node": "SAN_NodeSpectra",
+                      "gat": "GAT",
+                      "gat_feta": "GATFeTA"}.get(lpe_kind, model_name)
+    elif model_name == "GraphTransformer":
+        model_name = "SAN"
+    elif cfg["net_params"].get("pe_init"):
+        model_name = {"SAN": "SAN_LSPE",
+                      "Spectra": "GraphiTSpectra"}.get(model_name,
+                                                       model_name)
+    return model_name
 
 
 def main(argv=None):
@@ -71,13 +99,7 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": "SAN_NodeSpectra", "params": {}, "net_params": {}})
-    model_name = args.model or cfg.get("model", "SAN_NodeSpectra")
-    # LPE config convention: model 'SAN' + net_params['LPE'] selects variant
-    lpe_kind = cfg["net_params"].get("LPE")
-    if model_name == "SAN" and lpe_kind:
-        model_name = {"node": "SAN_NodeLPE", "edge": "SAN_EdgeLPE",
-                      "nodespectra": "SAN_NodeSpectra",
-                      "gat_feta": "GATFeTA"}.get(lpe_kind, model_name)
+    model_name = resolve_model_name(cfg, args.model)
     if model_name not in MODEL_REGISTRY:
         raise SystemExit(f"unknown model {model_name}; "
                          f"choose from {sorted(MODEL_REGISTRY)}")
@@ -100,8 +122,17 @@ def main(argv=None):
         apply_laplace_decomp(graphs, args.max_freqs)
     if cls in (GraphiTSpectraNet, GatedGCNLSPENet, SANLSPENet, PNALSPENet):
         dim = kwargs.get("pos_enc_dim", 20)
-        for g in graphs:
-            g.lap_pe = rwpe(g, dim)
+        pe_init = kwargs.get("pe_init", "rand_walk")
+        if pe_init == "rand_walk":
+            for g in graphs:
+                g.lap_pe = rwpe(g, dim)
+        elif pe_init == "lap_pe":
+            # Laplacian eigvec init (LSPE data lap_positional_encoding)
+            from feta_tmlr_tpu.pe import LapEncoding
+            LapEncoding(dim, normalization="sym").apply_to(graphs)
+        else:  # no_pe: nets ignore batch.lap_pe but collation still
+            # needs a consistent (absent) attribute across graphs
+            pass
         if kwargs.get("adaptive_edge_pe"):
             # k_RW = (I - gamma L)^p_steps (LSPE molecules.py make_full_graph)
             PStepRWEncoding(p=cfg["net_params"].get("p_steps", 2),
@@ -110,7 +141,7 @@ def main(argv=None):
         if cls is PNALSPENet:
             kwargs.setdefault("avg_d_log", average_log_degree(graphs))
 
-    if cls is GATFeTANet:
+    if cls in (GATFeTANet, GATNet):
         model = cls(num_atom_type=NUM_ATOM_TYPE, **kwargs)
     else:
         model = cls(num_atom_type=NUM_ATOM_TYPE,
@@ -135,7 +166,11 @@ def main(argv=None):
                     # hours (LPE main_ZINC_graph_regression.py:199-208)
                     stop_at_min_lr=True,
                     max_time_h=params.get("max_time"),
-                    sign_flip=False, seed=args.seed),
+                    # reference flips eigvec signs every train batch for the
+                    # SAN tier (LPE/train/train_ZINC...py:26-33); RWPE-based
+                    # LSPE models are sign-fixed and must NOT flip
+                    sign_flip=cls in (SANNet, SANNodeSpectra),
+                    seed=args.seed),
         steps_per_epoch=len(train_b))
     result = trainer.fit(train_b, val_batches=val_b, test_batches=test_b,
                          epochs=epochs, ckpt_dir=args.ckpt_dir,

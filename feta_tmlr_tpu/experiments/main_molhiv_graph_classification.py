@@ -20,7 +20,15 @@ from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
 from feta_tmlr_tpu.train import Trainer, TrainConfig
 from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
 
-MODELS = {"SAN": (SANNet, {}), "SAN_NodeSpectra": (SANNodeSpectra, {})}
+MODELS = {"SAN": (SANNet, {}),
+          "SAN_NodeLPE": (SANNet, {"lpe": "node"}),
+          "SAN_EdgeLPE": (SANNet, {"lpe": "edge"}),
+          "SAN_NodeSpectra": (SANNodeSpectra, {})}
+
+LPE_VARIANTS = {"node": "SAN_NodeLPE", "edge": "SAN_EdgeLPE",
+                "none": "SAN", "nodespectra": "SAN_NodeSpectra",
+                "spectral_node": "SAN_NodeSpectra"}
+
 
 
 def molhiv_like(seed, n_graphs, num_atom_type=119, num_bond_type=5):
@@ -35,6 +43,18 @@ def molhiv_like(seed, n_graphs, num_atom_type=119, num_bond_type=5):
         g.y = np.float32(i % 5 == 2)     # ~20% positives, spread
         graphs.append(g)
     return graphs
+
+
+def resolve_model_name(cfg, model_arg=None):
+    """LPE convention (load_net.py): 'GraphTransformer' (or legacy 'SAN')
+    + net_params['LPE'] picks the variant."""
+    model_name = model_arg or cfg.get("model") or "SAN_NodeSpectra"
+    lpe_kind = cfg["net_params"].get("LPE")
+    if model_name in ("SAN", "GraphTransformer") and lpe_kind:
+        model_name = LPE_VARIANTS.get(lpe_kind, model_name)
+    elif model_name == "GraphTransformer":
+        model_name = "SAN"
+    return model_name
 
 
 def main(argv=None):
@@ -52,12 +72,8 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": args.model, "params": {}, "net_params": {}})
-    model_name = args.model or cfg.get("model") or "SAN_NodeSpectra"
+    model_name = resolve_model_name(cfg, args.model)
     cls, extra = MODELS[model_name]
-    # LPE config convention: model 'SAN' + net_params['LPE'] picks variant
-    lpe_kind = cfg["net_params"].get("LPE")
-    if model_name == "SAN" and lpe_kind in ("node", "edge"):
-        extra = dict(extra, lpe=lpe_kind)
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 50)
 
@@ -91,7 +107,8 @@ def main(argv=None):
     trainer = Trainer(
         model,
         TrainConfig(task="binary_graph", lr=params.get("init_lr", 1e-3),
-                    epochs=epochs, schedule="plateau", sign_flip=False,
+                    epochs=epochs, schedule="plateau",
+                    sign_flip=cls in (SANNet, SANNodeSpectra),
                     # ogbg-molhiv's OGB metric is ROC-AUC
                     binary_metric="rocauc",
                     seed=args.seed),

@@ -145,3 +145,77 @@ class GATFeTANet(nn.Module):
         else:
             hg = masked_mean(h, batch.node_mask, axis=1)
         return MLPReadout(self.n_out, name="mlp_readout")(hg)
+
+
+class GATLayer(nn.Module):
+    """Plain GAT layer (LPE layers/gat_layer.py:15-60 'GATLayer'):
+    multi-head DenseGATConv, concat heads, BN, ELU, residual — no
+    spectral filter (that variant is GATFeTALayer above)."""
+
+    out_dim: int                  # per-head
+    num_heads: int
+    dropout: float = 0.0
+    batch_norm: bool = True
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, h, adj, node_mask, deterministic=True):
+        b, n, _ = h.shape
+        h_in = h
+        residual = self.residual and \
+            h.shape[-1] == self.out_dim * self.num_heads
+        heads_out, _ = DenseGATConv(
+            self.out_dim, self.num_heads, self.dropout, self.dropout,
+            name="gatconv")(h, adj, node_mask, deterministic)
+        h = heads_out.reshape(b, n, -1)
+        if self.batch_norm:
+            h = MaskedBatchNorm(name="batchnorm_h")(
+                h, node_mask, use_running_average=deterministic)
+        h = nn.elu(h)
+        if residual:
+            h = h_in + h
+        return h * node_mask.astype(h.dtype)[..., None]
+
+
+class GATNet(nn.Module):
+    """Plain GAT baseline of the LPE tier
+    (LPE/nets/ZINC_graph_regression/gat_net.py:15-58, config LPE='gat'):
+    atom embedding to hidden*heads, (L-1) multi-head GAT layers, a final
+    single-head layer to out_dim, MLP readout."""
+
+    num_atom_type: int
+    hidden_dim: int = 18
+    out_dim: int = 18
+    num_heads: int = 8
+    n_layers: int = 4
+    dropout: float = 0.0
+    in_feat_dropout: float = 0.0
+    batch_norm: bool = True
+    residual: bool = True
+    readout: str = "mean"
+    n_out: int = 1
+    node_level: bool = False
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        h = nn.Embed(self.num_atom_type, self.hidden_dim * self.num_heads,
+                     name="embedding_h")(batch.x.astype(jnp.int32))
+        h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
+        for i in range(self.n_layers - 1):
+            h = GATLayer(self.hidden_dim, self.num_heads, self.dropout,
+                         self.batch_norm, self.residual,
+                         name=f"layer_{i}")(
+                h, batch.adj, batch.node_mask, deterministic)
+        h = GATLayer(self.out_dim, 1, self.dropout, self.batch_norm,
+                     self.residual, name=f"layer_{self.n_layers - 1}")(
+            h, batch.adj, batch.node_mask, deterministic)
+        if self.node_level:
+            return MLPReadout(self.n_out, name="mlp_readout")(h)
+        if self.readout == "sum":
+            hg = (h * batch.node_mask[..., None]).sum(1)
+        elif self.readout == "max":
+            hg = jnp.where(batch.node_mask[..., None], h,
+                           jnp.finfo(h.dtype).min).max(1)
+        else:
+            hg = masked_mean(h, batch.node_mask, axis=1)
+        return MLPReadout(self.n_out, name="mlp_readout")(hg)

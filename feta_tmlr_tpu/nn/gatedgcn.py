@@ -131,10 +131,17 @@ class GatedGCNLSPENet(nn.Module):
     readout: str = "mean"
     n_out: int = 1
 
+    categorical_input: bool = True
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
-        h = nn.Embed(self.num_atom_type, self.hidden_dim,
-                     name="embedding_h")(batch.x.astype(jnp.int32))
+        if self.categorical_input:
+            h = nn.Embed(self.num_atom_type, self.hidden_dim,
+                         name="embedding_h")(batch.x.astype(jnp.int32))
+        else:
+            # TU tier: float feature vectors through a linear embedding
+            # (reference nets/TU_graph_classification/*_net.py use
+            # nn.Linear(in_dim, hidden) instead of nn.Embedding)
+            h = nn.Dense(self.hidden_dim, name="embedding_h")(batch.x)
         e = (nn.Embed(self.num_bond_type, self.hidden_dim,
                       name="embedding_e")(
             batch.edge_type.astype(jnp.int32))

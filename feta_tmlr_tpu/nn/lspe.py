@@ -210,14 +210,21 @@ class GraphiTSpectraNet(nn.Module):
     spectra: bool = True           # False -> plain GraphiT-LSPE net
     node_level: bool = False       # per-node logits (LSPE SBM tier)
 
+    categorical_input: bool = True
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
         if self.use_lapeig_loss:
             raise NotImplementedError(
                 "use_lapeig_loss raises in the reference spectra net too "
                 "(graphit_spectra_net.py:140-143)")
-        h = nn.Embed(self.num_atom_type, self.hidden_dim,
-                     name="embedding_h")(batch.x.astype(jnp.int32))
+        if self.categorical_input:
+            h = nn.Embed(self.num_atom_type, self.hidden_dim,
+                         name="embedding_h")(batch.x.astype(jnp.int32))
+        else:
+            # TU tier: float feature vectors through a linear embedding
+            # (reference nets/TU_graph_classification/*_net.py use
+            # nn.Linear(in_dim, hidden) instead of nn.Embedding)
+            h = nn.Dense(self.hidden_dim, name="embedding_h")(batch.x)
         e_emb = nn.Embed(self.num_bond_type, self.hidden_dim,
                          name="embedding_e")(
             batch.edge_type.astype(jnp.int32)) \

@@ -214,10 +214,15 @@ class PNALSPENet(nn.Module):
     readout: str = "mean"
     n_out: int = 1
 
+    categorical_input: bool = True
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
-        h = nn.Embed(self.num_atom_type, self.hidden_dim,
-                     name="embedding_h")(batch.x.astype(jnp.int32))
+        if self.categorical_input:
+            h = nn.Embed(self.num_atom_type, self.hidden_dim,
+                         name="embedding_h")(batch.x.astype(jnp.int32))
+        else:
+            # TU tier: float feature vectors through a linear embedding
+            h = nn.Dense(self.hidden_dim, name="embedding_h")(batch.x)
         h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
         e_field = None
         if self.edge_feat and batch.edge_type is not None:

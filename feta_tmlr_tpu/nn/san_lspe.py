@@ -96,10 +96,15 @@ class SANLSPENet(nn.Module):
     readout: str = "mean"
     n_out: int = 1
 
+    categorical_input: bool = True
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
-        h = nn.Embed(self.num_atom_type, self.hidden_dim,
-                     name="embedding_h")(batch.x.astype(jnp.int32))
+        if self.categorical_input:
+            h = nn.Embed(self.num_atom_type, self.hidden_dim,
+                         name="embedding_h")(batch.x.astype(jnp.int32))
+        else:
+            # TU tier: float feature vectors through a linear embedding
+            h = nn.Dense(self.hidden_dim, name="embedding_h")(batch.x)
         e_emb = nn.Embed(self.num_bond_type, self.hidden_dim,
                          name="embedding_e")(
             batch.edge_type.astype(jnp.int32)) \

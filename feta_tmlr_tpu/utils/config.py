@@ -82,4 +82,9 @@ def model_kwargs_for(model_cls, net_params: Dict[str, Any]
                      ) -> Dict[str, Any]:
     import dataclasses
     accepted = {f.name for f in dataclasses.fields(model_cls)}
-    return net_params_to_kwargs(net_params, accepted)
+    out = net_params_to_kwargs(net_params, accepted)
+    # field-name aliases across model families (GAT nets use num_heads)
+    if "num_heads" in accepted and "n_heads" not in accepted \
+            and "n_heads" in net_params:
+        out["num_heads"] = net_params["n_heads"]
+    return out
