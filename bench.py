@@ -159,6 +159,56 @@ def bench_torch_baseline(graphs):
     return sec
 
 
+def bench_unpacked_dtype(graphs, dtype_name):
+    """Same canonical config under FETA_COMPUTE_DTYPE=<dtype_name>.
+
+    The env knob is read at trace time (nn/layers.py), so a fresh
+    trainer traced after setting it runs the attention/FFN/Cheb matmuls
+    in that dtype. Interleaved in one process for a fair A/B."""
+    prev = os.environ.get("FETA_COMPUTE_DTYPE")
+    os.environ["FETA_COMPUTE_DTYPE"] = dtype_name
+    try:
+        return bench_unpacked(graphs, 0)
+    finally:
+        if prev is None:
+            os.environ.pop("FETA_COMPUTE_DTYPE", None)
+        else:
+            os.environ["FETA_COMPUTE_DTYPE"] = prev
+
+
+def bench_sbm_large_n(dtype_name="float32", n_graphs=32, n_nodes=128):
+    """Large-N point (SBM-PATTERN-shaped, N=128): where bf16 should win —
+    every [N, N] attention/Cheb matmul tile is 2.7x the canonical N=48."""
+    from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
+    from feta_tmlr_tpu.nn import DiffGraphTransformerGenGCNSBM
+    graphs = sbm_like_dataset(seed=2, n_graphs=n_graphs, n_nodes=n_nodes)
+    DiffusionEncoding(beta=1.0).apply_to(graphs)
+    LapEncoding(dim=8).apply_to(graphs)
+    n_edges = int(sum(g.num_edges for g in graphs))
+    batch = jax.device_put(collate_graphs(graphs, max_nodes=n_nodes,
+                                          node_labels=True))
+    jax.block_until_ready(batch.x)
+    prev = os.environ.get("FETA_COMPUTE_DTYPE")
+    os.environ["FETA_COMPUTE_DTYPE"] = dtype_name
+    try:
+        model = DiffGraphTransformerGenGCNSBM(
+            in_size=3, nb_class=2, d_model=CFG["d_model"],
+            nb_heads=CFG["nb_heads"],
+            dim_feedforward=CFG["dim_feedforward"], dropout=0.0,
+            nb_layers=CFG["nb_layers"], batch_norm=True, lap_pos_enc=True,
+            lap_pos_enc_dim=8, filter_order=CFG["filter_order"])
+        trainer = Trainer(model, TrainConfig(task="node_clf", lr=1e-3,
+                                             sign_flip=True))
+        state = trainer.init(jax.random.key(0), batch)
+        sec = _measure_steps(trainer._jit_step, state, batch)
+    finally:
+        if prev is None:
+            os.environ.pop("FETA_COMPUTE_DTYPE", None)
+        else:
+            os.environ["FETA_COMPUTE_DTYPE"] = prev
+    return sec, n_edges
+
+
 def bench_saturating(n_graphs=512):
     """Throughput at a saturating batch (the B=128 reference batch leaves
     the chip latency-bound at these tiny graph sizes)."""
@@ -188,6 +238,10 @@ def main():
             sec_unpacked = bench_unpacked(graphs, n_edges)
     else:
         sec_unpacked = bench_unpacked(graphs, n_edges)
+    # bf16 mixed-precision variant (attention/FFN/Cheb matmuls on the MXU
+    # at 2x peak; params/softmax/norms f32) — measured 6.1 vs 8.4-8.6 ms
+    # f32 interleaved in-process (2026-08-17, see BASELINE.md A/B table)
+    sec_bf16 = bench_unpacked_dtype(graphs, "bfloat16")
     try:
         sec_torch = bench_torch_baseline(graphs)
     except Exception:
@@ -196,7 +250,18 @@ def main():
         eps_saturating = bench_saturating()
     except Exception:
         eps_saturating = None
-    best = min(sec_packed, sec_unpacked)
+    extras = {}
+    if os.environ.get("FETA_BENCH_ABLATE") == "1":
+        # dtype + large-N A/Bs, interleaved in this same process (cross-
+        # session TPU timings vary +-30% behind the relay; see BASELINE.md)
+        extras["sec_per_step_f32_recheck"] = round(
+            bench_unpacked(graphs, 0), 5)
+        sbm_f32, sbm_edges = bench_sbm_large_n("float32")
+        sbm_bf16, _ = bench_sbm_large_n("bfloat16")
+        extras["sbm_n128_sec_per_step_f32"] = round(sbm_f32, 5)
+        extras["sbm_n128_sec_per_step_bf16"] = round(sbm_bf16, 5)
+        extras["sbm_n128_edges_per_batch"] = sbm_edges
+    best = min(sec_packed, sec_unpacked, sec_bf16)
     out = {
         "metric": "edges_per_s_per_chip",
         "value": round(n_edges / best, 1),
@@ -204,6 +269,7 @@ def main():
         "vs_baseline": (round(sec_torch / best, 3) if sec_torch else None),
         "sec_per_step_packed": round(sec_packed, 5),
         "sec_per_step_unpacked": round(sec_unpacked, 5),
+        "sec_per_step_bf16": round(sec_bf16, 5),
         "edges_per_s_saturating_b512": (round(eps_saturating, 1)
                                         if eps_saturating else None),
         "epoch_time_s_zinc10k": round(
@@ -212,6 +278,7 @@ def main():
         "device": str(jax.devices()[0]),
         "batch_graphs": BATCH,
         "edges_per_batch": n_edges,
+        **extras,
     }
     print(json.dumps(out))
 

@@ -27,3 +27,16 @@ def use_pallas_modulation() -> bool:
         except Exception:
             return False
     return False
+
+
+# Mixed-precision compute dtype for the transformer/FeTA hot path.
+# Default f32. FETA_COMPUTE_DTYPE=bfloat16 switches the attention/FFN/Cheb
+# matmuls to bf16 (params, residual stream, softmax, norms and reductions
+# stay f32 — the v5e MXU runs bf16 at ~2x f32 peak). Recorded A/Bs live in
+# BASELINE.md; models also accept an explicit compute_dtype field that
+# overrides this env default.
+def default_compute_dtype():
+    import jax.numpy as jnp
+    name = os.environ.get("FETA_COMPUTE_DTYPE", "float32")
+    return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
+        name, jnp.float32)

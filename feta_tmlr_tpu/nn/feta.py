@@ -50,12 +50,14 @@ class _ScannedGraphiTBody(nn.Module):
     dropout: float
     batch_norm: bool
     deterministic: bool
+    compute_dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, carry, pe, node_mask, degree):
         x, _, _ = GraphiTEncoderLayer(
             self.d_model, self.n_heads, self.dim_feedforward,
-            self.dropout, self.batch_norm, name="layer")(
+            self.dropout, self.batch_norm,
+            compute_dtype=self.compute_dtype, name="layer")(
                 carry, pe, node_mask, degree=degree,
                 deterministic=self.deterministic, need_heads=False)
         return x, ()
@@ -121,6 +123,7 @@ class FeTAEncoder(nn.Module):
     scan_layers: bool = False      # lax.scan over the unfiltered layers:
                                    # ~L-times smaller XLA program (compile
                                    # time), same math; params stack [L-1,...]
+    compute_dtype: Optional[object] = None  # None -> FETA_COMPUTE_DTYPE env
 
     @property
     def head_dim(self) -> int:
@@ -144,6 +147,8 @@ class FeTAEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, pe, adj, node_mask, degree=None,
                  deterministic: bool = True):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        cdt = self.compute_dtype or default_compute_dtype()
         b, n, d = x.shape
         h, dh = self.n_heads, self.head_dim
         dynamic = "dynamic" in self.gnn_type.lower()
@@ -213,7 +218,7 @@ class FeTAEncoder(nn.Module):
             )(d_model=self.d_model, n_heads=self.n_heads,
               dim_feedforward=self.dim_feedforward, dropout=self.dropout,
               batch_norm=self.batch_norm, deterministic=deterministic,
-              name="scan_layers")
+              compute_dtype=self.compute_dtype, name="scan_layers")
             out, _ = scanned(out, pe, node_mask, degree)
             start_layer = self.n_layers - 1
 
@@ -222,7 +227,9 @@ class FeTAEncoder(nn.Module):
                                     or layer_idx + 1 == self.n_layers)
             out, attn, out_each_head = layer_cls(
                 self.d_model, self.n_heads, self.dim_feedforward,
-                self.dropout, self.batch_norm, name=f"layer_{layer_idx}")(
+                self.dropout, self.batch_norm,
+                compute_dtype=self.compute_dtype,
+                name=f"layer_{layer_idx}")(
                     out, pe, node_mask, degree, deterministic, None,
                     filtered)
             if not filtered:
@@ -232,13 +239,21 @@ class FeTAEncoder(nn.Module):
             coefficients.append(coeff)
             heads = out_each_head.transpose(0, 2, 1, 3)  # [B, H, N, dh]
             if self.gnn_type == "ChebConvDynamic":
+                # the Cheb recurrence/contraction is the second-largest
+                # matmul chain: run it in cdt, accumulate back in f32
+                heads_c = heads.astype(cdt)
+                lhat_c = lhat.astype(cdt)
                 if self.learn_only_filter_order_coeff:
                     filt = cheb_filter_scalar_coeff(
-                        heads, lhat, coeff, static_weight, cheb_bias)
+                        heads_c, lhat_c, coeff.astype(cdt),
+                        static_weight.astype(cdt), cheb_bias.astype(cdt))
                 else:
                     w = coeff.reshape(
                         b, h, self.filter_order, dh, dh)
-                    filt = cheb_filter_dynamic(heads, lhat, w, cheb_bias)
+                    filt = cheb_filter_dynamic(heads_c, lhat_c,
+                                               w.astype(cdt),
+                                               cheb_bias.astype(cdt))
+                filt = filt.astype(jnp.float32)
             elif self.gnn_type == "ARMAConvDynamic":
                 filt = arma_filter_dynamic(
                     heads, anorm, coeff, activation=nn.relu, **arma_params)

@@ -75,10 +75,15 @@ class GraphiTEncoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     batch_norm: bool = False
+    compute_dtype: Optional[object] = None   # None -> FETA_COMPUTE_DTYPE env
 
     @nn.compact
     def __call__(self, x, pe, node_mask, degree=None, deterministic=True,
                  pair_mask=None, need_heads=True):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        # mixed precision: matmuls/einsums run in cdt (bf16 on request),
+        # params + residual stream + softmax + norms stay f32
+        cdt = self.compute_dtype or default_compute_dtype()
         b, n, d = x.shape
         h = self.n_heads
         dh = d // h
@@ -101,13 +106,15 @@ class GraphiTEncoderLayer(nn.Module):
         wq, wk, wv = wqkv[:, 0], wqkv[:, 1], wqkv[:, 2]    # [d, h, dh]
         bq, bk, bv = bqkv[0], bqkv[1], bqkv[2]             # [h, dh]
 
-        a_mix = jnp.einsum("dhe,ghe->hdg", wq, wk)         # [h, d, d]
-        xa = jnp.einsum("bnd,hdg->bhng", x, a_mix)
+        xc = x.astype(cdt)
+        a_mix = jnp.einsum("dhe,ghe->hdg", wq, wk).astype(cdt)  # [h, d, d]
+        xa = jnp.einsum("bnd,hdg->bhng", xc, a_mix)
         c_q = jnp.einsum("bnd,dhe,he->bnh", x, wq, bk)     # q-side bias term
         c_k = jnp.einsum("bmd,dhe,he->bmh", x, wk, bq)
         c_0 = jnp.einsum("he,he->h", bq, bk)
 
-        v_nhd = jnp.einsum("bnd,dhe->bnhe", x, wv) + bv      # [B,N,H,dh]
+        v_nhd = (jnp.einsum("bnd,dhe->bnhe", xc, wv.astype(cdt))
+                 + bv.astype(cdt))                           # [B,N,H,dh]
 
         w_out = self.param("out_proj_kernel",
                            nn.initializers.lecun_normal(), (d, d))
@@ -129,11 +136,13 @@ class GraphiTEncoderLayer(nn.Module):
             attn = None
             out_each_head = None
         else:
-            scores = jnp.einsum("bhng,bmg->bhnm", xa, x)
+            # score matmul in cdt, bias/softmax math back in f32
+            scores = jnp.einsum("bhng,bmg->bhnm", xa, xc) \
+                .astype(jnp.float32)
             scores = (scores + c_q.transpose(0, 2, 1)[:, :, :, None]
                       + c_k.transpose(0, 2, 1)[:, :, None, :]
                       + c_0[None, :, None, None])
-            scores = scores / jnp.sqrt(jnp.asarray(dh, x.dtype))
+            scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
             if use_pallas:
                 from feta_tmlr_tpu.ops.pallas import \
                     fused_modulated_attention
@@ -144,17 +153,21 @@ class GraphiTEncoderLayer(nn.Module):
                     scores, None, node_mask, pe=pe, degree=degree,
                     pair_mask=pair_mask, values_needed=False)
 
+            attn_c = attn.astype(cdt)
             if need_heads:
                 # FeTA consumer path: materialize per-head outputs (the
                 # reference's need_heads=True contract, models.py:166-167)
-                heads = jnp.einsum("bhqk,bkhd->bhqd", attn, v_nhd)
+                heads = jnp.einsum("bhqk,bkhd->bhqd", attn_c, v_nhd)
                 out_each_head = heads.transpose(0, 2, 1, 3)  # [B,N,H,dh]
-                attn_out = out_each_head.reshape(b, n, d) @ w_out + b_out
+                attn_out = (out_each_head.reshape(b, n, d)
+                            @ w_out.astype(cdt)).astype(jnp.float32) + b_out
+                out_each_head = out_each_head.astype(jnp.float32)
             else:
                 # fused attn@V@Wout: contract (head, key) jointly
                 vw = jnp.einsum("bmhe,hef->bhmf", v_nhd,
-                                w_out.reshape(h, dh, d))
-                attn_out = jnp.einsum("bhnm,bhmf->bnf", attn, vw) + b_out
+                                w_out.reshape(h, dh, d).astype(cdt))
+                attn_out = jnp.einsum("bhnm,bhmf->bnf", attn_c, vw) \
+                    .astype(jnp.float32) + b_out
                 out_each_head = None
 
         drop = lambda t: nn.Dropout(self.dropout)(
@@ -163,11 +176,11 @@ class GraphiTEncoderLayer(nn.Module):
         x = x + drop(attn_out)
         x = self._norm(x, node_mask, "norm1", deterministic)
 
-        ff = nn.Dense(self.dim_feedforward, name="ff1")(x)
+        ff = nn.Dense(self.dim_feedforward, name="ff1", dtype=cdt)(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        ff = nn.Dense(self.d_model, name="ff2")(ff)
-        x = x + drop(ff)
+        ff = nn.Dense(self.d_model, name="ff2", dtype=cdt)(ff)
+        x = x + drop(ff.astype(jnp.float32))
         x = self._norm(x, node_mask, "norm2", deterministic)
 
         mask_f = node_mask.astype(x.dtype)[..., None]
