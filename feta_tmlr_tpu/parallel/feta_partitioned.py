@@ -1,0 +1,303 @@
+"""Edge/node-partitioned FULL FeTA model for one large SBM-scale graph.
+
+The BASELINE north-star workload is SBM node classification with the FeTA
+model (`DiffGraphTransformerGenGCNSBM`, reference
+experiments/run_transformer_gengcn_SBM_cv.py:368-370). This module runs that
+model's complete forward — kernel-modulated GraphiT attention, the
+coefficient GCN over the (detached) attention graph, and the dynamic
+Chebyshev filter — over a node-sharded mesh:
+
+  - node features, per-node logits, the PE kernel rows and the attention
+    rows stay sharded [V/D, ...] across the mesh axis;
+  - attention gathers keys/values with one fused `all_gather` per layer
+    (V is node-count of ONE graph; for SBM ~100-1000 nodes the [V, d]
+    gather is tiny next to the [V/D, V] score matmul that stays local);
+  - the coefficient GCN's in-degree normalization and column-sum collapse
+    (FilterCoefficientHead: GCN(ones) = outer product) reduce across
+    devices with `psum`;
+  - the Chebyshev recurrence over the ORIGINAL graph Laplacian runs on the
+    edge-partitioned ring SpMM (`ring_spmm_local`, ppermute over ICI) —
+    the [V, V] Laplacian is never materialized on any chip.
+
+Parameters are the UNMODIFIED flax param tree of
+`DiffGraphTransformerGenGCNSBM` (replicated), so dense <-> partitioned
+parity is checked against the very model users train on one chip
+(tests/test_feta_partitioned.py), and `__graft_entry__.dryrun_multichip`
+drives a training step of it on the virtual mesh.
+
+Scope notes: LayerNorm tier (`batch_norm=False`), no dropout (the
+partitioned path is a scale-out inference/training core; stochastic
+augmentation lives in the host trainer), `last_layer_filter=True`,
+ChebConvDynamic with 'sym' normalization (lambda_max=2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from feta_tmlr_tpu.parallel.edge_partition import (
+    partition_edges,
+    place_partitioned,
+    ring_spmm_local,
+)
+
+_NEG_INF = -1e30
+
+
+def _layer_norm(x, p, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
+                                  n_layers: int, filter_order: int,
+                                  axis: str = "data"):
+    """Builds forward(params, x_sh, pe_sh, mask_sh, src, dst, w, m)
+    -> per-node logits (sharded [V/D, nb_class]).
+
+    params is flax's `variables["params"]` for DiffGraphTransformerGenGCNSBM
+    (replicated). pe_sh may be None (no relative PE kernel).
+    """
+    n_shards = mesh.shape[axis]
+    h, dh = n_heads, d_model // n_heads
+    ring = ring_spmm_local(axis, n_shards)
+
+    def attention_layer(lp, x_local, x_all, pe_local, deg_all, mask_local,
+                        mask_all, need_heads):
+        """GraphiTEncoderLayer semantics (nn/layers.py:79-183), node-sharded
+        queries, gathered keys/values."""
+        d = d_model
+        wqkv = lp["qkv"].reshape(d, 3, h, dh)
+        bqkv = lp["qkv_bias"].reshape(3, h, dh)
+        wq, wk, wv = wqkv[:, 0], wqkv[:, 1], wqkv[:, 2]
+        bq, bk, bv = bqkv[0], bqkv[1], bqkv[2]
+
+        a_mix = jnp.einsum("dhe,ghe->hdg", wq, wk)
+        xa = jnp.einsum("nd,hdg->hng", x_local, a_mix)        # [h, Vs, d]
+        scores = jnp.einsum("hng,mg->hnm", xa, x_all)         # [h, Vs, V]
+        c_q = jnp.einsum("nd,dhe,he->nh", x_local, wq, bk)
+        c_k = jnp.einsum("md,dhe,he->mh", x_all, wk, bq)
+        c_0 = jnp.einsum("he,he->h", bq, bk)
+        scores = (scores + c_q.T[:, :, None] + c_k.T[:, None, :]
+                  + c_0[:, None, None]) / jnp.sqrt(jnp.asarray(dh, x_local.dtype))
+
+        # masked softmax over the full key set, then PE modulation +
+        # renormalization (ops/attention.py:65-100 semantics)
+        scores = jnp.where(mask_all[None, None, :], scores, _NEG_INF)
+        mx = jax.lax.stop_gradient(scores.max(-1, keepdims=True))
+        e = jnp.exp(scores - mx)
+        attn = e / e.sum(-1, keepdims=True)
+        if pe_local is not None:
+            attn = attn * pe_local[None, :, :]
+        if deg_all is not None:
+            # 1/sqrt(1+deg) key rescale (ops/attention.py:88-90)
+            attn = attn * deg_all[None, None, :]
+        if pe_local is not None or deg_all is not None:
+            denom = attn.sum(-1, keepdims=True)
+            attn = attn / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
+        attn = attn * mask_local[None, :, None] * mask_all[None, None, :]
+
+        v_all = jnp.einsum("md,dhe->mhe", x_all, wv) + bv     # [V, h, dh]
+        heads = jnp.einsum("hnm,mhe->hne", attn, v_all)       # [h, Vs, dh]
+        out_heads = heads.transpose(1, 0, 2)                  # [Vs, h, dh]
+        attn_out = out_heads.reshape(-1, d) @ lp["out_proj_kernel"] \
+            + lp["out_proj_bias"]
+
+        x = x_local + attn_out
+        x = _layer_norm(x, lp["norm1"])
+        ff = x @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
+        ff = jax.nn.relu(ff)
+        ff = ff @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
+        x = _layer_norm(x + ff, lp["norm2"])
+        mask_f = mask_local[:, None].astype(x.dtype)
+        x = x * mask_f
+        if not need_heads:
+            return x, None, None
+        return x, attn, out_heads * mask_f[:, :, None]
+
+    def coeff_head(cp, attn, mask_local, mask_all, n_valid):
+        """FilterCoefficientHead (nn/feta.py:64-98) on sharded attention
+        rows [h, Vs(src), V(dst)]: in-degree norm + GCN(ones) column-sum
+        collapse, cross-device reductions via psum."""
+        a = jax.lax.stop_gradient(attn)
+        a = a * mask_local[None, :, None] * mask_all[None, None, :]
+        # self-loop fill for missing diagonals: local row i's diagonal sits
+        # at global column (my_offset + i)
+        vs = a.shape[1]
+        my = jax.lax.axis_index(axis)
+        cols = my * vs + jnp.arange(vs)
+        diag = jnp.take_along_axis(
+            a, cols[None, :, None], axis=2)[..., 0]          # [h, Vs]
+        missing = ((diag == 0) & (mask_local[None, :] > 0)).astype(a.dtype)
+        a = a + missing[:, :, None] * jax.nn.one_hot(cols, a.shape[2],
+                                                     dtype=a.dtype)
+        deg_in = jax.lax.psum(a.sum(axis=1), axis)           # [h, V]
+        dis = jnp.where(deg_in > 0, 1.0 / jnp.sqrt(deg_in), 0.0)
+        # src-side dis for my local rows
+        dis_src = jnp.take_along_axis(dis, cols[None, :], axis=1)  # [h, Vs]
+        a_norm = dis_src[:, :, None] * a * dis[:, None, :]
+        s_all = jax.lax.psum(a_norm.sum(axis=1), axis)       # [h, V] col sums
+        s_local = jax.lax.dynamic_slice_in_dim(s_all, my * vs, vs, axis=1)
+        c = cp["gcn_kernel"].shape[0]
+        hfeat = jnp.tanh(s_local[..., None] * cp["gcn_kernel"].sum(axis=0)
+                         + cp["gcn_bias"])                   # [h, Vs, C]
+        pooled = jax.lax.psum(
+            (hfeat * mask_local[None, :, None]).sum(axis=1), axis) \
+            / jnp.maximum(n_valid, 1.0)                      # [h, C]
+        return pooled @ cp["coeff_linear"]["kernel"] \
+            + cp["coeff_linear"]["bias"]
+
+    def cheb_filter(heads, coeff, cheb_bias, src, dst, w, m, mask_local):
+        """cheb_filter_dynamic (ops/cheb.py:45-80) with the Lhat matvec on
+        the ring SpMM. heads: [Vs, h, dh]; coeff: [h, K*dh*dh]."""
+        vs = heads.shape[0]
+        weights = coeff.reshape(h, filter_order, dh, dh)
+        xf = heads.reshape(vs, h * dh)
+
+        def spmm(t):
+            return ring(t, src, dst, w, m, vs)
+
+        per_head = lambda t: t.reshape(vs, h, dh)
+        contract = lambda t, k: jnp.einsum(
+            "nhd,hde->nhe", per_head(t), weights[:, k])
+        tx_prev = xf
+        out = contract(tx_prev, 0)
+        if filter_order > 1:
+            tx_cur = spmm(xf)
+            out = out + contract(tx_cur, 1)
+            for k in range(2, filter_order):
+                tx_next = 2.0 * spmm(tx_cur) - tx_prev
+                out = out + contract(tx_next, k)
+                tx_prev, tx_cur = tx_cur, tx_next
+        out = out + cheb_bias
+        return (out * mask_local[:, None, None]).reshape(vs, h * dh)
+
+    def local_fn(params, x_sh, pe_sh, deg_sh, mask_sh, src, dst, w, m):
+        enc = params["encoder"]
+        mask_local = mask_sh.astype(x_sh.dtype)
+        mask_all = jax.lax.all_gather(mask_local, axis).reshape(-1)
+        n_valid = jax.lax.psum(mask_local.sum(), axis)
+        pe_local = pe_sh if pe_sh is not None else None
+        deg_all = (jax.lax.all_gather(deg_sh, axis).reshape(-1)
+                   if deg_sh is not None else None)
+
+        x = x_sh @ params["embedding"]["kernel"]
+        for i in range(n_layers):
+            last = i + 1 == n_layers
+            x_all = jax.lax.all_gather(x, axis).reshape(-1, d_model)
+            x, attn, out_heads = attention_layer(
+                enc[f"layer_{i}"], x, x_all, pe_local, deg_all,
+                mask_local, mask_all, need_heads=last)
+
+        coeff = coeff_head(enc["coeff_head"], attn, mask_local, mask_all,
+                           n_valid)                          # [h, C]
+        filt = cheb_filter(out_heads, coeff, enc["cheb_bias"],
+                           src[0], dst[0], w[0], m[0], mask_local)
+        out = jnp.concatenate([x, filt], axis=-1) \
+            @ enc["linear_cat"]["kernel"] + enc["linear_cat"]["bias"]
+
+        cl = params["classifier"]
+        hcl = jax.nn.relu(out @ cl["fc1"]["kernel"] + cl["fc1"]["bias"])
+        return hcl @ cl["fc2"]["kernel"] + cl["fc2"]["bias"]
+
+    def forward(params, x_sh, pe_sh, mask_sh, src, dst, w, m,
+                deg_sh=None):
+        pe_spec = P(axis, None) if pe_sh is not None else P()
+        deg_spec = P(axis) if deg_sh is not None else P()
+        fn = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), P(axis, None), pe_spec, deg_spec, P(axis),
+                      P(axis, None, None), P(axis, None, None),
+                      P(axis, None, None), P(axis, None, None)),
+            out_specs=P(axis, None))
+        return fn(params, x_sh, pe_sh, deg_sh, mask_sh, src, dst, w, m)
+
+    return forward
+
+
+def make_feta_train_step(mesh: Mesh, d_model: int, n_heads: int,
+                         n_layers: int, filter_order: int, lr: float = 1e-3,
+                         axis: str = "data"):
+    """SGD step over the partitioned forward: masked per-node CE, grads
+    psum-reduced by shard_map autodiff, params replicated."""
+    forward = make_feta_partitioned_forward(
+        mesh, d_model, n_heads, n_layers, filter_order, axis)
+
+    @jax.jit
+    def step(params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
+             label_mask, deg_sh=None):
+        def loss_fn(p):
+            logits = forward(p, x_sh, pe_sh, mask_sh, src, dst, w, m,
+                             deg_sh)
+            onehot = jax.nn.one_hot(jnp.maximum(labels, 0),
+                                    logits.shape[-1])
+            ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
+            mk = label_mask.astype(ce.dtype)
+            return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
+                                        params, grads)
+        return params, loss
+
+    return step
+
+
+def prepare_feta_inputs(edge_index: np.ndarray, x: np.ndarray,
+                        labels: Optional[np.ndarray], mesh: Mesh,
+                        pe: Optional[np.ndarray] = None,
+                        degree: Optional[np.ndarray] = None,
+                        axis: str = "data"):
+    """Partition one large graph for the full-FeTA path.
+
+    Edge weights are the 'sym' scaled-Laplacian entries (Lhat = L - I at
+    lambda_max=2: off-diagonal -1/sqrt(d_i d_j), zero diagonal — matches
+    ops/laplacian.py::cheb_scaled_laplacian exactly; see
+    parallel/partitioned_model.py::prepare_inputs)."""
+    n_nodes = x.shape[0]
+    keep = edge_index[0] != edge_index[1]
+    edge_index = edge_index[:, keep]
+    deg = np.zeros(n_nodes)
+    np.add.at(deg, edge_index[0], 1.0)
+    dis = np.where(deg > 0, np.clip(deg, 1e-12, None) ** -0.5, 0.0)
+    w = -(dis[edge_index[0]] * dis[edge_index[1]]).astype(np.float32)
+    pg = partition_edges(edge_index, n_nodes, mesh.shape[axis], w)
+    x_sh, src, dst, ww, mm = place_partitioned(pg, x, mesh, axis)
+    total = pg.n_shards * pg.nodes_per_shard
+
+    mask = np.zeros(total, bool)
+    mask[: n_nodes] = True
+    sh1 = NamedSharding(mesh, P(axis))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    mask_sh = jax.device_put(mask, sh1)
+
+    pe_sh = None
+    if pe is not None:
+        pe_pad = np.zeros((total, total), np.float32)
+        pe_pad[: n_nodes, : n_nodes] = pe
+        pe_sh = jax.device_put(pe_pad, sh2)
+
+    deg_sh = None
+    if degree is not None:
+        degp = np.zeros(total, np.float32)
+        degp[: n_nodes] = degree
+        deg_sh = jax.device_put(degp, sh1)
+
+    lab_sh = lmask_sh = None
+    if labels is not None:
+        lab = np.full(total, -1, np.int32)
+        lab[: n_nodes] = labels
+        lmask = np.zeros(total, bool)
+        lmask[: n_nodes] = labels >= 0
+        lab_sh = jax.device_put(lab, sh1)
+        lmask_sh = jax.device_put(lmask, sh1)
+    return (x_sh, pe_sh, mask_sh, src, dst, ww, mm, lab_sh, lmask_sh,
+            deg_sh)

@@ -202,7 +202,7 @@ class Trainer:
         return out, batch_stats
 
     def _step(self, state: TrainState, batch: GraphBatch, rng):
-        rng_flip, rng_drop = jax.random.split(rng)
+        rng_flip, rng_flip_eig, rng_drop = jax.random.split(rng, 3)
         if self.cfg.sign_flip and batch.lap_pe is not None:
             # per-dimension random sign (run_transformer_gengcn_cv.py:138-142)
             signs = jnp.where(
@@ -210,6 +210,14 @@ class Trainer:
                                    (batch.lap_pe.shape[-1],)) >= 0.5,
                 1.0, -1.0)
             batch = batch.replace(lap_pe=batch.lap_pe * signs)
+        if self.cfg.sign_flip and batch.eigvecs is not None:
+            # SAN/LPE tier: flip Laplacian eigvec signs per train batch
+            # (LPE/train/train_ZINC_graph_regression.py:26-33)
+            signs = jnp.where(
+                jax.random.uniform(rng_flip_eig,
+                                   (batch.eigvecs.shape[-1],)) >= 0.5,
+                1.0, -1.0)
+            batch = batch.replace(eigvecs=batch.eigvecs * signs)
 
         def loss_fn(p):
             out, new_stats = self._apply(

@@ -1,0 +1,103 @@
+"""Edge-partitioned FULL FeTA model: dense parity + learning on the
+8-device virtual mesh (VERDICT round-1 item 5).
+
+The partitioned forward consumes the UNMODIFIED flax params of
+DiffGraphTransformerGenGCNSBM, so parity is checked against the exact
+single-chip model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from feta_tmlr_tpu.data import collate_graphs
+from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
+from feta_tmlr_tpu.nn import DiffGraphTransformerGenGCNSBM
+from feta_tmlr_tpu.parallel.feta_partitioned import (
+    make_feta_partitioned_forward,
+    make_feta_train_step,
+    prepare_feta_inputs,
+)
+from feta_tmlr_tpu.pe import DiffusionEncoding
+
+CFG = dict(d_model=16, nb_heads=2, nb_layers=2, filter_order=3)
+
+
+def _mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(jax.devices()[:8]), ("data",))
+
+
+def _graph(n_nodes, seed=0, with_pe=True):
+    g = sbm_like_dataset(seed=seed, n_graphs=1, n_nodes=n_nodes,
+                         n_classes=2)[0]
+    if with_pe:
+        DiffusionEncoding(beta=0.5).apply_to([g])
+    return g
+
+
+def _dense_model():
+    return DiffGraphTransformerGenGCNSBM(
+        in_size=3, nb_class=2, d_model=CFG["d_model"],
+        nb_heads=CFG["nb_heads"], dim_feedforward=2 * CFG["d_model"],
+        dropout=0.0, nb_layers=CFG["nb_layers"], batch_norm=False,
+        lap_pos_enc=False, filter_order=CFG["filter_order"])
+
+
+def _forward(mesh):
+    return make_feta_partitioned_forward(
+        mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+        CFG["filter_order"])
+
+
+@pytest.mark.parametrize("n_nodes,with_pe", [(24, True), (22, False)])
+def test_partitioned_matches_dense(n_nodes, with_pe):
+    # n_nodes=24 divides the 8-shard mesh exactly; 22 exercises padded
+    # tail nodes on the last shards
+    mesh = _mesh()
+    g = _graph(n_nodes, with_pe=with_pe)
+    batch = collate_graphs([g], max_nodes=n_nodes, node_labels=False)
+
+    model = _dense_model()
+    variables = model.init(jax.random.key(0), batch)
+    logits_dense, _ = model.apply(variables, batch)
+    logits_dense = np.asarray(logits_dense[0])               # [N, C]
+
+    x_sh, pe_sh, mask_sh, src, dst, w, m, _, _, deg_sh = \
+        prepare_feta_inputs(
+            g.edge_index, g.x.astype(np.float32), None, mesh,
+            pe=g.pe if with_pe else None, degree=g.degree)
+    forward = _forward(mesh)
+    logits_part = np.asarray(forward(
+        variables["params"], x_sh, pe_sh, mask_sh, src, dst, w, m,
+        deg_sh=deg_sh))
+
+    np.testing.assert_allclose(logits_part[:n_nodes], logits_dense,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_partitioned_feta_learns():
+    mesh = _mesh()
+    g = _graph(24, seed=3)
+    labels = np.asarray(g.y, np.int32)
+    model = _dense_model()
+    batch = collate_graphs([g], max_nodes=24, node_labels=False)
+    variables = model.init(jax.random.key(1), batch)
+    params = variables["params"]
+
+    x_sh, pe_sh, mask_sh, src, dst, w, m, lab, lmask, deg_sh = \
+        prepare_feta_inputs(
+            g.edge_index, g.x.astype(np.float32), labels, mesh, pe=g.pe,
+            degree=g.degree)
+    step = make_feta_train_step(
+        mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+        CFG["filter_order"], lr=3e-2)
+    losses = []
+    for _ in range(25):
+        params, loss = step(params, x_sh, pe_sh, mask_sh, src, dst, w, m,
+                            lab, lmask, deg_sh)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert np.isfinite(losses[-1])

@@ -165,3 +165,52 @@ def test_max_time_stop():
         sign_flip=False))
     result = trainer.fit([batch])
     assert len(result["history"]) < 500
+
+
+def test_eigvec_sign_flip_augmentation():
+    """Trainer flips batch.eigvecs per train batch when sign_flip=True
+    (reference LPE/train/train_ZINC_graph_regression.py:26-33): the
+    flipped step equals an unflipped step on a pre-flipped batch (same
+    rng, so dropout draws match), differs from the plain batch, and the
+    eval path never flips."""
+    import jax.numpy as jnp
+    from feta_tmlr_tpu.experiments.common import make_batches
+    from feta_tmlr_tpu.nn.san import SANNet
+    from feta_tmlr_tpu.data.synthetic import zinc_categorical_dataset
+    from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
+
+    graphs = zinc_categorical_dataset(seed=0, n_graphs=8)
+    apply_laplace_decomp(graphs, 6)
+    batch = make_batches(graphs, 8)[0]
+    assert batch.eigvecs is not None
+
+    model = SANNet(num_atom_type=28, num_bond_type=4, hidden_dim=16,
+                   out_dim=16, n_heads=2, n_layers=1, dropout=0.0,
+                   lpe="node", lpe_dim=8, lpe_heads=2, lpe_layers=1)
+    cfg = dict(task="graph_reg", lr=1e-3, seed=0)
+    tr_flip = Trainer(model, TrainConfig(sign_flip=True, **cfg))
+    tr_plain = Trainer(model, TrainConfig(sign_flip=False, **cfg))
+    state = tr_flip.init(jax.random.key(0), batch)
+
+    # find a step rng whose derived signs actually flip something
+    for i in range(10):
+        key = jax.random.key(i)
+        rng_eig = jax.random.split(key, 3)[1]
+        signs = jnp.where(
+            jax.random.uniform(rng_eig, (batch.eigvecs.shape[-1],)) >= 0.5,
+            1.0, -1.0)
+        if (signs < 0).any():
+            break
+    assert (signs < 0).any()
+
+    loss_flip = float(tr_flip._jit_step(state, batch, key)[1])
+    pre_flipped = batch.replace(eigvecs=batch.eigvecs * signs)
+    loss_equiv = float(tr_plain._jit_step(state, pre_flipped, key)[1])
+    loss_plain = float(tr_plain._jit_step(state, batch, key)[1])
+    np.testing.assert_allclose(loss_flip, loss_equiv, rtol=1e-6)
+    assert abs(loss_flip - loss_plain) > 1e-7
+
+    # eval path never flips: two evaluations agree exactly
+    e1 = tr_flip.evaluate(state, [batch])
+    e2 = tr_flip.evaluate(state, [batch])
+    assert e1 == e2
