@@ -118,7 +118,8 @@ class TorchFeTA(nn.Module):
     def __init__(self, in_size, nb_class, d_model, nb_heads,
                  dim_feedforward, nb_layers, filter_order=4,
                  batch_norm=False, lap_pos_enc=False, lap_pos_enc_dim=0,
-                 last_layer_filter=True):
+                 last_layer_filter=True, gnn_type="ChebConvDynamic",
+                 learn_only_filter_order_coeff=False):
         super().__init__()
         self.embedding = nn.Linear(in_size, d_model, bias=False)
         self.lap_pos_enc = lap_pos_enc
@@ -130,7 +131,25 @@ class TorchFeTA(nn.Module):
         self.h = nb_heads
         self.dh = d_model // nb_heads
         self.k_order = filter_order
-        self.n_coeff = filter_order * self.dh * self.dh
+        self.gnn_type = gnn_type
+        self.scalar_mode = learn_only_filter_order_coeff
+        if gnn_type == "ARMAConvDynamic":
+            # reference ARMAConvDynamic (ChebNetDynamic.py:201-358): 2K
+            # dynamic scales over learned init/root stack weights
+            self.n_coeff = 2 * filter_order
+            self.arma_init = nn.Parameter(
+                torch.zeros(filter_order, self.dh, self.dh))
+            self.arma_root = nn.Parameter(
+                torch.zeros(filter_order, self.dh, self.dh))
+            self.arma_bias = nn.Parameter(
+                torch.zeros(filter_order, 1, self.dh))
+        elif learn_only_filter_order_coeff:
+            # scalar-coefficient mode (ChebNetDynamic.py:91-92,164-183)
+            self.n_coeff = filter_order
+            self.cheb_weight = nn.Parameter(
+                torch.zeros(filter_order, self.dh, self.dh))
+        else:
+            self.n_coeff = filter_order * self.dh * self.dh
         self.coeff_gcn = nn.Linear(self.n_coeff, self.n_coeff)
         self.coeff_linear = nn.Linear(self.n_coeff, self.n_coeff)
         self.cheb_bias = nn.Parameter(torch.zeros(self.dh))
@@ -163,21 +182,64 @@ class TorchFeTA(nn.Module):
                 tx0, tx1 = tx1, tx2
         return out + self.cheb_bias
 
+    def cheb_scalar(self, heads, lhat, coeff):
+        # out = sum_k c_{h,k} * (Tx_k @ W_k)  (static weights, per-graph
+        # per-head scalars; ChebNetDynamic.py:164-183)
+        w = self.cheb_weight
+        c = coeff  # [B, H, K]
+        tx0 = heads
+        out = c[:, :, 0, None, None] * (tx0 @ w[0])
+        if self.k_order > 1:
+            tx1 = torch.einsum("bmn,bhnd->bhmd", lhat, heads)
+            out = out + c[:, :, 1, None, None] * (tx1 @ w[1])
+            for k in range(2, self.k_order):
+                tx2 = 2 * torch.einsum("bmn,bhnd->bhmd", lhat, tx1) - tx0
+                out = out + c[:, :, k, None, None] * (tx2 @ w[k])
+                tx0, tx1 = tx1, tx2
+        return out + self.cheb_bias
+
+    def arma_dynamic(self, heads, anorm, coeff):
+        # ops/arma.py::arma_filter_dynamic twin (reference
+        # ChebNetDynamic.py:201-358, T=1, relu, mean over K stacks)
+        k = self.k_order
+        a, bcoef = coeff[..., :k], coeff[..., k:]
+        w_init = self.arma_init[None, None] * a[..., None, None]
+        w_root = self.arma_root[None, None] * bcoef[..., None, None]
+        xw = torch.einsum("bhnd,bhkde->bhkne", heads, w_init)
+        prop = torch.einsum("bmn,bhkne->bhkme", anorm, xw)
+        root = torch.einsum("bhnd,bhkde->bhkne", heads, w_root)
+        out = F.relu(prop + root + self.arma_bias[None, None])
+        return out.mean(dim=2)
+
     def forward(self, x, adj, node_mask, pe=None, lap_pe=None, degree=None):
         b, n, _ = x.shape
         out = self.embedding(x)
         if self.lap_pos_enc and lap_pe is not None:
             out = out + self.embedding_lap(lap_pe)
-        lhat = cheb_scaled_laplacian_t(adj, node_mask)
+        if self.gnn_type == "ARMAConvDynamic":
+            # gcn_norm WITHOUT self loops (ChebNetDynamic.py:302-304)
+            pm = (node_mask[:, :, None] * node_mask[:, None, :])
+            a = adj * pm
+            deg = a.sum(-1)
+            dis = torch.where(deg > 0, deg.clamp(min=1e-12).rsqrt(),
+                              torch.zeros_like(deg))
+            anorm = dis[:, :, None] * a * dis[:, None, :]
+        else:
+            lhat = cheb_scaled_laplacian_t(adj, node_mask)
         allout = None
         for i, layer in enumerate(self.layers):
             out, attn, out_each_head = layer(out, pe, node_mask, degree)
             if self.last_layer_filter and i + 1 != len(self.layers):
                 continue
             coeff = self.coeff_head(attn, node_mask)
-            w = coeff.reshape(b, self.h, self.k_order, self.dh, self.dh)
             heads = out_each_head.permute(0, 2, 1, 3)
-            filt = self.cheb_dynamic(heads, lhat, w)
+            if self.gnn_type == "ARMAConvDynamic":
+                filt = self.arma_dynamic(heads, anorm, coeff)
+            elif self.scalar_mode:
+                filt = self.cheb_scalar(heads, lhat, coeff)
+            else:
+                w = coeff.reshape(b, self.h, self.k_order, self.dh, self.dh)
+                filt = self.cheb_dynamic(heads, lhat, w)
             filt = filt.permute(0, 2, 1, 3).reshape(b, n, -1)
             filt = filt * node_mask.unsqueeze(-1)
             allout = filt if allout is None else allout + filt

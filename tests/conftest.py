@@ -61,6 +61,12 @@ SLOW_TESTS = {
     "test_trainer_fits_packed_batches",
     # parity & sharding
     "test_logit_parity_jax_vs_torch_twin",
+    "test_logit_parity_batch_norm_train_mode",
+    "test_logit_parity_packed_vs_twin",
+    "test_scan_matches_unrolled",
+    "test_fused_backward_matches_twin",
+    "test_plain_sbm_and_molhiv_models",
+    "test_transformer_gcn_model",
     "test_sharded_step_matches_single_device",
     "test_dryrun_multichip_entry",
 }

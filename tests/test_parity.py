@@ -58,7 +58,9 @@ def _params_to_torch(params, tmodel):
     tmodel.coeff_gcn.bias.data = torch.from_numpy(
         np.asarray(ch["gcn_bias"]))
     set_linear(tmodel.coeff_linear, ch["coeff_linear"])
-    tmodel.cheb_bias.data = torch.from_numpy(np.asarray(enc["cheb_bias"]))
+    if "cheb_bias" in enc:   # absent in ARMA mode
+        tmodel.cheb_bias.data = torch.from_numpy(
+            np.asarray(enc["cheb_bias"]))
     set_linear(tmodel.linear_cat, enc["linear_cat"])
     cls = p["classifier"]
     set_linear(tmodel.classifier[0], cls["fc1"])
@@ -96,3 +98,126 @@ def test_logit_parity_jax_vs_torch_twin():
 
     np.testing.assert_allclose(
         np.asarray(jlogits), tlogits.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _prep_batch(seed=11):
+    graphs = random_graph_dataset(seed=seed, n_graphs=6, min_nodes=5,
+                                  max_nodes=13, n_features=7)
+    DiffusionEncoding(beta=1.0).apply_to(graphs)
+    LapEncoding(dim=4).apply_to(graphs)
+    return graphs, collate_graphs(graphs, max_nodes=16)
+
+
+def _build_pair(batch, gnn_type="ChebConvDynamic", scalar=False,
+                batch_norm=False):
+    """Init the JAX model, build the torch twin, load identical weights."""
+    jmodel = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=2, d_model=D_MODEL, nb_heads=HEADS,
+        dim_feedforward=2 * D_MODEL, dropout=0.0, nb_layers=LAYERS,
+        batch_norm=batch_norm, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=K, gnn_type=gnn_type,
+        learn_only_filter_order_coeff=scalar)
+    params = jmodel.init(jax.random.key(3), batch)
+    tmodel = TorchFeTA(
+        in_size=7, nb_class=2, d_model=D_MODEL, nb_heads=HEADS,
+        dim_feedforward=2 * D_MODEL, nb_layers=LAYERS, filter_order=K,
+        batch_norm=batch_norm, lap_pos_enc=True, lap_pos_enc_dim=4,
+        gnn_type=gnn_type, learn_only_filter_order_coeff=scalar)
+    _params_to_torch(params, tmodel)
+    enc = params["params"]["encoder"]
+    if scalar:
+        tmodel.cheb_weight.data = torch.from_numpy(
+            np.asarray(enc["cheb_weight"]).copy())
+    if gnn_type == "ARMAConvDynamic":
+        tmodel.arma_init.data = torch.from_numpy(
+            np.asarray(enc["arma_init_weight"]).copy())
+        tmodel.arma_root.data = torch.from_numpy(
+            np.asarray(enc["arma_root_weight"]).copy())
+        tmodel.arma_bias.data = torch.from_numpy(
+            np.asarray(enc["arma_bias"]).copy())
+    return jmodel, params, tmodel
+
+
+def _torch_logits(tmodel, gb, train=False):
+    tmodel.train(train)
+    ctx = torch.enable_grad() if train else torch.no_grad()
+    with ctx:
+        out = tmodel(
+            torch.from_numpy(np.asarray(gb.x)),
+            torch.from_numpy(np.asarray(gb.adj)),
+            torch.from_numpy(gb.node_mask.astype(np.float32)),
+            pe=torch.from_numpy(np.asarray(gb.pe)),
+            lap_pe=torch.from_numpy(np.asarray(gb.lap_pe)),
+            degree=torch.from_numpy(np.asarray(gb.degree)))
+    return out.detach().numpy()
+
+
+def test_logit_parity_batch_norm_train_mode():
+    """BN variant in TRAIN mode: masked batch statistics on both sides
+    (torch twin normalizes valid rows only; MaskedBatchNorm masks)."""
+    _, gb = _prep_batch()
+    jmodel, params, tmodel = _build_pair(gb, batch_norm=True)
+    (jlogits, _), _ = jmodel.apply(params, gb, deterministic=False,
+                                   mutable=["batch_stats"])
+    tlogits = _torch_logits(tmodel, gb, train=True)
+    np.testing.assert_allclose(np.asarray(jlogits), tlogits,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_logit_parity_scalar_coeff_mode():
+    """learn_only_filter_order_coeff=True: static Cheb weights with
+    per-(graph, head) scalar coefficients (ChebNetDynamic.py:164-183)."""
+    _, gb = _prep_batch(seed=13)
+    jmodel, params, tmodel = _build_pair(gb, scalar=True)
+    jlogits, _ = jmodel.apply(params, gb)
+    tlogits = _torch_logits(tmodel, gb)
+    np.testing.assert_allclose(np.asarray(jlogits), tlogits,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_logit_parity_arma_mode():
+    """ARMAConvDynamic filter (ChebNetDynamic.py:201-358)."""
+    _, gb = _prep_batch(seed=17)
+    jmodel, params, tmodel = _build_pair(gb, gnn_type="ARMAConvDynamic")
+    jlogits, _ = jmodel.apply(params, gb)
+    tlogits = _torch_logits(tmodel, gb)
+    np.testing.assert_allclose(np.asarray(jlogits), tlogits,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_logit_parity_packed_vs_twin():
+    """Packed JAX batches against the twin consuming the UNPACKED layout:
+    the packed model shares the unpacked param tree, the twin never sees
+    packed rows — direct cross-stack equivalence."""
+    from feta_tmlr_tpu.data.pack import pack_graphs
+    from feta_tmlr_tpu.nn.packed import PackedDiffGraphTransformerGenGCN
+
+    graphs, gb = _prep_batch(seed=19)
+    jmodel, params, tmodel = _build_pair(gb)
+    tlogits = _torch_logits(tmodel, gb)                  # [n_graphs, 2]
+
+    packed_model = PackedDiffGraphTransformerGenGCN(
+        in_size=7, nb_class=2, d_model=D_MODEL, nb_heads=HEADS,
+        dim_feedforward=2 * D_MODEL, dropout=0.0, nb_layers=LAYERS,
+        batch_norm=False, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=K)
+    packed = pack_graphs(graphs, row_len=32)
+    packed_logits, _ = packed_model.apply(params, packed)
+    packed_logits = np.asarray(packed_logits)            # [rows, slots, 2]
+
+    # match packed (row, slot) -> original graph by node count (sizes are
+    # distinct enough per test seed; ambiguity falls back to best match)
+    matched = 0
+    for gi, g in enumerate(graphs):
+        want = tlogits[gi]
+        best = None
+        for r in range(packed.x.shape[0]):
+            for s in range(int(packed.graph_mask[r].sum())):
+                if int((packed.graph_id[r] == s).sum()) != g.num_nodes:
+                    continue
+                diff = float(np.abs(packed_logits[r, s] - want).max())
+                best = diff if best is None else min(best, diff)
+        assert best is not None, f"graph {gi} not found in packed layout"
+        assert best < 2e-4, (gi, best)
+        matched += 1
+    assert matched == len(graphs)
