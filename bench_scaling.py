@@ -12,8 +12,16 @@ on a real multi-chip slice the same harness measures true weak scaling
 Usage: python bench_scaling.py [--edges-per-shard 2000] [--nodes-per-shard 256]
 Defaults are sized for the 4-core CPU host: larger per-shard work starves
 the 8 virtual device threads and trips XLA's collective rendezvous timeout.
-Measured here: ~99% weak-scaling efficiency at 2x; 4x/8x drop to 72%/43%
-purely from running 8 device threads on 4 physical cores.
+
+To attribute any efficiency drop, each mesh size is measured twice:
+  - ring:  the real schedule (ppermute collectives + local segment-sums)
+  - local: identical per-shard FLOPs/gather work with the ppermute REMOVED
+           (every step processes buckets against the resident block)
+"local" isolates pure compute throughput under s device threads: if its
+weak-scaling efficiency falls the same way ring's does, the drop is host
+core contention (s threads on 4 physical cores), not collective overhead;
+the per-step collective share is (t_ring - t_local) / t_ring. The JSON
+reports both plus that share per mesh size.
 """
 
 from __future__ import annotations
@@ -40,8 +48,36 @@ from feta_tmlr_tpu.parallel.edge_partition import (
 )
 
 
+def _make_local_only_spmm(mesh, n_shards, axis="data"):
+    """Same per-shard work as the ring schedule, no ppermute: processes
+    every bucket against the RESIDENT block (numerically meaningless,
+    computationally identical — used to isolate compute from collectives)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from feta_tmlr_tpu.parallel.edge_partition import _local_agg
+
+    def local_fn(x_local, src, dst, w, m):
+        def body(t, carry):
+            block, acc = carry
+            take = lambda a: jax.lax.dynamic_index_in_dim(
+                a[0], t, keepdims=False)
+            acc = acc + _local_agg(block, take(src), take(dst), take(w),
+                                   take(m), x_local.shape[0])
+            return block, acc
+        _, acc = jax.lax.fori_loop(
+            0, n_shards, body, (x_local, jnp.zeros_like(x_local)))
+        return acc
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None)),
+        out_specs=P(axis, None))
+
+
 def run_scale(n_shards, nodes_per_shard, edges_per_shard, devices,
-              k_order=4, iters=10, feat=128):
+              k_order=4, iters=10, feat=128, mode="ring"):
     n_nodes = n_shards * nodes_per_shard
     n_edges = n_shards * edges_per_shard
     rng = np.random.default_rng(0)
@@ -52,7 +88,10 @@ def run_scale(n_shards, nodes_per_shard, edges_per_shard, devices,
     mesh = make_mesh(n_shards, model_parallel=1, devices=devices)
     pg = partition_edges(edge_index, n_nodes, n_shards, w)
     x_sh, src, dst, ww, mm = place_partitioned(pg, x, mesh)
-    spmm = jax.jit(make_ring_spmm(mesh))
+    if mode == "ring":
+        spmm = jax.jit(make_ring_spmm(mesh))
+    else:
+        spmm = jax.jit(_make_local_only_spmm(mesh, n_shards))
 
     def cheb(x0):
         tx0, tx1 = x0, spmm(x0, src, dst, ww, mm)
@@ -87,12 +126,21 @@ def main():
         if s > len(devices):
             break
         eps = run_scale(s, args.nodes_per_shard, args.edges_per_shard,
-                        devices)
+                        devices, mode="ring")
+        eps_local = run_scale(s, args.nodes_per_shard,
+                              args.edges_per_shard, devices, mode="local")
         if base is None:
             base = eps
+            base_local = eps_local
         results[f"{s}x"] = {
             "edges_per_s": round(eps, 1),
             "weak_scaling_eff": round(eps / (base * s), 4),
+            "edges_per_s_compute_only": round(eps_local, 1),
+            "compute_only_eff": round(eps_local / (base_local * s), 4),
+            # share of each ring step spent in collectives (ppermute),
+            # inferred from the matched-FLOPs local-only variant
+            "collective_share": round(
+                max(0.0, 1.0 - eps / eps_local), 4),
         }
     print(json.dumps({"metric": "ring_spmm_weak_scaling",
                       "platform": devices[0].platform,
