@@ -191,3 +191,30 @@ def test_ogb_resolution_and_fallback():
     tr2, _, _, used2 = load_ogb_or_synthetic("/nonexistent", "ogbg-molhiv",
                                              synthetic_fn=synth)
     assert not used2 and called.get("yes")
+
+
+# --------------------------------------------------------------- registry
+def test_load_data_registry():
+    from feta_tmlr_tpu.data.registry import load_data
+
+    ds = load_data("ZINC", FIXTURES)
+    assert ds.used_real and ds.task == "graph_reg"
+    assert ds.num_atom_type == 28 and len(ds.train) == 6  # index subset
+
+    ds = load_data("MOL-HIV", FIXTURES)
+    assert ds.used_real and ds.task == "binary_graph" and ds.n_tasks == 1
+
+    ds = load_data("SBM_PATTERN", "/nonexistent", n_synthetic=10)
+    assert not ds.used_real and ds.task == "node_clf"
+    assert ds.n_classes == 2
+
+    with pytest.raises(ValueError):
+        load_data("NOPE", "/nonexistent")
+
+
+def test_load_data_registry_tu():
+    from feta_tmlr_tpu.data.registry import load_data
+    ds = load_data("MUTAG", "/nonexistent", n_synthetic=30)
+    assert not ds.used_real and ds.task == "graph_clf"
+    assert ds.n_classes == 2
+    assert len(ds.train) + len(ds.val) + len(ds.test) == 30
