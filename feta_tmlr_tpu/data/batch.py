@@ -181,6 +181,36 @@ def collate_graphs(
                     f"graph(s) {missing} lack `{name}` but graph 0 has it; "
                     "optional attributes must be consistent across a batch")
 
+    # native fast path (native/collate.cpp via ctypes): one C call fills
+    # every dense tensor, OpenMP over graphs; numpy below is the golden
+    # fallback (bit-identical, tests/test_collate_native.py)
+    native = None
+    if not int_x and dtype == np.float32 and not use_eig:
+        from feta_tmlr_tpu.data.collate_native import (
+            collate_dense_native,
+            native_available,
+        )
+        if native_available():
+            native = collate_dense_native(graphs, n)
+    if native is not None:
+        x, node_mask, adj, pe_n, lap_n, deg_n, et_n = native
+        pe = pe_n if use_pe else pe
+        lap_pe = lap_n if use_lap else lap_pe
+        degree = deg_n if use_deg else degree
+        edge_type = et_n if use_etype else edge_type
+        ys = [np.asarray(g.y) for g in graphs if g.y is not None]
+        edge_index = edge_mask = edge_attr = None
+        if with_coo:
+            edge_index, edge_mask, edge_attr = _collate_coo(
+                graphs, edge_buckets or _DEFAULT_NODE_BUCKETS, dtype)
+        y = _pack_labels(ys, graphs, node_labels, bsz, n)
+        return GraphBatch(
+            x=x, node_mask=node_mask, adj=adj, y=y, pe=pe, lap_pe=lap_pe,
+            degree=degree, edge_index=edge_index, edge_mask=edge_mask,
+            edge_attr=edge_attr, edge_type=edge_type, eigvecs=eigvecs,
+            eigvals=eigvals,
+        )
+
     ys = []
     for i, g in enumerate(graphs):
         m = g.num_nodes
@@ -203,47 +233,12 @@ def collate_graphs(
         if g.y is not None:
             ys.append(np.asarray(g.y))
 
-    y = None
-    if ys:
-        if node_labels is None:
-            # infer per-node labels ONLY when every graph's label length
-            # equals its own node count; a fixed-size batch where a
-            # graph-level task vector could coincide (e.g. 128 tasks on a
-            # 128-node graph) is ambiguous and must be made explicit
-            all_match = all(
-                yy.ndim >= 1 and yy.shape[0] == g.num_nodes
-                for yy, g in zip(ys, graphs))
-            sizes_vary = len({g.num_nodes for g in graphs}) > 1
-            if all_match and not sizes_vary and graphs[0].num_nodes > 1:
-                raise ValueError(
-                    "ambiguous labels: every y length equals the (uniform) "
-                    "node count; pass node_labels=True/False explicitly")
-            node_labels = all_match and sizes_vary
-        if node_labels:
-            # per-node labels (SBM tier): pad to [B, N] with -1
-            yb = np.full((bsz, n) + ys[0].shape[1:], -1, dtype=ys[0].dtype)
-            for i, yy in enumerate(ys):
-                yb[i, : yy.shape[0]] = yy
-            y = yb
-        else:
-            y = np.stack(ys)
+    y = _pack_labels(ys, graphs, node_labels, bsz, n)
 
     edge_index = edge_mask = edge_attr = None
     if with_coo:
-        e_raw = max(max(g.num_edges for g in graphs), 1)
-        e = pad_bucket(e_raw, edge_buckets or _DEFAULT_NODE_BUCKETS)
-        edge_index = np.zeros((bsz, 2, e), dtype=np.int32)
-        edge_mask = np.zeros((bsz, e), dtype=bool)
-        use_eattr = graphs[0].edge_attr is not None
-        if use_eattr:
-            edge_attr = np.zeros(
-                (bsz, e, graphs[0].edge_attr.shape[-1]), dtype=dtype)
-        for i, g in enumerate(graphs):
-            ne = g.num_edges
-            edge_index[i, :, :ne] = g.edge_index
-            edge_mask[i, :ne] = True
-            if use_eattr and ne:
-                edge_attr[i, :ne] = g.edge_attr
+        edge_index, edge_mask, edge_attr = _collate_coo(
+            graphs, edge_buckets or _DEFAULT_NODE_BUCKETS, dtype)
 
     return GraphBatch(
         x=x, node_mask=node_mask, adj=adj, y=y, pe=pe, lap_pe=lap_pe,
@@ -251,3 +246,49 @@ def collate_graphs(
         edge_attr=edge_attr, edge_type=edge_type, eigvecs=eigvecs,
         eigvals=eigvals,
     )
+
+
+def _pack_labels(ys, graphs, node_labels, bsz, n):
+    if not ys:
+        return None
+    if node_labels is None:
+        # infer per-node labels ONLY when every graph's label length
+        # equals its own node count; a fixed-size batch where a
+        # graph-level task vector could coincide (e.g. 128 tasks on a
+        # 128-node graph) is ambiguous and must be made explicit
+        all_match = all(
+            yy.ndim >= 1 and yy.shape[0] == g.num_nodes
+            for yy, g in zip(ys, graphs))
+        sizes_vary = len({g.num_nodes for g in graphs}) > 1
+        if all_match and not sizes_vary and graphs[0].num_nodes > 1:
+            raise ValueError(
+                "ambiguous labels: every y length equals the (uniform) "
+                "node count; pass node_labels=True/False explicitly")
+        node_labels = all_match and sizes_vary
+    if node_labels:
+        # per-node labels (SBM tier): pad to [B, N] with -1
+        yb = np.full((bsz, n) + ys[0].shape[1:], -1, dtype=ys[0].dtype)
+        for i, yy in enumerate(ys):
+            yb[i, : yy.shape[0]] = yy
+        return yb
+    return np.stack(ys)
+
+
+def _collate_coo(graphs, edge_buckets, dtype):
+    bsz = len(graphs)
+    e_raw = max(max(g.num_edges for g in graphs), 1)
+    e = pad_bucket(e_raw, edge_buckets)
+    edge_index = np.zeros((bsz, 2, e), dtype=np.int32)
+    edge_mask = np.zeros((bsz, e), dtype=bool)
+    edge_attr = None
+    use_eattr = graphs[0].edge_attr is not None
+    if use_eattr:
+        edge_attr = np.zeros(
+            (bsz, e, graphs[0].edge_attr.shape[-1]), dtype=dtype)
+    for i, g in enumerate(graphs):
+        ne = g.num_edges
+        edge_index[i, :, :ne] = g.edge_index
+        edge_mask[i, :ne] = True
+        if use_eattr and ne:
+            edge_attr[i, :ne] = g.edge_attr
+    return edge_index, edge_mask, edge_attr

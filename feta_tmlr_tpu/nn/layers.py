@@ -149,9 +149,13 @@ class GraphiTEncoderLayer(nn.Module):
                 attn = fused_modulated_attention(scores, node_mask, pe=pe,
                                                  degree=degree)
             else:
+                import os
+                mod_dt = (cdt if cdt != jnp.float32 and os.environ.get(
+                    "FETA_BF16_MODULATION", "1") == "1" else None)
                 _, attn = modulated_attention_from_scores(
                     scores, None, node_mask, pe=pe, degree=degree,
-                    pair_mask=pair_mask, values_needed=False)
+                    pair_mask=pair_mask, values_needed=False,
+                    modulation_dtype=mod_dt)
 
             attn_c = attn.astype(cdt)
             if need_heads:

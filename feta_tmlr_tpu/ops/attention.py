@@ -69,12 +69,20 @@ def modulated_attention_from_scores(
     eps: float = 1e-9,
     pair_mask: Optional[jnp.ndarray] = None,
     values_needed: bool = True,
+    modulation_dtype=None,
 ):
     """GraphiT masking/softmax/PE-renormalization given precomputed scores.
 
     `scores` must already include the 1/sqrt(dh) scaling. Split out so
     layers can compute scores with MXU-friendlier contractions
     (x (Wq Wk^T) x^T) while sharing the exact modulation semantics.
+
+    `modulation_dtype`: optional compute dtype for the post-softmax
+    modulation chain (PE multiply, degree rescale, renormalization) —
+    bf16 here halves the [B, H, N, N] HBM traffic of the whole chain;
+    attention probabilities and PE entries are positive O(1) values, so
+    bf16's ~3 decimal digits bound the relative error at ~1e-2 of a
+    probability (softmax itself always stays f32).
     """
     if pair_mask is not None:
         admissible = pair_mask[:, None, :, :]
@@ -82,6 +90,8 @@ def modulated_attention_from_scores(
         admissible = node_mask[:, None, None, :]
     scores = jnp.where(admissible, scores, _NEG_INF)
     attn = jax_softmax_stable(scores)
+    if modulation_dtype is not None:
+        attn = attn.astype(modulation_dtype)
     if pe is not None:
         attn = attn * pe[:, None, :, :].astype(attn.dtype)
     if degree is not None:

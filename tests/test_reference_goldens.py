@@ -205,3 +205,65 @@ def test_spherical_kmeans_golden(ref):
     got = jkmeans.spherical_kmeans(x, k, n_iters=50, tol=0.0,
                                    init_centers=x[init_idx])
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_path_layer_forward_golden(ref):
+    """Full reference PathLayer.forward (gckn/layers.py:88-148) vs the JAX
+    path layer on identical weights, features and path sets — covers the
+    conv -> kappa -> pooling -> norm-rescale -> Nystrom lintrans chain at
+    module level (the reference imports the pure-torch twin ops at
+    layers.py:9-10, so no native code is involved)."""
+    import importlib
+    import sklearn.linear_model._base as skl_base
+
+    # modern sklearn moved linear_model.base -> _base (reference defect
+    # SURVEY 7.4); shim the old path for the import only
+    added = False
+    if "sklearn.linear_model.base" not in sys.modules:
+        sys.modules["sklearn.linear_model.base"] = skl_base
+        added = True
+    try:
+        rlayers = importlib.import_module("gckn.layers")
+    finally:
+        if added:
+            sys.modules.pop("sklearn.linear_model.base", None)
+
+    from feta_tmlr_tpu.data.synthetic import random_graph_dataset
+    from feta_tmlr_tpu.gckn.layer import (
+        PathLayerParams,
+        path_layer_forward,
+    )
+    from feta_tmlr_tpu.gckn.paths import build_path_batch
+
+    path_size, hidden, in_size = 3, 6, 5
+    graphs = random_graph_dataset(seed=4, n_graphs=3, min_nodes=5,
+                                  max_nodes=9, n_features=in_size)
+    batch = build_path_batch(graphs, path_size)
+    v = batch.n_nodes
+
+    rng = np.random.default_rng(6)
+    weight = rng.standard_normal((path_size, hidden, in_size)) \
+        .astype(np.float32)
+
+    for pooling in ("mean", "sum"):
+        tlayer = rlayers.PathLayer(in_size, hidden, path_size=path_size,
+                                   kernel_func="exp", kernel_args=[0.6],
+                                   pooling=pooling, aggregation=False)
+        tlayer.weight.data = torch.from_numpy(weight.copy())
+        tlayer.eval()
+        feats_t = torch.from_numpy(batch.features[:v].copy())
+        n_real = int(batch.path_mask[path_size - 1].sum())
+        paths_t = [None] * path_size
+        paths_t[path_size - 1] = torch.from_numpy(
+            batch.path_indices[path_size - 1][:n_real].astype(np.int64))
+        other = {"n_paths": [None] * (path_size - 1)
+                 + [torch.from_numpy(batch.counts[path_size - 1])]}
+        with torch.no_grad():
+            want = tlayer(feats_t, paths_t, other).numpy()  # [V, 1, H]
+
+        jparams = PathLayerParams(weight=jnp.asarray(weight),
+                                  path_size=path_size, kernel_func="exp",
+                                  kernel_arg=0.6, pooling=pooling)
+        got = np.asarray(path_layer_forward(
+            jparams, jnp.asarray(batch.features), batch))
+        np.testing.assert_allclose(got[:v], want, rtol=1e-4, atol=1e-5)
