@@ -141,29 +141,10 @@ def collate_graphs(
         raise ValueError(f"max_nodes={n} < largest graph ({n_raw})")
     int_x = np.issubdtype(graphs[0].x.dtype, np.integer)
     squeeze_x = int_x and graphs[0].x.shape[-1] == 1
-    if squeeze_x:
-        # single categorical id (SAN tier): [B, N] int32 for embeddings
-        x = np.zeros((bsz, n), dtype=np.int32)
-    elif int_x:
-        # multi-column categorical features (OGB tier): [B, N, F] int32
-        x = np.zeros((bsz, n, graphs[0].x.shape[-1]), dtype=np.int32)
-    else:
-        f = graphs[0].x.shape[-1]
-        x = np.zeros((bsz, n, f), dtype=dtype)
-    node_mask = np.zeros((bsz, n), dtype=bool)
-    adj = np.zeros((bsz, n, n), dtype=dtype)
-
     use_pe = graphs[0].pe is not None
     use_lap = graphs[0].lap_pe is not None
     use_deg = graphs[0].degree is not None
-    pe = np.zeros((bsz, n, n), dtype=dtype) if use_pe else None
-    lap_pe = (
-        np.zeros((bsz, n, graphs[0].lap_pe.shape[-1]), dtype=dtype)
-        if use_lap else None
-    )
-    degree = np.zeros((bsz, n), dtype=dtype) if use_deg else None
     use_etype = graphs[0].edge_type is not None
-    edge_type = np.zeros((bsz, n, n), dtype=np.int32) if use_etype else None
     use_eig = graphs[0].eigvecs is not None
     eigvecs = eigvals = None
     if use_eig:
@@ -193,11 +174,7 @@ def collate_graphs(
         if native_available():
             native = collate_dense_native(graphs, n)
     if native is not None:
-        x, node_mask, adj, pe_n, lap_n, deg_n, et_n = native
-        pe = pe_n if use_pe else pe
-        lap_pe = lap_n if use_lap else lap_pe
-        degree = deg_n if use_deg else degree
-        edge_type = et_n if use_etype else edge_type
+        x, node_mask, adj, pe, lap_pe, degree, edge_type = native
         ys = [np.asarray(g.y) for g in graphs if g.y is not None]
         edge_index = edge_mask = edge_attr = None
         if with_coo:
@@ -210,6 +187,24 @@ def collate_graphs(
             edge_attr=edge_attr, edge_type=edge_type, eigvecs=eigvecs,
             eigvals=eigvals,
         )
+
+    if squeeze_x:
+        # single categorical id (SAN tier): [B, N] int32 for embeddings
+        x = np.zeros((bsz, n), dtype=np.int32)
+    elif int_x:
+        # multi-column categorical features (OGB tier): [B, N, F] int32
+        x = np.zeros((bsz, n, graphs[0].x.shape[-1]), dtype=np.int32)
+    else:
+        x = np.zeros((bsz, n, graphs[0].x.shape[-1]), dtype=dtype)
+    node_mask = np.zeros((bsz, n), dtype=bool)
+    adj = np.zeros((bsz, n, n), dtype=dtype)
+    pe = np.zeros((bsz, n, n), dtype=dtype) if use_pe else None
+    lap_pe = (
+        np.zeros((bsz, n, graphs[0].lap_pe.shape[-1]), dtype=dtype)
+        if use_lap else None
+    )
+    degree = np.zeros((bsz, n), dtype=dtype) if use_deg else None
+    edge_type = np.zeros((bsz, n, n), dtype=np.int32) if use_etype else None
 
     ys = []
     for i, g in enumerate(graphs):

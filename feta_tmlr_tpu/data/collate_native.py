@@ -44,7 +44,7 @@ def _load_lib():
             _PPF, _PPF, _PPF, _PPF, _PPF, _PPF, _PPF,
             _F32P, _U8P, _F32P, _F32P, _F32P, _F32P, _I32P,
         ]
-        lib.collate_dense.restype = None
+        lib.collate_dense.restype = ctypes.c_int32
         _LIB = lib
     return _LIB
 
@@ -73,12 +73,13 @@ _PTR_FIELDS = ("x", "edge_index", "pe", "lap_pe", "degree", "edge_type")
 def _graph_ptrs(g):
     """(n, e, ptr-dict) with dtype conversion + `.ctypes.data` resolution
     done ONCE per graph — numpy's ctypes accessor costs ~20us per array,
-    which dominates at B=128 x 7 arrays without this cache. The cache key
-    is the identity of the attribute arrays; replacing any attribute
-    invalidates it."""
-    key = tuple(id(getattr(g, f)) for f in _PTR_FIELDS)
+    which dominates at B=128 x 7 arrays without this cache. The cache
+    entry HOLDS the arrays and validates identity with `is` (an id()-based
+    key could false-hit after CPython reuses a freed object's address and
+    hand the C side dangling pointers)."""
     cached = getattr(g, "_native_ptr_cache", None)
-    if cached is not None and cached[0] == key:
+    if cached is not None and all(
+            a is getattr(g, f) for f, a in zip(_PTR_FIELDS, cached[0])):
         return cached[1]
 
     def conv(attr, dt):
@@ -110,8 +111,10 @@ def _graph_ptrs(g):
         "deg": deg.ctypes.data if deg is not None else None,
         "et": et.ctypes.data if et is not None else None,
     }
-    key = tuple(id(getattr(g, f)) for f in _PTR_FIELDS)  # post-conversion
-    g._native_ptr_cache = (key, entry)
+    # hold the (post-conversion) arrays: keeps their buffers alive and
+    # makes the `is` identity check sound
+    g._native_ptr_cache = (
+        tuple(getattr(g, f) for f in _PTR_FIELDS), entry)
     return entry
 
 
@@ -162,7 +165,7 @@ def collate_dense_native(graphs: Sequence, n: int, dtype=np.float32):
     deg = np.zeros((bsz, n), np.float32) if use_deg else None
     et = np.zeros((bsz, n, n), np.int32) if use_et else None
 
-    lib.collate_dense(
+    bad = lib.collate_dense(
         bsz, n, f, p,
         n_nodes.ctypes.data_as(_I32P), n_edges.ctypes.data_as(_I64P),
         _ptr_table(xs), _ptr_table(srcs), _ptr_table(dsts),
@@ -172,4 +175,9 @@ def collate_dense_native(graphs: Sequence, n: int, dtype=np.float32):
         _out_ptr(adj, ctypes.c_float), _out_ptr(pe, ctypes.c_float),
         _out_ptr(lap, ctypes.c_float), _out_ptr(deg, ctypes.c_float),
         _out_ptr(et, ctypes.c_int32))
+    if bad:
+        # match the numpy path's loud failure on malformed edge indices
+        raise IndexError(
+            f"{bad} edge endpoint(s) out of range for their graph's node "
+            "count (corrupt edge_index)")
     return x, mask.astype(bool), adj, pe, lap, deg, et

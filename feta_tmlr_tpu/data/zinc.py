@@ -124,6 +124,11 @@ def load_zinc(data_dir: str, subset: bool = True,
     splits = []
     for split in ("train", "val", "test"):
         has_index = os.path.exists(os.path.join(data_dir, f"{split}.index"))
+        if subset and not has_index:
+            print(f"[warn] ZINC subset requested but {split}.index is "
+                  f"missing under {data_dir} - loading the FULL {split} "
+                  "pickle (the published protocol selects 10k/1k/1k via "
+                  "the index files)")
         graphs = load_zinc_split(data_dir, split,
                                  use_index=subset and has_index)
         if max_graphs_per_split is not None:

@@ -89,6 +89,9 @@ def main(argv=None):
         # single categorical id per node (LSPE features='simple' analogue)
         for g in graphs:
             g.x = g.x[:, :1].astype(np.int32)
+        # task count from the actual label table (fixtures / pruned
+        # datasets may be narrower than the published width)
+        n_tasks = int(np.atleast_1d(graphs[0].y).shape[0])
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
     kwargs.setdefault("hidden_dim", 32)

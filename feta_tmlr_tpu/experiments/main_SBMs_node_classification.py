@@ -20,28 +20,20 @@ from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
 
 MODELS = {"SAN": (SANNet, {}),
           "SAN_NodeLPE": (SANNet, {"lpe": "node"}),
+          "SAN_EdgeLPE": (SANNet, {"lpe": "edge"}),
           "SAN_NodeSpectra": (SANNodeSpectra, {}),
           # LSPE SBM tier (GraphiT_SBM_PATTERN_LSPE.json)
           "GraphiTSpectra": (GraphiTSpectraNet, {}),
           "Spectra": (GraphiTSpectraNet, {}),
           "GraphiT": (GraphiTSpectraNet, {"spectra": False})}
 
-LPE_VARIANTS = {"node": "SAN_NodeLPE", "edge": "SAN_EdgeLPE",
-                "none": "SAN", "nodespectra": "SAN_NodeSpectra",
-                "spectral_node": "SAN_NodeSpectra"}
+
 
 
 
 def resolve_model_name(cfg, model_arg=None):
-    """LPE convention (load_net.py): 'GraphTransformer' (or legacy 'SAN')
-    + net_params['LPE'] picks the variant."""
-    model_name = model_arg or cfg.get("model") or "SAN_NodeSpectra"
-    lpe_kind = cfg["net_params"].get("LPE")
-    if model_name in ("SAN", "GraphTransformer") and lpe_kind:
-        model_name = LPE_VARIANTS.get(lpe_kind, model_name)
-    elif model_name == "GraphTransformer":
-        model_name = "SAN"
-    return model_name
+    from feta_tmlr_tpu.utils.config import resolve_reference_model_name
+    return resolve_reference_model_name(cfg, model_arg)
 
 
 def main(argv=None):

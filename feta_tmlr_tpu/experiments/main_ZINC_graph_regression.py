@@ -49,31 +49,12 @@ NUM_ATOM_TYPE = 28
 NUM_BOND_TYPE = 4
 
 
-def resolve_model_name(cfg, model_arg=None):
-    """Reference model-name resolution.
 
-    LPE convention (LPE/nets/.../load_net.py:28-38): model
-    'GraphTransformer' (or legacy 'SAN') + net_params['LPE'] selects the
-    variant incl. the GAT baselines. LSPE convention
-    (LSPE/nets/.../load_net.py:27-35): pe_init marks the tier; 'SAN' there
-    is the SAN-LSPE net, 'Spectra' the GraphiT-Spectra net.
-    """
-    model_name = model_arg or cfg.get("model", "SAN_NodeSpectra")
-    lpe_kind = cfg["net_params"].get("LPE")
-    if model_name in ("SAN", "GraphTransformer") and lpe_kind:
-        model_name = {"node": "SAN_NodeLPE", "edge": "SAN_EdgeLPE",
-                      "none": "SAN",
-                      "nodespectra": "SAN_NodeSpectra",
-                      "spectral_node": "SAN_NodeSpectra",
-                      "gat": "GAT",
-                      "gat_feta": "GATFeTA"}.get(lpe_kind, model_name)
-    elif model_name == "GraphTransformer":
-        model_name = "SAN"
-    elif cfg["net_params"].get("pe_init"):
-        model_name = {"SAN": "SAN_LSPE",
-                      "Spectra": "GraphiTSpectra"}.get(model_name,
-                                                       model_name)
-    return model_name
+def resolve_model_name(cfg, model_arg=None):
+    from feta_tmlr_tpu.utils.config import resolve_reference_model_name
+    return resolve_reference_model_name(
+        cfg, model_arg,
+        lspe_aliases={"SAN": "SAN_LSPE", "Spectra": "GraphiTSpectra"})
 
 
 def main(argv=None):

@@ -45,7 +45,8 @@ class Predictor:
     def __init__(self, model, variables=None, ckpt_dir: Optional[str] = None,
                  state_like=None, max_batch: int = 128,
                  node_buckets: Optional[Sequence[int]] = None,
-                 collate_kwargs: Optional[dict] = None):
+                 collate_kwargs: Optional[dict] = None,
+                 node_level: bool = False):
         if variables is None:
             if ckpt_dir is None or state_like is None:
                 raise ValueError(
@@ -65,6 +66,10 @@ class Predictor:
         self.max_batch = max_batch
         self.node_buckets = node_buckets
         self.collate_kwargs = collate_kwargs or {}
+        # node_level must be EXPLICIT: a shape heuristic would misfire for
+        # unlabeled inference graphs and for multi-task heads whose task
+        # count coincides with the node bucket
+        self.node_level = node_level
         self._compiled = {}
 
     def _apply_fn(self):
@@ -80,7 +85,7 @@ class Predictor:
         """Logits for each graph (graph-level heads) or node (node-level),
         stacked over the input order."""
         if not graphs:
-            return np.zeros((0,))
+            return np.zeros((0,), np.float32)
         fn = self._compiled.setdefault("fn", self._apply_fn())
         outs = []
         for lo in range(0, len(graphs), self.max_batch):
@@ -91,8 +96,7 @@ class Predictor:
             batch = collate_graphs(chunk, **kw)
             logits = np.asarray(fn(self.variables,
                                    jax.device_put(batch)))
-            if logits.ndim >= 2 and logits.shape[1] == batch.max_nodes \
-                    and batch.y is not None and np.ndim(batch.y) >= 2:
+            if self.node_level:
                 # node-level head: strip padding per graph
                 for i, g in enumerate(chunk):
                     outs.append(logits[i, : g.num_nodes])

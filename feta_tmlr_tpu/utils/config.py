@@ -88,3 +88,40 @@ def model_kwargs_for(model_cls, net_params: Dict[str, Any]
             and "n_heads" in net_params:
         out["num_heads"] = net_params["n_heads"]
     return out
+
+
+LPE_VARIANTS = {
+    # LPE load_net convention (LPE/nets/.../load_net.py:28-38): the LPE
+    # key selects the net variant; gat/gat_feta exist only where the
+    # registry provides them (ZINC tier)
+    "node": "SAN_NodeLPE",
+    "edge": "SAN_EdgeLPE",
+    "none": "SAN",
+    "nodespectra": "SAN_NodeSpectra",
+    "spectral_node": "SAN_NodeSpectra",
+    "gat": "GAT",
+    "gat_feta": "GATFeTA",
+}
+
+
+def resolve_reference_model_name(cfg, model_arg=None,
+                                 default="SAN_NodeSpectra",
+                                 lspe_aliases=None):
+    """Single reference model-name resolution shared by every config-driven
+    main (previously four near-copies that had already drifted).
+
+    LPE convention: model 'GraphTransformer' (or legacy 'SAN') +
+    net_params['LPE'] picks the variant. LSPE convention
+    (LSPE/nets/.../load_net.py:27-35): net_params['pe_init'] marks the
+    tier; `lspe_aliases` maps its model names onto the local registry
+    (e.g. {'SAN': 'SAN_LSPE', 'Spectra': 'GraphiTSpectra'}).
+    """
+    model_name = model_arg or cfg.get("model") or default
+    lpe_kind = cfg.get("net_params", {}).get("LPE")
+    if model_name in ("SAN", "GraphTransformer") and lpe_kind:
+        return LPE_VARIANTS.get(lpe_kind, model_name)
+    if model_name == "GraphTransformer":
+        return "SAN"
+    if lspe_aliases and cfg.get("net_params", {}).get("pe_init"):
+        return lspe_aliases.get(model_name, model_name)
+    return model_name

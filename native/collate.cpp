@@ -19,7 +19,7 @@
 
 extern "C" {
 
-void collate_dense(
+int32_t collate_dense(
     int32_t bsz, int32_t n, int32_t f, int32_t p,
     const int32_t* n_nodes,        // [B]
     const int64_t* n_edges,        // [B]
@@ -38,6 +38,10 @@ void collate_dense(
     float* deg_out,            // [B, n] zeroed or null
     int32_t* etype_out         // [B, n, n] zeroed or null
 ) {
+    // returns the number of out-of-range edge endpoints encountered
+    // (skipped, never written): keeps behavior loud like the numpy
+    // path's IndexError instead of silently corrupting the heap
+    int32_t bad = 0;
     for (int32_t b = 0; b < bsz; ++b) {
         const int32_t nb = n_nodes[b];
         const int64_t eb = n_edges[b];
@@ -57,7 +61,9 @@ void collate_dense(
         const int32_t* dst = dst_ptrs[b];
         const int32_t* et = (et_b && et_ptrs) ? et_ptrs[b] : nullptr;
         for (int64_t e = 0; e < eb; ++e) {
-            const int64_t idx = (int64_t)src[e] * n + dst[e];
+            const int32_t si = src[e], di = dst[e];
+            if (si < 0 || si >= nb || di < 0 || di >= nb) { ++bad; continue; }
+            const int64_t idx = (int64_t)si * n + di;
             adj_b[idx] = 1.0f;
             if (et) et_b[idx] = et[e];
         }
@@ -70,6 +76,7 @@ void collate_dense(
                             sizeof(float) * (size_t)nb);
         }
     }
+    return bad;
 }
 
 }  // extern "C"

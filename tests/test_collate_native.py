@@ -100,3 +100,27 @@ def test_native_collate_comparable_speed():
         os.environ["FETA_NATIVE_COLLATE"] = "1"
     print(f"native {t_native*1e3:.2f} ms vs numpy {t_numpy*1e3:.2f} ms")
     assert t_native < t_numpy * 10
+
+
+@needs_native
+def test_native_rejects_corrupt_edge_index(monkeypatch):
+    monkeypatch.setenv("FETA_NATIVE_COLLATE", "1")
+    graphs = zinc_like_dataset(seed=5, n_graphs=3)
+    graphs[1].edge_index = graphs[1].edge_index.copy()
+    graphs[1].edge_index[0, 0] = 10_000          # out of range
+    with pytest.raises(IndexError):
+        collate_graphs(graphs, max_nodes=48)
+
+
+@needs_native
+def test_native_cache_invalidates_on_attribute_replacement(monkeypatch):
+    monkeypatch.setenv("FETA_NATIVE_COLLATE", "1")
+    graphs = zinc_like_dataset(seed=6, n_graphs=4)
+    b1 = collate_graphs(graphs, max_nodes=48)
+    # replace an attribute array: the pointer cache must not serve the
+    # stale buffer
+    graphs[0].x = graphs[0].x + 1.0
+    b2 = collate_graphs(graphs, max_nodes=48)
+    m = graphs[0].num_nodes
+    np.testing.assert_allclose(np.asarray(b2.x[0, :m]),
+                               np.asarray(b1.x[0, :m]) + 1.0)
