@@ -110,10 +110,53 @@ def run_scale(n_shards, nodes_per_shard, edges_per_shard, devices,
     return n_edges * (k_order - 1) / dt
 
 
+def run_feta_scale(n_shards, nodes_per_shard, devices, iters=4):
+    """Weak scaling of the FULL edge-partitioned FeTA training step
+    (parallel/feta_partitioned.py): V = n_shards * nodes_per_shard nodes
+    of ONE SBM-like graph, constant nodes/edges per shard."""
+    from jax.sharding import Mesh
+    from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
+    from feta_tmlr_tpu.data import collate_graphs
+    from feta_tmlr_tpu.nn import DiffGraphTransformerGenGCNSBM
+    from feta_tmlr_tpu.parallel.feta_partitioned import (
+        make_feta_train_step, prepare_feta_inputs)
+    import jax as _jax
+
+    n_nodes = n_shards * nodes_per_shard
+    g = sbm_like_dataset(seed=0, n_graphs=1, n_nodes=n_nodes + 1,
+                         n_classes=2)[0]
+    mesh = Mesh(np.array(devices[:n_shards]), ("data",))
+    cfg = dict(d_model=32, n_heads=4, n_layers=2, filter_order=3)
+    model = DiffGraphTransformerGenGCNSBM(
+        in_size=3, nb_class=2, d_model=cfg["d_model"],
+        nb_heads=cfg["n_heads"], dim_feedforward=64, dropout=0.0,
+        nb_layers=cfg["n_layers"], batch_norm=False,
+        filter_order=cfg["filter_order"])
+    batch = collate_graphs([g], max_nodes=g.num_nodes, node_labels=False)
+    variables = _jax.jit(model.init)(_jax.random.key(0), batch)
+    xs = prepare_feta_inputs(g.edge_index, g.x.astype(np.float32),
+                             np.asarray(g.y, np.int32), mesh,
+                             degree=g.degree)
+    x_sh, pe_sh, mask_sh, src, dst, w, m, lab, lmask, deg_sh = xs
+    step = make_feta_train_step(mesh, **cfg)
+    params = variables["params"]
+    params, _ = step(params, x_sh, pe_sh, mask_sh, src, dst, w, m, lab,
+                     lmask, deg_sh)
+    _jax.block_until_ready(_jax.tree_util.tree_leaves(params)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, loss = step(params, x_sh, pe_sh, mask_sh, src, dst, w, m,
+                            lab, lmask, deg_sh)
+    float(loss)                        # forced fetch
+    dt = (time.perf_counter() - t0) / iters
+    return n_nodes / dt                # nodes/s (graph grows with mesh)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nodes-per-shard", type=int, default=256)
     p.add_argument("--edges-per-shard", type=int, default=2000)
+    p.add_argument("--feta-nodes-per-shard", type=int, default=24)
     p.add_argument("--platform", type=str, default="cpu",
                    help="cpu (virtual mesh) or default backend")
     args = p.parse_args()
@@ -142,9 +185,22 @@ def main():
             "collective_share": round(
                 max(0.0, 1.0 - eps / eps_local), 4),
         }
+    feta = {}
+    base_f = None
+    for s_ in (1, 2, 4, 8):
+        if s_ > len(devices):
+            break
+        nps = run_feta_scale(s_, args.feta_nodes_per_shard, devices)
+        if base_f is None:
+            base_f = nps
+        feta[f"{s_}x"] = {
+            "nodes_per_s": round(nps, 1),
+            "weak_scaling_eff": round(nps / (base_f * s_), 4),
+        }
     print(json.dumps({"metric": "ring_spmm_weak_scaling",
                       "platform": devices[0].platform,
-                      "results": results}))
+                      "results": results,
+                      "feta_partitioned_full_model": feta}))
 
 
 if __name__ == "__main__":
