@@ -94,6 +94,21 @@ def resolve_outdir(args, family: str = "transformer") -> Optional[str]:
     return out
 
 
+def set_accepted_defaults(model_cls, kwargs: dict, **defaults) -> dict:
+    """setdefault() only for constructor fields `model_cls` actually has.
+
+    The config-driven mains share one default block across model families
+    whose signatures differ (e.g. GatedGCN has no n_heads/lpe_dim); blindly
+    defaulting an unknown kwarg crashes flax's dataclass __init__.
+    """
+    import dataclasses
+    accepted = {f.name for f in dataclasses.fields(model_cls)}
+    for k, v in defaults.items():
+        if k in accepted:
+            kwargs.setdefault(k, v)
+    return kwargs
+
+
 def load_tu_or_synthetic(args):
     """(graphs, in_size, n_classes, used_real_data)."""
     path = os.path.join(args.datadir, args.dataset)

@@ -9,7 +9,8 @@ from __future__ import annotations
 import argparse
 
 from feta_tmlr_tpu.data.sbm import load_sbm_or_synthetic
-from feta_tmlr_tpu.experiments.common import make_batches
+from feta_tmlr_tpu.experiments.common import (
+    make_batches, set_accepted_defaults)
 from feta_tmlr_tpu.nn.lspe import GraphiTSpectraNet
 from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
 from feta_tmlr_tpu.pe.encodings import PStepRWEncoding
@@ -72,10 +73,8 @@ def main(argv=None):
     n_classes = int(max(int(g.y.max()) for g in graphs)) + 1
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
-    kwargs.setdefault("hidden_dim", 32)
-    kwargs.setdefault("out_dim", 32)
-    kwargs.setdefault("n_heads", 4)
-    kwargs.setdefault("n_layers", 3)
+    set_accepted_defaults(cls, kwargs, hidden_dim=32, out_dim=32,
+                          n_heads=4, n_layers=3)
     if cls is GraphiTSpectraNet:
         # LSPE PE precompute: RWPE p channel + optional (I-gamma L)^p kernel
         dim = kwargs.setdefault("pos_enc_dim", 12)
@@ -87,7 +86,7 @@ def main(argv=None):
                             normalization="sym").apply_to(graphs)
     else:
         apply_laplace_decomp(graphs, args.max_freqs)
-        kwargs.setdefault("lpe_dim", 8)
+        set_accepted_defaults(cls, kwargs, lpe_dim=8)
     model = cls(num_atom_type=n_tags, num_bond_type=2, node_level=True,
                 n_out=n_classes, **kwargs)
 

@@ -13,7 +13,8 @@ import numpy as np
 
 from feta_tmlr_tpu.data import random_graph_dataset
 from feta_tmlr_tpu.data.tu import load_fold_indices, load_tu_dataset
-from feta_tmlr_tpu.experiments.common import make_batches
+from feta_tmlr_tpu.experiments.common import (
+    make_batches, set_accepted_defaults)
 from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
 from feta_tmlr_tpu.nn.lspe import GraphiTSpectraNet
 from feta_tmlr_tpu.nn.pna import PNALSPENet, average_log_degree
@@ -85,14 +86,11 @@ def main(argv=None):
 
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
-    kwargs.setdefault("hidden_dim", 32)
-    kwargs.setdefault("out_dim", 32)
-    kwargs.setdefault("n_heads", 4)
-    kwargs.setdefault("n_layers", 3)
-    kwargs.setdefault("lpe_dim", 8)
+    set_accepted_defaults(cls, kwargs, hidden_dim=32, out_dim=32,
+                          n_heads=4, n_layers=3, lpe_dim=8,
+                          categorical_input=False)
     if cls is PNALSPENet:
         kwargs.setdefault("avg_d_log", average_log_degree(graphs))
-    kwargs.setdefault("categorical_input", False)
     model = cls(num_atom_type=1, num_bond_type=1,
                 n_out=n_classes, **kwargs)
 

@@ -14,7 +14,8 @@ import numpy as np
 from feta_tmlr_tpu.data.batch import Graph
 from feta_tmlr_tpu.data.ogb_raw import load_ogb_or_synthetic
 from feta_tmlr_tpu.data.synthetic import random_connected_graph
-from feta_tmlr_tpu.experiments.common import make_batches
+from feta_tmlr_tpu.experiments.common import (
+    make_batches, set_accepted_defaults)
 from feta_tmlr_tpu.nn.san import SANNet, SANNodeSpectra
 from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
 from feta_tmlr_tpu.train import Trainer, TrainConfig
@@ -82,11 +83,8 @@ def main(argv=None):
 
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
-    kwargs.setdefault("hidden_dim", 32)
-    kwargs.setdefault("out_dim", 32)
-    kwargs.setdefault("n_heads", 4)
-    kwargs.setdefault("n_layers", 3)
-    kwargs.setdefault("lpe_dim", 8)
+    set_accepted_defaults(cls, kwargs, hidden_dim=32, out_dim=32,
+                          n_heads=4, n_layers=3, lpe_dim=8)
     model = cls(num_atom_type=119, num_bond_type=5, n_out=1, **kwargs)
 
     max_nodes = max(g.num_nodes for g in graphs)

@@ -157,6 +157,45 @@ def make_ogb(root, name_dir, n_graphs, n_tasks, with_nan, seed):
     print(f"wrote OGB fixture -> {os.path.join(root, name_dir)}")
 
 
+# --------------------------------------------------------------- TU
+def make_tu(root, name="TUFIX", n_graphs=16, seed=11):
+    """Standard TU text layout (1-indexed _A.txt edge list etc.), the same
+    files a TUDataset download unpacks (gckn/data_io.py:27-160 reads it)."""
+    rng = np.random.default_rng(seed)
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    pre = os.path.join(d, name)
+    adjs, node_labels, graph_labels = [], [], []
+    for _ in range(n_graphs):
+        n = int(rng.integers(5, 12))
+        a = np.triu(rng.random((n, n)) > 0.55, k=1).astype(int)
+        order = rng.permutation(n)           # spanning chain: connected
+        for u, v in zip(order[:-1], order[1:]):
+            a[min(u, v), max(u, v)] = 1
+        a = a + a.T
+        adjs.append(a)
+        node_labels.append(rng.integers(0, 5, n))
+        # learnable label: density above/below median-ish threshold,
+        # raw values 6/-1 to exercise the first-seen label remap
+        dens = a.sum() / (n * (n - 1))
+        graph_labels.append(6 if dens > 0.5 else -1)
+    with open(f"{pre}_graph_indicator.txt", "w") as f:
+        for gi, a in enumerate(adjs, 1):
+            f.writelines(f"{gi}\n" for _ in range(a.shape[0]))
+    with open(f"{pre}_graph_labels.txt", "w") as f:
+        f.writelines(f"{l}\n" for l in graph_labels)
+    with open(f"{pre}_node_labels.txt", "w") as f:
+        for labs in node_labels:
+            f.writelines(f"{l}\n" for l in labs)
+    with open(f"{pre}_A.txt", "w") as f:
+        offset = 1
+        for a in adjs:
+            for u, v in zip(*np.nonzero(a)):
+                f.write(f"{u + offset}, {v + offset}\n")
+            offset += a.shape[0]
+    print(f"wrote TU fixture -> {d}")
+
+
 if __name__ == "__main__":
     make_zinc(os.path.join(HERE, "molecules"))
     make_sbm(os.path.join(HERE, "SBMs"))
@@ -164,3 +203,4 @@ if __name__ == "__main__":
              with_nan=False, seed=3)
     make_ogb(HERE, "ogbg_molpcba", n_graphs=8, n_tasks=8,
              with_nan=True, seed=5)
+    make_tu(HERE)
