@@ -74,6 +74,9 @@ def main(argv=None):
                         "10k/1k/1k index subset")
     p.add_argument("--max-graphs", type=int, default=None,
                    help="head-slice each real split (smoke runs)")
+    p.add_argument("--outdir", type=str, default=None,
+                   help="write logs.csv/results.csv + TensorBoard scalars "
+                        "here (reference out_dir, LPE main:167-195)")
     p.add_argument("--ckpt-dir", type=str, default=None,
                    help="per-epoch keep-latest checkpoints (orbax)")
     args = p.parse_args(argv)
@@ -153,11 +156,29 @@ def main(argv=None):
                     sign_flip=cls in (SANNet, SANNodeSpectra),
                     seed=args.seed),
         steps_per_epoch=len(train_b))
+    csv_log = tb_log = None
+    if args.outdir:
+        from feta_tmlr_tpu.train.logging import CSVLogger, TensorBoardLogger
+        csv_log = CSVLogger(args.outdir)
+        tb_log = TensorBoardLogger(args.outdir)
+
+    def log_row(row):
+        print({k: (round(v, 5) if isinstance(v, float) else v)
+               for k, v in row.items()})
+        if csv_log is not None:
+            csv_log.log(row)
+            tb_log.log(row)
+
     result = trainer.fit(train_b, val_batches=val_b, test_batches=test_b,
                          epochs=epochs, ckpt_dir=args.ckpt_dir,
-                         log_fn=lambda row: print(
-                             {k: (round(v, 5) if isinstance(v, float)
-                                  else v) for k, v in row.items()}))
+                         log_fn=log_row)
+    if csv_log is not None:
+        csv_log.flush()
+        csv_log.write_results(
+            {"best_val": result["best_val"],
+             **{f"test_{k}": v
+                for k, v in (result.get("test") or {}).items()}})
+        tb_log.close()
     print("best_val:", result["best_val"], "test:", result.get("test"))
     return result
 

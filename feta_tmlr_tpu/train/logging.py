@@ -44,3 +44,33 @@ class CSVLogger:
             w.writeheader()
             w.writerow(results)
         return path
+
+
+class TensorBoardLogger:
+    """Per-epoch scalars as TensorBoard event files.
+
+    The reference's LPE/LSPE mains stream train/val/test scalars through
+    tensorboardX (LPE/main_ZINC_graph_regression.py:167-173); torch's
+    bundled SummaryWriter writes the same event format. Silently no-ops
+    when the writer is unavailable so headless runs never fail on it.
+    """
+
+    def __init__(self, outdir: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._writer = SummaryWriter(log_dir=outdir)
+        except Exception:
+            self._writer = None
+
+    def log(self, row: Dict) -> None:
+        if self._writer is None:
+            return
+        step = int(row.get("epoch", 0))
+        for key, val in row.items():
+            if key != "epoch" and isinstance(val, (int, float)):
+                self._writer.add_scalar(key, float(val), step)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
+            self._writer.close()

@@ -90,3 +90,23 @@ def test_lambda_max_power_iteration():
                                  normalization=None,
                                  lambda_max=jnp.asarray(lam))
     assert np.all(np.isfinite(np.asarray(lhat)))
+
+
+def test_tensorboard_logger(tmp_path):
+    """TB scalars land in an event file; CSV artifacts alongside
+    (reference LPE mains stream tensorboardX scalars, main:167-173)."""
+    import os
+    from feta_tmlr_tpu.train.logging import CSVLogger, TensorBoardLogger
+
+    d = str(tmp_path)
+    tb = TensorBoardLogger(d)
+    csvl = CSVLogger(d)
+    for epoch in range(3):
+        row = {"epoch": epoch, "loss": 1.0 / (epoch + 1), "val_mae": 0.5}
+        tb.log(row)
+        csvl.log(row)
+    tb.close()
+    csvl.flush()
+    names = os.listdir(d)
+    assert any(n.startswith("events.out.tfevents") for n in names), names
+    assert "logs.csv" in names
