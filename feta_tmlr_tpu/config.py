@@ -14,7 +14,13 @@ import os
 # for XLA at these shapes: the step is MXU-efficiency-bound and XLA's
 # (B*H)-batched matmuls beat sequential per-head in-kernel dots. Both
 # kernels stay opt-in (FETA_PALLAS=1); they should win for large-N
-# workloads where each [H, N, N] tile is substantial work.
+# workloads where each [H, N, N] tile is substantial work. Measured at
+# the SBM shape (N=128, B=32, bf16 policy, interleaved 2x each,
+# 2026-08-17): XLA 4.2/6.8 ms/step vs Pallas 7.7/6.5 — neutral within
+# the relay's session noise, so the default stays off there too. Under
+# FETA_COMPUTE_DTYPE=bfloat16 the kernels take bf16 xa/x/vw (MXU dots in
+# bf16, f32 accumulators/softmax; aux operands stay f32 — Mosaic cannot
+# lower 1x1 bf16 scalar extracts).
 _env = os.environ.get("FETA_PALLAS")
 PALLAS_MODULATION = False if _env is None else _env == "1"
 

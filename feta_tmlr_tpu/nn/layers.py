@@ -129,7 +129,7 @@ class GraphiTEncoderLayer(nn.Module):
             from feta_tmlr_tpu.ops.pallas.fused_attention import \
                 fused_graphit_attention
             vw = jnp.einsum("bmhe,hef->bhmf", v_nhd,
-                            w_out.reshape(h, dh, d))
+                            w_out.reshape(h, dh, d).astype(cdt))
             attn_out = fused_graphit_attention(
                 xa, x, c_q, c_k, c_0, vw, node_mask, pe=pe,
                 degree=degree) + b_out

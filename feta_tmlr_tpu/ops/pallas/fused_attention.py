@@ -55,16 +55,17 @@ def _fwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
     ck = ck_ref[0]                                 # Mosaic rejects strided
     c0 = c0_ref[0]                                 # scalar VMEM accesses)
     h = xa_ref.shape[1]
-    acc = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+    # accumulate in f32 regardless of the (possibly bf16) io dtype
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
     for hi in range(h):
         scores = (jnp.dot(xa_ref[0, hi], x.T,
                           preferred_element_type=jnp.float32)
                   + cq[:, hi][:, None] + ck[:, hi][None, :]
                   + c0[0, hi]) * inv_sqrt
         _, _, _, _, attn = _attn_from_scores(scores, pd, qmask, kmask)
-        acc = acc + jnp.dot(attn, vw_ref[0, hi],
+        acc = acc + jnp.dot(attn.astype(vw_ref.dtype), vw_ref[0, hi],
                             preferred_element_type=jnp.float32)
-    out_ref[0] = acc
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _bwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
@@ -80,7 +81,7 @@ def _bwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
     c0 = c0_ref[0]
     g = g_ref[0]                                   # [N, D]
     h = xa_ref.shape[1]
-    dx_acc = jnp.zeros(x.shape, x.dtype)
+    dx_acc = jnp.zeros(x.shape, jnp.float32)
     dcq_cols, dck_cols, dc0_cols = [], [], []
     for hi in range(h):
         scores = (jnp.dot(xa_ref[0, hi], x.T,
@@ -92,8 +93,9 @@ def _bwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
         # d attn from the product; d vw from attn^T g
         d_attn = jnp.dot(g, vw_ref[0, hi].T,
                          preferred_element_type=jnp.float32)
-        dvw_ref[0, hi] = jnp.dot(attn.T, g,
-                                 preferred_element_type=jnp.float32)
+        dvw_ref[0, hi] = jnp.dot(
+            attn.astype(g.dtype).T, g,
+            preferred_element_type=jnp.float32).astype(dvw_ref.dtype)
 
         # through the masks and renormalization (see modulation.py)
         gm = d_attn * qmask * kmask
@@ -103,17 +105,20 @@ def _bwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
         ds = a * (da - (da * a).sum(-1, keepdims=True))
         ds = ds * inv_sqrt
 
-        dxa_ref[0, hi] = jnp.dot(ds, x, preferred_element_type=jnp.float32)
-        dx_acc = dx_acc + jnp.dot(ds.T, xa_ref[0, hi],
+        ds_c = ds.astype(x.dtype)        # bf16 MXU dots under the policy
+        dxa_ref[0, hi] = jnp.dot(
+            ds_c, x, preferred_element_type=jnp.float32).astype(
+                dxa_ref.dtype)
+        dx_acc = dx_acc + jnp.dot(ds_c.T, xa_ref[0, hi],
                                   preferred_element_type=jnp.float32)
         dcq_cols.append(ds.sum(-1))
         dck_cols.append(ds.sum(0))
         dc0_cols.append(ds.sum())
-    dx_ref[0] = dx_acc
+    dx_ref[0] = dx_acc.astype(dx_ref.dtype)
     # full-block stores (no strided/scalar VMEM writes)
-    dcq_ref[0] = jnp.stack(dcq_cols, axis=-1)
-    dck_ref[0] = jnp.stack(dck_cols, axis=-1)
-    dc0_ref[0] = jnp.stack(dc0_cols).reshape(1, h)
+    dcq_ref[0] = jnp.stack(dcq_cols, axis=-1).astype(dcq_ref.dtype)
+    dck_ref[0] = jnp.stack(dck_cols, axis=-1).astype(dck_ref.dtype)
+    dc0_ref[0] = jnp.stack(dc0_cols).reshape(1, h).astype(dc0_ref.dtype)
 
 
 def _specs(h, n, d, extra_nd=0):
@@ -207,18 +212,21 @@ def fused_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
       pe [B, N, N] / degree [B, N] optional modulation (data, no grads).
     """
     b, h, n, d = xa.shape
-    dtype = xa.dtype
     dh = d // h
-    pe_arr = pe.astype(dtype) if pe is not None else jnp.ones((b, n, n),
-                                                             dtype)
-    deg_arr = (degree.astype(dtype) if degree is not None
-               else jnp.ones((b, n), dtype)).reshape(b, 1, n)
-    qmask = node_mask.astype(dtype).reshape(b, n, 1)
-    kmask = node_mask.astype(dtype).reshape(b, 1, n)
-    inv_sqrt = jnp.full((1, 1), 1.0 / (dh ** 0.5), dtype)
-    return _fused(xa, x, cq, ck, c0.reshape(1, 1, h) *
-                  jnp.ones((b, 1, h), dtype), vw, pe_arr, deg_arr,
-                  qmask, kmask, inv_sqrt)
+    # MXU-dot operands (xa/x/vw) may be bf16; every small/aux operand
+    # stays f32 — softmax math is f32 inside the kernel, and Mosaic can't
+    # lower 1x1 bf16 scalar extracts (inv_sqrt/c0) anyway
+    f32 = jnp.float32
+    pe_arr = (pe.astype(f32) if pe is not None
+              else jnp.ones((b, n, n), f32))
+    deg_arr = (degree.astype(f32) if degree is not None
+               else jnp.ones((b, n), f32)).reshape(b, 1, n)
+    qmask = node_mask.astype(f32).reshape(b, n, 1)
+    kmask = node_mask.astype(f32).reshape(b, 1, n)
+    inv_sqrt = jnp.full((1, 1), 1.0 / (dh ** 0.5), f32)
+    return _fused(xa, x.astype(xa.dtype), cq.astype(f32), ck.astype(f32),
+                  c0.reshape(1, 1, h).astype(f32) * jnp.ones((b, 1, h), f32),
+                  vw, pe_arr, deg_arr, qmask, kmask, inv_sqrt)
 
 
 def fused_graphit_attention_ref(xa, x, cq, ck, c0, vw, node_mask, pe=None,

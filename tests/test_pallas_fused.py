@@ -58,3 +58,28 @@ def test_fused_backward_matches_twin():
     for a, b_, name in zip(gk, gr, ["xa", "x", "cq", "ck", "c0", "vw"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=1e-4, err_msg=name)
+
+
+def test_fused_forward_bf16_io():
+    """bf16 activations (the FETA_COMPUTE_DTYPE=bfloat16 policy feeds xa/vw
+    in bf16): kernels must accumulate f32 and cast on store — this exact
+    case crashed on TPU with 'Invalid dtype for swap' before the fix."""
+    xa, x, cq, ck, c0, vw, mask, pe, deg = _inputs(seed=5)
+    xa16, vw16 = xa.astype(jnp.bfloat16), vw.astype(jnp.bfloat16)
+    got = fa.fused_graphit_attention(xa16, x, cq, ck, c0, vw16, mask,
+                                     pe=pe, degree=deg)
+    assert got.dtype == jnp.bfloat16
+    ref = fa.fused_graphit_attention_ref(
+        xa16.astype(jnp.float32), x, cq, ck, c0,
+        vw16.astype(jnp.float32), mask, pe=pe, degree=deg)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+    def loss_k(args):
+        return (fa.fused_graphit_attention(
+            *args, mask, pe=pe, degree=deg).astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss_k)((xa16, x, cq, ck, c0, vw16))
+    assert g[0].dtype == jnp.bfloat16 and g[5].dtype == jnp.bfloat16
+    for a in g:
+        assert np.isfinite(np.asarray(a, np.float32)).all()
