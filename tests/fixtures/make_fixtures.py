@@ -157,6 +157,33 @@ def make_ogb(root, name_dir, n_graphs, n_tasks, with_nan, seed):
     print(f"wrote OGB fixture -> {os.path.join(root, name_dir)}")
 
 
+# --------------------------------------------------------------- PCQM4M-LSC
+def make_pcqm4m_lsc(root, name="pcqm4m_kddcup2021"):
+    """REAL OGB-LSC layout: raw/data.csv.gz (idx,smiles,homolumogap) +
+    split_dict.pt (what ogb.lsc.PCQM4MDataset downloads)."""
+    raw = os.path.join(root, name, "raw")
+    os.makedirs(raw, exist_ok=True)
+    smiles = ["CCO", "c1ccccc1", "CC(=O)Nc1ccccc1", "C#N", "CC1CCCCC1",
+              "OC(=O)c1ccccc1O", "CN1C=NC2=C1C(=O)N(C)C(=O)N2C",
+              "[NH3+]CC([O-])=O", "CCOC(=O)C", "c1ccc2ccccc2c1",
+              "CC(C)CC1=CC=C(C=C1)C(C)C(=O)O", "N#Cc1ccccc1"]
+    rng = np.random.default_rng(13)
+    with gzip.open(os.path.join(raw, "data.csv.gz"), "wt",
+                   newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["idx", "smiles", "homolumogap"])
+        for i, s in enumerate(smiles):
+            gap = "" if i >= len(smiles) - 2 else \
+                f"{float(rng.uniform(2, 8)):.4f}"   # last 2: test (no label)
+            w.writerow([i, s, gap])
+    n = len(smiles)
+    torch.save({"train": np.arange(0, n - 4),
+                "valid": np.arange(n - 4, n - 2),
+                "test": np.arange(n - 2, n)},
+               os.path.join(root, name, "split_dict.pt"))
+    print(f"wrote PCQM4M-LSC fixture -> {os.path.join(root, name)}")
+
+
 # --------------------------------------------------------------- TU
 def make_tu(root, name="TUFIX", n_graphs=16, seed=11):
     """Standard TU text layout (1-indexed _A.txt edge list etc.), the same
@@ -204,3 +231,4 @@ if __name__ == "__main__":
     make_ogb(HERE, "ogbg_molpcba", n_graphs=8, n_tasks=8,
              with_nan=True, seed=5)
     make_tu(HERE)
+    make_pcqm4m_lsc(HERE)

@@ -86,6 +86,18 @@ def test_main_molhiv_real(capsys):
     assert res["best_val"] is not None
 
 
+def test_run_transformer_pcqm4m_real_lsc(capsys):
+    """PCQM4M runner on the REAL LSC layout (smiles csv + split_dict.pt),
+    featurized by the built-in SMILES parser (data/smiles.py)."""
+    from feta_tmlr_tpu.experiments import run_transformer_gengcn_pcqm4m \
+        as m
+    res = m.main(["--epochs", "2", "--datadir", FIXTURES,
+                  "--dim-hidden", "16", "--nb-layers", "1",
+                  "--filter_order", "2", "--batch-size", "4"])
+    assert "loaded pcqm4m_kddcup2021 LSC smiles" in capsys.readouterr().out
+    assert res["best_val"] is not None
+
+
 def test_run_transformer_gengcn_cv_real_tu(capsys):
     """Canonical TU CV runner (the paper's flagship protocol) on a
     real-format TU text fixture: parser -> one-hot tags -> PE -> CV fold."""
