@@ -81,16 +81,24 @@ def _back_variables(params, n_layers: int):
 
 
 def make_pipelined_forward(mesh: Mesh, model, n_microbatches: int,
-                           axis: str = "pp"):
+                           axis: str = "pp",
+                           data_axis: Optional[str] = None):
     """forward(params, batch) -> (logits, coeff) for a
     `DiffGraphTransformerGenGCN`, with the unfiltered layer chain
     pipelined over `mesh`'s `axis`.
 
     `params` is the unmodified flax tree of `model`; `batch` a dense
     GraphBatch whose graph count divides `n_microbatches`.
+
+    With `data_axis` set (2-D pp x data mesh), each microbatch is
+    additionally sharded over the data axis: stages hold the same 'pp'
+    parameter slice on every data replica, activations ppermute along
+    'pp' within a data shard, and parameter gradients reduce over 'data'
+    automatically through shard_map's autodiff.
     """
     S = mesh.shape[axis]
     M = n_microbatches
+    dp = mesh.shape[data_axis] if data_axis else 1
     layer = GraphiTEncoderLayer(
         model.d_model, model.nb_heads, model.dim_feedforward,
         0.0, False)
@@ -116,12 +124,14 @@ def make_pipelined_forward(mesh: Mesh, model, n_microbatches: int,
         slice); data args replicated [M, mb, ...]."""
         sl = jax.tree.map(lambda a: a[0], stacked)
         idx = jax.lax.axis_index(axis)
-        # carries become device-varying after the first ppermute; mark the
+        # carries become device-varying after the first ppermute (and over
+        # the data axis when microbatches are sharded); mark the
         # (replicated) zero inits varying up front so scan types line up
+        vaxes = (axis,) + ((data_axis,) if data_axis else ())
         zero = jax.lax.pcast(jnp.zeros(x_mb.shape[1:], x_mb.dtype),
-                             (axis,), to="varying")
+                             vaxes, to="varying")
         out0 = jax.lax.pcast(jnp.zeros(x_mb.shape, x_mb.dtype),
-                             (axis,), to="varying")
+                             vaxes, to="varying")
 
         def tick(carry, t):
             buf, outputs = carry
@@ -153,21 +163,24 @@ def make_pipelined_forward(mesh: Mesh, model, n_microbatches: int,
             el = p["embedding_lap_pos_enc"]
             x = x + batch.lap_pe @ el["kernel"] + el["bias"]
         B, N, D = x.shape
-        if B % M:
-            raise ValueError(f"batch {B} not divisible by {M} microbatches")
+        if B % (M * dp):
+            raise ValueError(
+                f"batch {B} not divisible by {M} microbatches x {dp} "
+                "data shards")
         mb = B // M
 
         def split(a):
             return a.reshape((M, mb) + a.shape[1:])
 
         has_deg = batch.degree is not None
-        data_specs = (P(), P(), P()) + ((P(),) if has_deg else ())
+        dspec = P(None, data_axis)   # microbatch dim whole, rows sharded
+        data_specs = (dspec, dspec, dspec) + ((dspec,) if has_deg else ())
         fn = shard_map(
             (pipeline_local if has_deg else
              lambda st, xm, pm, mm: pipeline_local(st, xm, pm, mm, None)),
             mesh=mesh,
             in_specs=(P(axis),) + data_specs,
-            out_specs=P())
+            out_specs=dspec)
         args = [stack_pipeline_params(params, model.nb_layers, S),
                 split(x), split(batch.pe), split(batch.node_mask)]
         if has_deg:
@@ -189,9 +202,11 @@ def make_pipelined_forward(mesh: Mesh, model, n_microbatches: int,
 
 def make_pipeline_train_step(mesh: Mesh, model, n_microbatches: int,
                              lr: float = 1e-3, axis: str = "pp",
-                             task: str = "graph_reg"):
+                             task: str = "graph_reg",
+                             data_axis: Optional[str] = None):
     """jit'd SGD step over the pipelined forward (L1 or CE loss)."""
-    forward = make_pipelined_forward(mesh, model, n_microbatches, axis)
+    forward = make_pipelined_forward(mesh, model, n_microbatches, axis,
+                                     data_axis=data_axis)
 
     @jax.jit
     def step(params, batch: GraphBatch):

@@ -101,3 +101,32 @@ def test_pipeline_grad_matches_dense():
     for a, b in zip(flat_d, flat_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_pipeline_2d_pp_data_mesh():
+    """pp x data composition: 2 stages x 2 data shards — parity with the
+    dense model and a learning step on the 2-D mesh."""
+    from feta_tmlr_tpu.parallel.pipeline import (
+        make_pipeline_train_step, make_pipelined_forward)
+    model, params, batch = _setup(n_layers=5, n_graphs=8)
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]).reshape(2, 2),
+                ("pp", "data"))
+    dense_logits, _ = model.apply(params, batch)
+    fwd = make_pipelined_forward(mesh, model, 2, data_axis="data")
+    with mesh:
+        logits, _ = jax.jit(fwd)(params, batch)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(dense_logits),
+                               rtol=2e-4, atol=2e-5)
+
+    model2, params2, batch2 = _setup(n_layers=5, n_graphs=8,
+                                     task="regression", nb_class=1)
+    step = make_pipeline_train_step(mesh, model2, 2, lr=5e-3,
+                                    task="graph_reg", data_axis="data")
+    with mesh:
+        losses = []
+        for _ in range(8):
+            params2, loss = step(params2, batch2)
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
