@@ -344,30 +344,46 @@ def load_pcqm4m_lsc(root: str, name: str = "pcqm4m_kddcup2021",
 
     Returns (train, valid, test) Graph lists. Test rows carry NaN gaps in
     the real dataset; they are kept (the reference evaluates valid only).
+
+    Split selection runs BEFORE featurization, so `max_graphs` (per
+    split) only parses the molecules it keeps. Molecules the parser
+    cannot handle are skipped with a count, never aborting the load.
     """
     path = os.path.join(root, name, "raw", "data.csv.gz")
     if not os.path.isfile(path):
         raise FileNotFoundError(path)
-    graphs: List[Graph] = []
+    rows: List[Tuple[str, float]] = []           # (smiles, gap) per line
     with gzip.open(path, "rt") as f:
-        reader = csv.DictReader(f)
-        for row in reader:
+        for row in csv.DictReader(f):
             gap = row.get("homolumogap", "")
-            y = float(gap) if gap not in ("", None) else float("nan")
-            graphs.append(smiles_to_graph(row["smiles"], y))
-            if max_graphs is not None and len(graphs) >= 3 * max_graphs:
-                break
+            rows.append((row["smiles"],
+                         float(gap) if gap not in ("", None)
+                         else float("nan")))
     split_path = os.path.join(root, name, "split_dict.pt")
     if os.path.isfile(split_path):
         import torch
         split = torch.load(split_path, weights_only=False)
         idx = {k: np.asarray(v).reshape(-1) for k, v in split.items()}
-        pick = lambda key: [graphs[i] for i in idx[key] if i < len(graphs)]
-        tr, va, te = pick("train"), pick("valid"), pick("test")
     else:
-        n = len(graphs)
+        n = len(rows)
         c1, c2 = int(0.8 * n), int(0.9 * n)
-        tr, va, te = graphs[:c1], graphs[c1:c2], graphs[c2:]
-    if max_graphs is not None:
-        tr, va, te = tr[:max_graphs], va[:max_graphs], te[:max_graphs]
-    return tr, va, te
+        idx = {"train": np.arange(0, c1), "valid": np.arange(c1, c2),
+               "test": np.arange(c2, n)}
+    out = {}
+    skipped = 0
+    for key in ("train", "valid", "test"):
+        take = [i for i in idx[key] if i < len(rows)]
+        if max_graphs is not None:
+            take = take[:max_graphs]
+        graphs: List[Graph] = []
+        for i in take:
+            s, y = rows[i]
+            try:
+                graphs.append(smiles_to_graph(s, y))
+            except Exception:      # out-of-scope chemistry: skip, count
+                skipped += 1
+        out[key] = graphs
+    if skipped:
+        print(f"[warn] smiles featurizer skipped {skipped} "
+              f"unparseable molecule(s)")
+    return out["train"], out["valid"], out["test"]
