@@ -152,6 +152,49 @@ def run_feta_scale(n_shards, nodes_per_shard, devices, iters=4):
     return n_nodes / dt                # nodes/s (graph grows with mesh)
 
 
+def run_pipeline_scale(n_stages, devices, layers_per_stage=2,
+                       batch_per_micro=8, iters=4):
+    """Weak scaling of GPipe pipeline parallelism (parallel/pipeline.py):
+    the layer chain grows with the stage count (L-1 = S * layers_per_stage,
+    constant layers per stage) and microbatches = S, so per-stage work is
+    constant while total depth scales. Throughput metric is
+    layer-applications/s = B_total * (L-1) / t_step; ideal weak scaling
+    keeps it growing linearly with S (t_step grows only by the bubble
+    factor (M+S-1)/M and collective overhead)."""
+    from jax.sharding import Mesh
+    from feta_tmlr_tpu.data.synthetic import random_graph_dataset
+    from feta_tmlr_tpu.data import collate_graphs
+    from feta_tmlr_tpu.nn import DiffGraphTransformerGenGCN
+    from feta_tmlr_tpu.parallel.pipeline import make_pipeline_train_step
+    import jax as _jax
+
+    n_layers = n_stages * layers_per_stage + 1
+    n_micro = max(n_stages, 2)
+    b_total = batch_per_micro * n_micro
+    graphs = random_graph_dataset(seed=0, n_graphs=b_total, min_nodes=10,
+                                  max_nodes=12, n_features=6)
+    from feta_tmlr_tpu.pe import DiffusionEncoding
+    DiffusionEncoding(beta=1.0).apply_to(graphs)
+    batch = collate_graphs(graphs, max_nodes=12, node_labels=False)
+    batch = batch.replace(y=np.random.default_rng(0).standard_normal(
+        (b_total,)).astype(np.float32))
+    model = DiffGraphTransformerGenGCN(
+        in_size=6, nb_class=1, d_model=16, nb_heads=2, dim_feedforward=32,
+        dropout=0.0, nb_layers=n_layers, batch_norm=False, filter_order=2)
+    params = _jax.jit(model.init)(_jax.random.key(0), batch)
+    mesh = Mesh(np.array(devices[:n_stages]), ("pp",))
+    step = make_pipeline_train_step(mesh, model, n_micro, lr=1e-3)
+    with mesh:
+        params, loss = step(params, batch)
+        _jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, loss = step(params, batch)
+        float(loss)                    # forced fetch
+    dt = (time.perf_counter() - t0) / iters
+    return b_total * (n_layers - 1) / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nodes-per-shard", type=int, default=256)
@@ -197,10 +240,30 @@ def main():
             "nodes_per_s": round(nps, 1),
             "weak_scaling_eff": round(nps / (base_f * s_), 4),
         }
+    pipe = {}
+    base_p = None
+    for s_ in (1, 2, 4, 8):
+        if s_ > len(devices):
+            break
+        lps = run_pipeline_scale(s_, devices)
+        if base_p is None:
+            base_p = lps
+        n_micro = max(s_, 2)
+        pipe[f"{s_}x"] = {
+            "layer_apps_per_s": round(lps, 1),
+            "weak_scaling_eff": round(lps / (base_p * s_), 4),
+            # GPipe's theoretical ceiling: M useful ticks of M+S-1 total.
+            # On this 4-core host eff can exceed 1.0 at small S because
+            # the fixed lax.scan/dispatch overhead dominates the tiny
+            # per-stage compute at S=1 (the baseline), not because the
+            # schedule beats its bubble bound.
+            "bubble_ideal_eff": round(n_micro / (n_micro + s_ - 1), 4),
+        }
     print(json.dumps({"metric": "ring_spmm_weak_scaling",
                       "platform": devices[0].platform,
                       "results": results,
-                      "feta_partitioned_full_model": feta}))
+                      "feta_partitioned_full_model": feta,
+                      "pipeline_gpipe": pipe}))
 
 
 if __name__ == "__main__":
