@@ -67,7 +67,7 @@ def make_graphs():
     return graphs, int(sum(g.num_edges for g in graphs))
 
 
-def _measure_steps(step_fn, state, batch, n1=10, n2=30):
+def _measure_steps(step_fn, state, batch, n1=20, n2=100):
     """Relay-aware per-step timing (canonical impl: utils/profiling.py)."""
     from feta_tmlr_tpu.utils.profiling import timed_steps
     return timed_steps(
@@ -107,7 +107,7 @@ def bench_packed(graphs, n_edges):
                              step=state.step + 1, batch_stats=stats), loss
 
     state = trainer.init(jax.random.key(0), batch)
-    return _measure_steps(jax.jit(step), state, batch)
+    return _measure_steps(jax.jit(step, donate_argnums=(0,)), state, batch)
 
 
 def bench_unpacked(graphs, n_edges):
@@ -117,7 +117,10 @@ def bench_unpacked(graphs, n_edges):
     trainer = Trainer(model, TrainConfig(task="graph_reg", lr=1e-3,
                                          sign_flip=True))
     state = trainer.init(jax.random.key(0), batch)
-    return _measure_steps(trainer._jit_step, state, batch)
+    # donated step (what Trainer.fit runs): ~1.4x faster than the
+    # non-donated jit behind the relay (A/B 2026-08-17: 3.9-4.6 ms vs
+    # 6.1-6.4 ms bf16) - donation reuses the param/opt-state buffers
+    return _measure_steps(trainer._jit_step_donated, state, batch)
 
 
 def bench_torch_baseline(graphs):
@@ -200,7 +203,7 @@ def bench_sbm_large_n(dtype_name="float32", n_graphs=32, n_nodes=128):
         trainer = Trainer(model, TrainConfig(task="node_clf", lr=1e-3,
                                              sign_flip=True))
         state = trainer.init(jax.random.key(0), batch)
-        sec = _measure_steps(trainer._jit_step, state, batch)
+        sec = _measure_steps(trainer._jit_step_donated, state, batch)
     finally:
         if prev is None:
             os.environ.pop("FETA_COMPUTE_DTYPE", None)
@@ -211,7 +214,12 @@ def bench_sbm_large_n(dtype_name="float32", n_graphs=32, n_nodes=128):
 
 def bench_saturating(n_graphs=512):
     """Throughput at a saturating batch (the B=128 reference batch leaves
-    the chip latency-bound at these tiny graph sizes)."""
+    the chip latency-bound at these tiny graph sizes). Runs bf16: the
+    interleaved A/B at B=512 measured f32 1.42M / bf16 1.71M /
+    bf16+remat 1.33M edges/s (2026-08-17) - bf16 wins, remat loses
+    (the working set streams fine; recompute only adds FLOPs)."""
+    prev = os.environ.get("FETA_COMPUTE_DTYPE")
+    os.environ["FETA_COMPUTE_DTYPE"] = "bfloat16"
     graphs = zinc_like_dataset(seed=1, n_graphs=n_graphs)
     DiffusionEncoding(beta=1.0).apply_to(graphs)
     LapEncoding(dim=8).apply_to(graphs)
@@ -222,7 +230,14 @@ def bench_saturating(n_graphs=512):
     trainer = Trainer(model, TrainConfig(task="graph_reg", lr=1e-3,
                                          sign_flip=True))
     state = trainer.init(jax.random.key(0), batch)
-    sec = _measure_steps(trainer._jit_step, state, batch, n1=10, n2=30)
+    try:
+        sec = _measure_steps(trainer._jit_step_donated, state, batch,
+                             n1=10, n2=40)
+    finally:
+        if prev is None:
+            os.environ.pop("FETA_COMPUTE_DTYPE", None)
+        else:
+            os.environ["FETA_COMPUTE_DTYPE"] = prev
     return n_edges / sec
 
 

@@ -189,6 +189,7 @@ class DiffGraphTransformerGenGCN(nn.Module):
     learn_only_filter_order_coeff: bool = False
     use_skip_conn: bool = True
     scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True,
@@ -206,7 +207,8 @@ class DiffGraphTransformerGenGCN(nn.Module):
             last_layer_filter=self.last_layer_filter,
             learn_only_filter_order_coeff=self.learn_only_filter_order_coeff,
             use_skip_conn=self.use_skip_conn,
-            scan_layers=self.scan_layers, name="encoder")(
+            scan_layers=self.scan_layers, remat=self.remat,
+            name="encoder")(
                 x, batch.pe, batch.adj, batch.node_mask,
                 degree=batch.degree, deterministic=deterministic)
         pooled = masked_mean(out, batch.node_mask, axis=1)

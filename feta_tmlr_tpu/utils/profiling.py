@@ -47,9 +47,25 @@ def timed_steps(step_fn: Callable, state, batch, rng_fn: Callable,
         return time.perf_counter() - t0, state
 
     _, state = run(1, state)                     # warmup / compile
-    t1, state = run(n1, state)
-    t2, state = run(n2, state)
-    return (t2 - t1) / (n2 - n1)
+    # relay RTT noise (~25 ms per fetch) can swamp a small (n2-n1) window
+    # once steps get fast; widen the window until the estimate is stably
+    # positive, then take the median of three difference estimates
+    estimates = []
+    for attempt in range(4):
+        t1, state = run(n1, state)
+        t2, state = run(n2, state)
+        est = (t2 - t1) / (n2 - n1)
+        if est > 0:
+            estimates.append(est)
+        if len(estimates) == 3:
+            break
+        if est <= 0:
+            n1, n2 = n1 * 2, n2 * 2
+    if not estimates:
+        raise RuntimeError("timed_steps: non-positive step-time estimate "
+                           "even after widening the timing window")
+    estimates.sort()
+    return estimates[len(estimates) // 2]
 
 
 class EpochTimer:

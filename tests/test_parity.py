@@ -109,17 +109,17 @@ def _prep_batch(seed=11):
 
 
 def _build_pair(batch, gnn_type="ChebConvDynamic", scalar=False,
-                batch_norm=False):
+                batch_norm=False, nb_class=2):
     """Init the JAX model, build the torch twin, load identical weights."""
     jmodel = DiffGraphTransformerGenGCN(
-        in_size=7, nb_class=2, d_model=D_MODEL, nb_heads=HEADS,
+        in_size=7, nb_class=nb_class, d_model=D_MODEL, nb_heads=HEADS,
         dim_feedforward=2 * D_MODEL, dropout=0.0, nb_layers=LAYERS,
         batch_norm=batch_norm, lap_pos_enc=True, lap_pos_enc_dim=4,
         filter_order=K, gnn_type=gnn_type,
         learn_only_filter_order_coeff=scalar)
     params = jmodel.init(jax.random.key(3), batch)
     tmodel = TorchFeTA(
-        in_size=7, nb_class=2, d_model=D_MODEL, nb_heads=HEADS,
+        in_size=7, nb_class=nb_class, d_model=D_MODEL, nb_heads=HEADS,
         dim_feedforward=2 * D_MODEL, nb_layers=LAYERS, filter_order=K,
         batch_norm=batch_norm, lap_pos_enc=True, lap_pos_enc_dim=4,
         gnn_type=gnn_type, learn_only_filter_order_coeff=scalar)
@@ -281,3 +281,66 @@ def test_logit_parity_packed_vs_twin():
         assert best < 2e-4, (gi, best)
         matched += 1
     assert matched == len(graphs)
+
+
+def test_end_metric_training_parity():
+    """End-METRIC training parity at twin level: train the JAX stack and
+    the torch twin independently from identical weights/data/hyperparams
+    for a full small run (120 full-batch AdamW steps, L1 regression per
+    the reference ZINC protocol, run_transformer_gengcn.py:296) and
+    compare the FINAL held-out MAE. The real datasets cannot be
+    downloaded in this environment, so this is the strongest end-metric
+    parity available: both stacks must converge to the same quality, not
+    just the same early-step trajectory."""
+    from feta_tmlr_tpu.train.trainer import Trainer, TrainConfig
+
+    # one dataset split in half (the regression target derives from
+    # graph statistics, so generalization is measurable)
+    graphs = random_graph_dataset(seed=31, n_graphs=96, min_nodes=5,
+                                  max_nodes=13, n_features=7,
+                                  task="regression")
+    DiffusionEncoding(beta=1.0).apply_to(graphs)
+    LapEncoding(dim=4).apply_to(graphs)
+    train_graphs, test_graphs = graphs[0::2], graphs[1::2]
+    gb = collate_graphs(train_graphs, max_nodes=16)
+    gb_test = collate_graphs(test_graphs, max_nodes=16)
+    jmodel, params, tmodel = _build_pair(gb, nb_class=1)
+
+    lr, wd, steps = 2e-3, 1e-5, 120
+    trainer = Trainer(jmodel, TrainConfig(
+        task="graph_reg", lr=lr, weight_decay=wd, sign_flip=False,
+        regularization=0.0, schedule="constant"))
+    state = trainer.init(jax.random.key(3), gb)
+    state = state.replace(params=params,
+                          opt_state=trainer.optimizer.init(params))
+    rng = jax.random.key(0)
+    for _ in range(steps):
+        rng, sub = jax.random.split(rng)
+        state, _ = trainer._jit_step(state, gb, sub)
+
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=lr, weight_decay=wd)
+    ty = torch.from_numpy(np.asarray(gb.y, np.float32))
+    tmodel.train()
+    tx = dict(x=torch.from_numpy(np.asarray(gb.x)),
+              adj=torch.from_numpy(np.asarray(gb.adj)),
+              mask=torch.from_numpy(gb.node_mask.astype(np.float32)),
+              pe=torch.from_numpy(np.asarray(gb.pe)),
+              lap_pe=torch.from_numpy(np.asarray(gb.lap_pe)),
+              degree=torch.from_numpy(np.asarray(gb.degree)))
+    for _ in range(steps):
+        opt.zero_grad()
+        out = tmodel(tx["x"], tx["adj"], tx["mask"], pe=tx["pe"],
+                     lap_pe=tx["lap_pe"], degree=tx["degree"])
+        (out.squeeze(-1) - ty).abs().mean().backward()
+        opt.step()
+
+    yt = np.asarray(gb_test.y, np.float32)
+    jlogits, _ = jmodel.apply(state.params, gb_test)
+    jmae = float(np.abs(np.asarray(jlogits).squeeze(-1) - yt).mean())
+    tmae = float(np.abs(_torch_logits(tmodel, gb_test).squeeze(-1)
+                        - yt).mean())
+    # the mean-predictor baseline on this split is ~0.94 MAE: both stacks
+    # must genuinely generalize past it, and land on the same quality
+    assert jmae < 0.8, jmae
+    assert tmae < 0.8, tmae
+    assert abs(jmae - tmae) <= 0.12, (jmae, tmae)
