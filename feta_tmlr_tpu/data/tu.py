@@ -29,14 +29,32 @@ def load_tu_dataset(
     datadir: str = "dataset",
     one_hot_labels: bool = True,
     degree_feature: bool = True,
+    native: Optional[bool] = None,
 ) -> Tuple[List[Graph], int]:
-    """Parse a TU dataset directory. Returns (graphs, n_node_tags)."""
+    """Parse a TU dataset directory. Returns (graphs, n_node_tags).
+
+    `native` selects the C tokenizer (native/tuparse.cpp) for the text
+    files: None = auto (use it if built), True = require it, False =
+    pure-Python parsing. Both paths produce bit-identical graphs
+    (tests/test_collate_native.py).
+    """
+    from feta_tmlr_tpu.data import tu_native
+    if native is None:
+        native = tu_native.available()
+    elif native and not tu_native.available():
+        raise RuntimeError("native TU parser requested but "
+                           "native/libtuparse.so is not built")
     prefix = os.path.join(datadir, name, name)
 
-    with open(prefix + "_graph_indicator.txt") as f:
-        node2graph = np.array([int(l) for l in f if l.strip()])
-    with open(prefix + "_graph_labels.txt") as f:
-        raw_labels = [int(l) for l in f if l.strip()]
+    if native:
+        node2graph = tu_native.read_ints(prefix + "_graph_indicator.txt")
+        raw_labels = tu_native.read_ints(
+            prefix + "_graph_labels.txt").tolist()
+    else:
+        with open(prefix + "_graph_indicator.txt") as f:
+            node2graph = np.array([int(l) for l in f if l.strip()])
+        with open(prefix + "_graph_labels.txt") as f:
+            raw_labels = [int(l) for l in f if l.strip()]
     # remap labels by first-seen order (data_io.py:80-89)
     label_map = {}
     for v in raw_labels:
@@ -49,31 +67,43 @@ def load_tu_dataset(
     n_tags = 0
     path = prefix + "_node_labels.txt"
     if os.path.isfile(path):
-        with open(path) as f:
-            node_labels = np.array([int(l) for l in f if l.strip()])
+        if native:
+            node_labels = tu_native.read_ints(path)
+        else:
+            with open(path) as f:
+                node_labels = np.array([int(l) for l in f if l.strip()])
         node_labels = node_labels - node_labels.min()
         n_tags = int(node_labels.max()) + 1
 
     node_attrs = None
     path = prefix + "_node_attributes.txt"
     if os.path.isfile(path):
-        rows = []
-        with open(path) as f:
-            for line in f:
-                vals = [float(a) for a in re.split(r"[,\s]+", line.strip())
-                        if a]
-                if vals:
-                    rows.append(vals)
-        node_attrs = np.asarray(rows, dtype=np.float32)
+        if native:
+            node_attrs = tu_native.read_float_matrix(path)
+        else:
+            rows = []
+            with open(path) as f:
+                for line in f:
+                    vals = [float(a)
+                            for a in re.split(r"[,\s]+", line.strip())
+                            if a]
+                    if vals:
+                        rows.append(vals)
+            node_attrs = np.asarray(rows, dtype=np.float32)
 
-    edges = []
-    with open(prefix + "_A.txt") as f:
-        for line in f:
-            if not line.strip():
-                continue
-            a, b = line.replace(",", " ").split()[:2]
-            edges.append((int(a), int(b)))
-    edges = np.asarray(edges, dtype=np.int64).T  # [2, E], 1-indexed global
+    if native:
+        flat = tu_native.read_ints(prefix + "_A.txt")
+        assert flat.size % 2 == 0, "odd token count in _A.txt"
+        edges = flat.reshape(-1, 2).T  # [2, E], 1-indexed global
+    else:
+        pairs = []
+        with open(prefix + "_A.txt") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a, b = line.replace(",", " ").split()[:2]
+                pairs.append((int(a), int(b)))
+        edges = np.asarray(pairs, dtype=np.int64).T  # [2, E], 1-indexed
 
     # group nodes per graph
     graphs: List[Graph] = []

@@ -124,3 +124,38 @@ def test_native_cache_invalidates_on_attribute_replacement(monkeypatch):
     m = graphs[0].num_nodes
     np.testing.assert_allclose(np.asarray(b2.x[0, :m]),
                                np.asarray(b1.x[0, :m]) + 1.0)
+
+
+def test_tu_native_parse_matches_python(tmp_path):
+    """Native TU tokenizer (native/tuparse.cpp) vs the pure-Python parser:
+    bit-identical graphs on the committed TUFIX fixture, plus a synthetic
+    dataset WITH float node attributes (TUFIX has none)."""
+    from feta_tmlr_tpu.data import tu_native
+    from feta_tmlr_tpu.data.tu import load_tu_dataset
+    if not tu_native.available():
+        pytest.skip("native/libtuparse.so not built")
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    ref, ntags_ref = load_tu_dataset("TUFIX", fixdir, native=False)
+    nat, ntags_nat = load_tu_dataset("TUFIX", fixdir, native=True)
+    assert ntags_ref == ntags_nat and len(ref) == len(nat)
+    for a, b in zip(ref, nat):
+        np.testing.assert_array_equal(a.x, b.x)
+        np.testing.assert_array_equal(a.edge_index, b.edge_index)
+        assert int(a.y) == int(b.y)
+
+    # attributes file: comma-separated float rows
+    d = tmp_path / "ATTR"
+    d.mkdir()
+    (d / "ATTR_graph_indicator.txt").write_text("1\n1\n2\n2\n2\n")
+    (d / "ATTR_graph_labels.txt").write_text("5\n-3\n")
+    (d / "ATTR_A.txt").write_text("1, 2\n2, 1\n3, 4\n4, 5\n5, 3\n")
+    (d / "ATTR_node_attributes.txt").write_text(
+        "0.5, -1.25\n2.0, 3.5\n1.0, 0.0\n-0.5, 4.25\n0.25, 1.75\n")
+    ref, _ = load_tu_dataset("ATTR", str(tmp_path), native=False)
+    nat, _ = load_tu_dataset("ATTR", str(tmp_path), native=True)
+    for a, b in zip(ref, nat):
+        np.testing.assert_array_equal(a.x, b.x)
+        np.testing.assert_array_equal(a.edge_index, b.edge_index)
+        assert int(a.y) == int(b.y)
+    assert int(ref[0].y) == 0 and int(ref[1].y) == 1   # first-seen remap
