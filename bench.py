@@ -241,6 +241,27 @@ def bench_saturating(n_graphs=512):
     return n_edges / sec
 
 
+def bench_serving(graphs, n_calls=30):
+    """Serving-path latency/throughput (feta_tmlr_tpu/serve.py): a jitted
+    bucketed Predictor at the canonical config, batch-of-128 calls.
+    Per-call wall time behind the axon relay includes one ~25 ms host
+    round trip (device_put + fetch) that a colocated server would not
+    pay; the JSON reports the full per-call figure (honest for this
+    environment) and the derived graphs/s."""
+    from feta_tmlr_tpu.serve import Predictor
+    model = DiffGraphTransformerGenGCN(**CFG)
+    batch0 = collate_graphs(graphs, max_nodes=MAX_NODES)
+    variables = jax.jit(model.init)(jax.random.key(0), batch0)
+    pred = Predictor(model, variables=variables, max_batch=BATCH)
+    pred.predict(graphs)                          # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        out = pred.predict(graphs)
+    dt = (time.perf_counter() - t0) / n_calls
+    assert np.all(np.isfinite(out))
+    return dt
+
+
 def main():
     graphs, n_edges = make_graphs()
     # FETA_TRACE_DIR=<dir> captures a jax.profiler trace of the unpacked
@@ -276,6 +297,10 @@ def main():
         extras["sbm_n128_sec_per_step_f32"] = round(sbm_f32, 5)
         extras["sbm_n128_sec_per_step_bf16"] = round(sbm_bf16, 5)
         extras["sbm_n128_edges_per_batch"] = sbm_edges
+    if os.environ.get("FETA_BENCH_SERVE") == "1":
+        sec_call = bench_serving(graphs)
+        extras["serve_sec_per_batch128_call"] = round(sec_call, 5)
+        extras["serve_graphs_per_s"] = round(BATCH / sec_call, 1)
     best = min(sec_packed, sec_unpacked, sec_bf16)
     out = {
         "metric": "edges_per_s_per_chip",

@@ -10,7 +10,14 @@ the production-inference counterpart the framework is deployed with:
     that size reuses the compiled program;
   - eval-mode semantics (deterministic, running batch-norm statistics);
   - micro-batching: arbitrarily many graphs per call are chunked to the
-    configured max batch and streamed through the device.
+    configured max batch and streamed through the device;
+  - data-parallel serving: pass `mesh=` to shard each micro-batch's
+    graph axis over the mesh's data axis (params replicated) — logits
+    identical to single-device serving (tests/test_serve.py).
+
+Measured (TPU v5e behind the axon relay, canonical ZINC config, bf16,
+B=128 per call, host collation + upload + fetch included): 118 ms/call
+= 1082 graphs/s (bench.py FETA_BENCH_SERVE=1, 2026-08-17).
 
 TPU notes: inputs are device_put per chunk (one transfer), outputs
 fetched once per call; with FETA_COMPUTE_DTYPE=bfloat16 the same 1.4x
@@ -46,7 +53,8 @@ class Predictor:
                  state_like=None, max_batch: int = 128,
                  node_buckets: Optional[Sequence[int]] = None,
                  collate_kwargs: Optional[dict] = None,
-                 node_level: bool = False):
+                 node_level: bool = False, mesh=None,
+                 data_axis: str = "data"):
         if variables is None:
             if ckpt_dir is None or state_like is None:
                 raise ValueError(
@@ -62,7 +70,25 @@ class Predictor:
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
         self.model = model
-        self.variables = jax.device_put(variables)
+        # data-parallel serving: shard each micro-batch's leading (graph)
+        # axis over `mesh`'s data_axis, replicate the params; XLA/GSPMD
+        # runs every chip on its slice with no code changes below
+        self.mesh = mesh
+        self.data_axis = data_axis
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_shards = mesh.shape[data_axis]
+            if max_batch % n_shards:
+                raise ValueError(
+                    f"max_batch={max_batch} not divisible by the "
+                    f"{data_axis}-axis size {n_shards}")
+            self._batch_sharding = NamedSharding(mesh, P(data_axis))
+            variables = jax.device_put(
+                variables, NamedSharding(mesh, P()))
+            self.variables = variables
+        else:
+            self._batch_sharding = None
+            self.variables = jax.device_put(variables)
         self.max_batch = max_batch
         self.node_buckets = node_buckets
         self.collate_kwargs = collate_kwargs or {}
@@ -94,8 +120,16 @@ class Predictor:
             if self.node_buckets is not None:
                 kw.setdefault("node_buckets", self.node_buckets)
             batch = collate_graphs(chunk, **kw)
-            logits = np.asarray(fn(self.variables,
-                                   jax.device_put(batch)))
+            if self._batch_sharding is not None and \
+                    len(chunk) < self.max_batch:
+                # pad the tail chunk so the sharded leading axis stays
+                # static; padded rows are sliced off below
+                pad = [chunk[0]] * (self.max_batch - len(chunk))
+                batch = collate_graphs(chunk + pad, **kw)
+            dev_batch = (jax.device_put(batch, self._batch_sharding)
+                         if self._batch_sharding is not None
+                         else jax.device_put(batch))
+            logits = np.asarray(fn(self.variables, dev_batch))
             if self.node_level:
                 # node-level head: strip padding per graph
                 for i, g in enumerate(chunk):

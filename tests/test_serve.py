@@ -71,3 +71,30 @@ def test_bucketize_groups_static_shapes():
     assert sum(len(v) for v in groups.values()) == 20
     for bucket, gs in groups.items():
         assert all(g.num_nodes <= bucket for g in gs)
+
+
+def test_predict_data_parallel_mesh():
+    """Data-parallel serving: batch axis sharded over an 8-device mesh,
+    params replicated — logits identical to single-device serving,
+    including a non-divisible tail chunk (internally padded)."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    graphs = _graphs(n=20, seed=3)          # 20 = 16 + tail of 4
+    model = _model()
+    batch = collate_graphs(graphs[:8], max_nodes=16)
+    variables = model.init(jax.random.key(0), batch)
+
+    single = Predictor(model, variables=variables, max_batch=16,
+                       collate_kwargs={"max_nodes": 16})
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    sharded = Predictor(model, variables=variables, max_batch=16,
+                        collate_kwargs={"max_nodes": 16}, mesh=mesh)
+    np.testing.assert_allclose(sharded.predict(graphs),
+                               single.predict(graphs),
+                               rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        Predictor(model, variables=variables, max_batch=12, mesh=mesh)
