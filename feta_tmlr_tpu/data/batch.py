@@ -287,3 +287,21 @@ def _collate_coo(graphs, edge_buckets, dtype):
         if use_eattr and ne:
             edge_attr[i, :ne] = g.edge_attr
     return edge_index, edge_mask, edge_attr
+
+
+def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
+    """Stack same-shaped GraphBatches along a new leading axis (for
+    `Trainer.make_multi_step`'s scan). All batches must share shapes
+    (use a fixed `max_nodes`/bucket) and optional-field presence."""
+    import jax
+    first = batches[0]
+    for b in batches[1:]:
+        fl, bl = jax.tree_util.tree_leaves(first), \
+            jax.tree_util.tree_leaves(b)
+        if len(fl) != len(bl) or any(
+                np.shape(x) != np.shape(y) for x, y in zip(fl, bl)):
+            raise ValueError(
+                "stack_batches needs identically-shaped batches "
+                "(same bucket and same optional fields)")
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *batches)

@@ -242,6 +242,35 @@ class Trainer:
         return logits
 
     # -- public API -------------------------------------------------------
+    def make_multi_step(self, k: int):
+        """jit'd k-steps-per-dispatch: `lax.scan` of the train step over k
+        STACKED microbatches (every GraphBatch leaf gains a leading [k]
+        axis — see `stack_batches`). One dispatch through the runtime per
+        k optimizer steps. Honest A/B at the canonical config (TPU v5e
+        behind the axon relay, bf16, 2026-08-17): 4.65/4.67 ms/step at
+        k=4/8 vs 4.53 for one-step dispatches — NEUTRAL here, because
+        async dispatch already pipelines the ~1.1 ms per-dispatch relay
+        latency across chained steps. The scan wins where dispatch is a
+        real bottleneck (host-bound loops, very small models, pod
+        runtimes with per-step host work between dispatches). The rng
+        folding matches `train_epoch`'s (fold_in(rng, i)), so k scanned
+        steps produce bit-identical states to k sequential `_jit_step`
+        calls.
+
+        Returns step_k(state, stacked_batch, rng) -> (state, losses[k]);
+        the input state's buffers are donated."""
+        def multi(state, stacked: GraphBatch, rng):
+            rngs = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                rng, jnp.arange(k, dtype=jnp.uint32))
+
+            def body(s, xs):
+                b, r = xs
+                return self._step(s, b, r)
+
+            return jax.lax.scan(body, state, (stacked, rngs))
+
+        return jax.jit(multi, donate_argnums=(0,))
+
     def train_epoch(self, state: TrainState, batches: Sequence[GraphBatch],
                     rng) -> Tuple[TrainState, float]:
         losses = []

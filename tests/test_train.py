@@ -214,3 +214,45 @@ def test_eigvec_sign_flip_augmentation():
     e1 = tr_flip.evaluate(state, [batch])
     e2 = tr_flip.evaluate(state, [batch])
     assert e1 == e2
+
+
+def test_multi_step_scan_matches_sequential():
+    """Trainer.make_multi_step: k scanned steps over stacked microbatches
+    produce bit-identical params to k sequential _jit_step calls (same
+    fold_in rng stream), incl. sign-flip augmentation and batch stats."""
+    from feta_tmlr_tpu.data.batch import stack_batches
+
+    graphs = random_graph_dataset(seed=0, n_graphs=24, min_nodes=5,
+                                  max_nodes=11, n_features=7)
+    DiffusionEncoding(beta=1.0).apply_to(graphs)
+    LapEncoding(dim=4).apply_to(graphs)
+    batches = [collate_graphs(graphs[i * 8:(i + 1) * 8], max_nodes=12)
+               for i in range(3)]
+    model = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=2, d_model=16, nb_heads=2, dim_feedforward=32,
+        dropout=0.0, nb_layers=2, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2, batch_norm=True)
+    trainer = Trainer(model, TrainConfig(task="graph_clf", lr=1e-3,
+                                         sign_flip=True))
+    rng = jax.random.key(7)
+
+    s_seq = trainer.init(jax.random.key(0), batches[0])
+    for i, b in enumerate(batches):
+        s_seq, _ = trainer._jit_step(s_seq, b, jax.random.fold_in(rng, i))
+
+    s_scan = trainer.init(jax.random.key(0), batches[0])
+    s_scan, losses = trainer.make_multi_step(3)(
+        s_scan, stack_batches(batches), rng)
+    assert losses.shape == (3,)
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                    jax.tree_util.tree_leaves(s_scan.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.batch_stats),
+                    jax.tree_util.tree_leaves(s_scan.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # ragged stacking must be rejected
+    import pytest as _pytest
+    bad = collate_graphs(graphs[:4], max_nodes=16)
+    with _pytest.raises(ValueError):
+        stack_batches([batches[0], bad])
