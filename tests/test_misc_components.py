@@ -110,3 +110,29 @@ def test_tensorboard_logger(tmp_path):
     names = os.listdir(d)
     assert any(n.startswith("events.out.tfevents") for n in names), names
     assert "logs.csv" in names
+
+
+def test_plot_graph_eigvec_and_count_parameters(tmp_path):
+    """utils/plot_graph.py: eigvec-layout plot renders to file; parameter
+    count matches a hand sum (reference LSPE/utils/plot_util.py:9-45,
+    transformer/utils.py:8-9)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from feta_tmlr_tpu.data import random_graph_dataset
+    from feta_tmlr_tpu.pe.laplace import laplace_decomp
+    from feta_tmlr_tpu.utils.plot_graph import (count_parameters,
+                                                plot_graph_eigvec)
+
+    g = random_graph_dataset(seed=0, n_graphs=1, min_nodes=6, max_nodes=8,
+                             n_features=3)[0]
+    laplace_decomp(g, max_freqs=4)          # attaches g.eigvecs in place
+    fig, ax = plt.subplots()
+    plot_graph_eigvec(ax, 0, g, np.asarray(g.eigvecs), actual_eigvecs=True)
+    out = tmp_path / "g.pdf"
+    fig.savefig(out)
+    plt.close(fig)
+    assert out.stat().st_size > 0
+
+    params = {"a": np.zeros((3, 4)), "b": {"c": np.zeros(7)}}
+    assert count_parameters(params) == 3 * 4 + 7
