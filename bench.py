@@ -241,7 +241,50 @@ def bench_saturating(n_graphs=512):
     return n_edges / sec
 
 
-def bench_serving(graphs, n_calls=30):
+def bench_streamed_epoch(wire: bool, n_batches=16, warm_batches=4):
+    """Streamed training: every step uploads a FRESH batch through the
+    relay (the realistic regime when data does not fit on device or is
+    re-collated per epoch; `fit`'s pre-upload path hides this cost).
+    A/Bs the compact wire format (data/wire.py — bool adjacency, bf16 PE
+    kernels: ~2.9x fewer bytes/batch) against full-precision upload.
+    Runs under bf16 compute, where the wire encoding is numerics-neutral."""
+    from feta_tmlr_tpu.data.wire import to_wire
+    prev = os.environ.get("FETA_COMPUTE_DTYPE")
+    os.environ["FETA_COMPUTE_DTYPE"] = "bfloat16"
+    try:
+        batches = []
+        for s in range(n_batches + warm_batches):
+            gs = zinc_like_dataset(seed=100 + s, n_graphs=BATCH)
+            DiffusionEncoding(beta=1.0).apply_to(gs)
+            LapEncoding(dim=8).apply_to(gs)
+            batches.append(collate_graphs(gs, max_nodes=MAX_NODES))
+        model = DiffGraphTransformerGenGCN(**CFG)
+        trainer = Trainer(model, TrainConfig(task="graph_reg", lr=1e-3,
+                                             sign_flip=True))
+        state = trainer.init(jax.random.key(0), jax.device_put(batches[0]))
+        rng = jax.random.key(1)
+
+        def run(state, bs):
+            loss = None
+            for i, hb in enumerate(bs):
+                b = jax.device_put(to_wire(hb) if wire else hb)
+                state, loss = trainer._jit_step_donated(
+                    state, b, jax.random.fold_in(rng, i))
+            float(loss)                     # one synchronizing fetch
+            return state
+        state = run(state, batches[:warm_batches])      # compile + warm
+        t0 = time.perf_counter()
+        state = run(state, batches[warm_batches:])
+        dt = (time.perf_counter() - t0) / n_batches
+    finally:
+        if prev is None:
+            os.environ.pop("FETA_COMPUTE_DTYPE", None)
+        else:
+            os.environ["FETA_COMPUTE_DTYPE"] = prev
+    return dt
+
+
+def bench_serving(graphs, n_calls=30, wire=False):
     """Serving-path latency/throughput (feta_tmlr_tpu/serve.py): a jitted
     bucketed Predictor at the canonical config, batch-of-128 calls.
     Per-call wall time behind the axon relay includes one ~25 ms host
@@ -252,7 +295,8 @@ def bench_serving(graphs, n_calls=30):
     model = DiffGraphTransformerGenGCN(**CFG)
     batch0 = collate_graphs(graphs, max_nodes=MAX_NODES)
     variables = jax.jit(model.init)(jax.random.key(0), batch0)
-    pred = Predictor(model, variables=variables, max_batch=BATCH)
+    pred = Predictor(model, variables=variables, max_batch=BATCH,
+                     wire=wire)
     pred.predict(graphs)                          # compile + warm
     t0 = time.perf_counter()
     for _ in range(n_calls):
@@ -301,6 +345,18 @@ def main():
         sec_call = bench_serving(graphs)
         extras["serve_sec_per_batch128_call"] = round(sec_call, 5)
         extras["serve_graphs_per_s"] = round(BATCH / sec_call, 1)
+        sec_call_w = bench_serving(graphs, wire=True)
+        extras["serve_sec_per_batch128_call_wire"] = round(sec_call_w, 5)
+        extras["serve_graphs_per_s_wire"] = round(BATCH / sec_call_w, 1)
+    if os.environ.get("FETA_BENCH_STREAM") == "1":
+        # interleaved plain/wire/plain/wire to average out relay drift
+        p1 = bench_streamed_epoch(wire=False)
+        w1 = bench_streamed_epoch(wire=True)
+        p2 = bench_streamed_epoch(wire=False)
+        w2 = bench_streamed_epoch(wire=True)
+        extras["stream_sec_per_step_plain"] = round(min(p1, p2), 5)
+        extras["stream_sec_per_step_wire"] = round(min(w1, w2), 5)
+        extras["stream_wire_speedup"] = round(min(p1, p2) / min(w1, w2), 3)
     best = min(sec_packed, sec_unpacked, sec_bf16)
     out = {
         "metric": "edges_per_s_per_chip",

@@ -1,0 +1,105 @@
+"""Compact wire format for host->device GraphBatch transfer.
+
+The chip in this deployment sits behind a network relay, so per-batch
+host->device upload bytes — not host collation (~3 ms/128 graphs) and not
+device compute — dominate streamed-training and serving wall time. The
+reference has no transfer path at all (its collate writes straight into
+CUDA tensors, transformer/data.py:162); this module is the TPU-native
+answer: ship each batch in the smallest exact-or-near-exact encoding and
+expand it on device inside the jitted program, where the casts fuse into
+the first consumer op.
+
+Encodings (per GraphBatch field):
+  adj        [B,N,N] f32 0/1  -> bool   (4x, EXACT; weighted adjacencies
+                                         are detected and left untouched)
+  edge_type  [B,N,N] i32      -> int8   (4x, EXACT when values fit)
+  pe         [B,N,N] f32      -> bfloat16 (2x; exact under the bf16
+                                         compute policy, where the PE
+                                         modulation multiply casts to
+                                         bf16 anyway — nn/layers.py)
+  lap_pe / eigvecs / eigvals  -> bfloat16 (2x; NaN padding survives)
+  x          int32 ids        -> int16  (2x, EXACT for vocab < 32768)
+  masks      already bool; y / degree / small fields untouched.
+
+`from_wire` is applied unconditionally at every jitted entry point
+(Trainer steps, Predictor apply): for full-precision batches every cast
+is a same-dtype no-op, so the non-wire path is bit-identical to before.
+
+Typical ZINC batch (B=128, N=48, diffusion PE + lap-8): 2.48 MB -> 0.87 MB
+(2.9x fewer relay bytes). Measured end-to-end impact in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+import ml_dtypes
+
+from feta_tmlr_tpu.data.batch import GraphBatch
+
+_BF16 = ml_dtypes.bfloat16
+
+
+def _is_binary(a: np.ndarray) -> bool:
+    return bool(np.all((a == 0) | (a == 1)))
+
+
+def to_wire(batch: GraphBatch, pe_dtype=_BF16,
+            assume_binary_adj: bool = False) -> GraphBatch:
+    """Host-side (numpy) compaction. Returns a GraphBatch with the same
+    pytree structure and smaller leaf dtypes; pair with `from_wire` on
+    device. Fields already compact (or absent) pass through unchanged."""
+    rep = {}
+
+    adj = np.asarray(batch.adj)
+    if adj.dtype != np.bool_ and np.issubdtype(adj.dtype, np.floating) and \
+            (assume_binary_adj or _is_binary(adj)):
+        rep["adj"] = adj.astype(np.bool_)
+
+    for name in ("pe", "lap_pe", "eigvecs", "eigvals"):
+        v = getattr(batch, name)
+        if v is not None and np.asarray(v).dtype == np.float32:
+            rep[name] = np.asarray(v).astype(pe_dtype)
+
+    et = batch.edge_type
+    if et is not None and np.issubdtype(np.asarray(et).dtype, np.integer) \
+            and np.asarray(et).dtype != np.int8:
+        et = np.asarray(et)
+        if et.size == 0 or (et.min() >= -128 and et.max() <= 127):
+            rep["edge_type"] = et.astype(np.int8)
+
+    x = np.asarray(batch.x)
+    if np.issubdtype(x.dtype, np.integer) and x.dtype != np.int16:
+        if x.size == 0 or (x.min() >= -32768 and x.max() <= 32767):
+            rep["x"] = x.astype(np.int16)
+
+    return batch.replace(**rep) if rep else batch
+
+
+def from_wire(batch: GraphBatch, dtype=jnp.float32) -> GraphBatch:
+    """Device-side (traceable) expansion back to compute dtypes. A no-op
+    for batches that were never compacted — every cast below is
+    same-dtype for them, which XLA elides — so it is safe (and intended)
+    to run at the top of every jitted step."""
+    rep = {}
+    if batch.adj is not None:
+        rep["adj"] = jnp.asarray(batch.adj).astype(dtype)
+    for name in ("pe", "lap_pe", "eigvecs", "eigvals"):
+        v = getattr(batch, name)
+        if v is not None:
+            rep[name] = jnp.asarray(v).astype(dtype)
+    if batch.edge_type is not None:
+        rep["edge_type"] = jnp.asarray(batch.edge_type).astype(jnp.int32)
+    x = batch.x
+    if hasattr(x, "dtype") and jnp.issubdtype(jnp.asarray(x).dtype,
+                                              jnp.integer):
+        rep["x"] = jnp.asarray(x).astype(jnp.int32)
+    return batch.replace(**rep)
+
+
+def nbytes(batch: GraphBatch) -> int:
+    """Total payload bytes of a batch (host or device arrays)."""
+    import jax
+    return sum(np.asarray(leaf).nbytes
+               for leaf in jax.tree_util.tree_leaves(batch))

@@ -26,6 +26,7 @@ import optax
 import flax.struct
 
 from feta_tmlr_tpu.data.batch import GraphBatch
+from feta_tmlr_tpu.data.wire import from_wire, to_wire
 from feta_tmlr_tpu.train import metrics as M
 from feta_tmlr_tpu.train.optim import PlateauScheduler, make_optimizer, step_lr
 
@@ -57,6 +58,11 @@ class TrainConfig:
     stop_at_min_lr: bool = False
     max_time_h: Optional[float] = None
     binary_metric: str = "ap"          # multitask metric: ap | rocauc
+    # upload batches in the compact wire format (data/wire.py): ~3x fewer
+    # host->device bytes per batch. Exact for adjacency/ids; PE kernels
+    # travel as bf16 (exact under FETA_COMPUTE_DTYPE=bfloat16, where the
+    # modulation multiply casts them to bf16 anyway)
+    wire: bool = False
     seed: int = 0
 
 
@@ -201,7 +207,12 @@ class Trainer:
             return out, updated.get("batch_stats")
         return out, batch_stats
 
-    def _step(self, state: TrainState, batch: GraphBatch, rng):
+    def _loss_and_grads(self, params, batch_stats, batch: GraphBatch, rng):
+        """One microbatch's (loss, grads, new_batch_stats) — the training
+        forward/backward without the optimizer update."""
+        # expand compact wire-format batches (data/wire.py) back to
+        # compute dtypes; a no-op (same-dtype casts) for normal batches
+        batch = from_wire(batch)
         rng_flip, rng_flip_eig, rng_drop = jax.random.split(rng, 3)
         if self.cfg.sign_flip and batch.lap_pe is not None:
             # per-dimension random sign (run_transformer_gengcn_cv.py:138-142)
@@ -221,14 +232,19 @@ class Trainer:
 
         def loss_fn(p):
             out, new_stats = self._apply(
-                p, state.batch_stats, batch, deterministic=False,
+                p, batch_stats, batch, deterministic=False,
                 rng=rng_drop)
             logits, reg = _model_outputs(out)
             loss = task_loss(self.cfg.task, logits, batch)
             return loss + self.cfg.regularization * reg, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(params)
+        return loss, grads, new_stats
+
+    def _step(self, state: TrainState, batch: GraphBatch, rng):
+        loss, grads, new_stats = self._loss_and_grads(
+            state.params, state.batch_stats, batch, rng)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -236,7 +252,51 @@ class Trainer:
                           step=state.step + 1,
                           batch_stats=new_stats), loss
 
+    def make_accum_step(self, k: int):
+        """Gradient accumulation: one optimizer update from the MEAN of k
+        microbatch gradients (jit'd `lax.scan`; every GraphBatch leaf of
+        the input gains a leading [k] axis — `stack_batches`). The
+        reference has no accumulation (its graphs are small); this is the
+        large-effective-batch path when B x N x N activations would
+        exceed HBM at the desired batch size.
+
+        Equivalent to a single step on the concatenated batch for every
+        mean-reduced loss (all task adapters here) up to fp reassociation
+        — tests/test_grad_accum.py asserts parameter-level agreement.
+        BatchNorm caveat: batch statistics are per-microbatch (running
+        stats thread through the scan), matching sequential semantics
+        rather than full-batch statistics.
+
+        Returns step_k(state, stacked_batch, rng) -> (state, mean_loss);
+        the input state's buffers are donated."""
+        def accum(state, stacked: GraphBatch, rng):
+            rngs = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                rng, jnp.arange(k, dtype=jnp.uint32))
+
+            def body(carry, xs):
+                gsum, stats, lsum = carry
+                b, r = xs
+                loss, grads, stats = self._loss_and_grads(
+                    state.params, stats, b, r)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                return (gsum, stats, lsum + loss), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, new_stats, lsum), _ = jax.lax.scan(
+                body, (zeros, state.batch_stats, jnp.zeros(())),
+                (stacked, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params=params, opt_state=opt_state,
+                              step=state.step + 1,
+                              batch_stats=new_stats), lsum / k
+
+        return jax.jit(accum, donate_argnums=(0,))
+
     def _eval_logits(self, params, batch_stats, batch: GraphBatch):
+        batch = from_wire(batch)
         out, _ = self._apply(params, batch_stats, batch, deterministic=True)
         logits, _ = _model_outputs(out)
         return logits
@@ -332,12 +392,15 @@ class Trainer:
         184-195); resume via train.checkpoint.CheckpointManager."""
         cfg = self.cfg
         # host->device transfers are expensive (here the chip sits behind a
-        # network relay); place every batch on device once up front
-        train_batches = [jax.device_put(b) for b in train_batches]
+        # network relay); place every batch on device once up front,
+        # optionally in the compact wire format (cfg.wire)
+        up = (lambda b: jax.device_put(to_wire(b))) if cfg.wire \
+            else jax.device_put
+        train_batches = [up(b) for b in train_batches]
         if val_batches is not None:
-            val_batches = [jax.device_put(b) for b in val_batches]
+            val_batches = [up(b) for b in val_batches]
         if test_batches is not None:
-            test_batches = [jax.device_put(b) for b in test_batches]
+            test_batches = [up(b) for b in test_batches]
         rng, init_rng = jax.random.split(jax.random.key(cfg.seed))
         state = self.init(init_rng, train_batches[0])
         history: List[dict] = []
@@ -353,8 +416,7 @@ class Trainer:
           for epoch in range(epochs or cfg.epochs):
             t0 = time.perf_counter()
             if rebatch_fn is not None and epoch > 0:
-                train_batches = [jax.device_put(b)
-                                 for b in rebatch_fn(epoch)]
+                train_batches = [up(b) for b in rebatch_fn(epoch)]
             epoch_batches = [train_batches[i] for i in
                              order_rng.permutation(len(train_batches))]
             state, loss = self.train_epoch(
