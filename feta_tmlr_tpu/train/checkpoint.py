@@ -18,15 +18,27 @@ from feta_tmlr_tpu.train.trainer import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 2):
+    def __init__(self, directory: str, max_to_keep: int = 2,
+                 async_save: bool = False):
+        """async_save=True overlaps checkpoint IO with the next epoch's
+        training (orbax async machinery: device arrays are snapshotted
+        synchronously, serialization/write happens on a background
+        thread). `wait_until_finished`/`close` block on in-flight saves,
+        so a crash-free run never loses a completed `save` call."""
+        self._async = async_save
         self._mgr = ocp.CheckpointManager(
             os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True),
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save),
         )
 
     def save(self, step: int, state: TrainState) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if not self._async:
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:

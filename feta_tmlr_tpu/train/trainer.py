@@ -379,7 +379,8 @@ class Trainer:
             log_fn: Optional[Callable[[dict], None]] = None,
             rebatch_fn: Optional[Callable[[int], Sequence[GraphBatch]]]
             = None,
-            ckpt_dir: Optional[str] = None):
+            ckpt_dir: Optional[str] = None,
+            ckpt_async: bool = False):
         """rebatch_fn(epoch) -> fresh training batches: full per-epoch
         reshuffling at the graph level, matching the reference's
         DataLoader(shuffle=True). Without it, the fixed batches are
@@ -410,7 +411,11 @@ class Trainer:
         ckpt_mgr = None
         if ckpt_dir is not None:
             from feta_tmlr_tpu.train.checkpoint import CheckpointManager
-            ckpt_mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+            # ckpt_async overlaps each epoch's checkpoint IO with the
+            # next epoch's training (safe with the donated step loop:
+            # orbax copies device arrays out synchronously at save())
+            ckpt_mgr = CheckpointManager(ckpt_dir, max_to_keep=2,
+                                         async_save=ckpt_async)
         t_start = time.perf_counter()
         try:
           for epoch in range(epochs or cfg.epochs):
