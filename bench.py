@@ -212,6 +212,27 @@ def bench_sbm_large_n(dtype_name="float32", n_graphs=32, n_nodes=128):
     return sec, n_edges
 
 
+def bench_pallas_vs_xla_large_n(n_nodes, n_graphs, use_pallas,
+                                dtype_name="bfloat16"):
+    """Flash-kernel crossover search: SBM-shaped node classification at
+    large padded N, unfiltered layers on the need_heads=False path where
+    `use_pallas_modulation` can route to the fused Pallas kernel. The
+    XLA path materializes [B,H,N,N] score/attention chains in HBM (fwd +
+    bwd); the Pallas kernel keeps them in VMEM — the win should grow
+    with N^2."""
+    prev = os.environ.get("FETA_PALLAS")
+    os.environ["FETA_PALLAS"] = "1" if use_pallas else "0"
+    try:
+        sec, n_edges = bench_sbm_large_n(dtype_name, n_graphs=n_graphs,
+                                         n_nodes=n_nodes)
+    finally:
+        if prev is None:
+            os.environ.pop("FETA_PALLAS", None)
+        else:
+            os.environ["FETA_PALLAS"] = prev
+    return sec, n_edges
+
+
 def bench_saturating(n_graphs=512):
     """Throughput at a saturating batch (the B=128 reference batch leaves
     the chip latency-bound at these tiny graph sizes). Runs bf16: the
@@ -348,6 +369,24 @@ def main():
         sec_call_w = bench_serving(graphs, wire=True)
         extras["serve_sec_per_batch128_call_wire"] = round(sec_call_w, 5)
         extras["serve_graphs_per_s_wire"] = round(BATCH / sec_call_w, 1)
+    if os.environ.get("FETA_BENCH_PALLAS_LARGEN") == "1":
+        # interleaved XLA/Pallas at two large-N SBM shapes (bf16 policy)
+        for n_nodes, n_graphs in ((256, 16), (512, 4)):
+            try:
+                sx1, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs,
+                                                     False)
+                sp1, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs,
+                                                     True)
+                sx2, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs,
+                                                     False)
+                sp2, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs,
+                                                     True)
+            except Exception as e:                 # e.g. VMEM overflow
+                extras[f"n{n_nodes}_pallas_error"] = type(e).__name__
+                continue
+            extras[f"n{n_nodes}_sec_per_step_xla"] = round(min(sx1, sx2), 5)
+            extras[f"n{n_nodes}_sec_per_step_pallas"] = round(
+                min(sp1, sp2), 5)
     if os.environ.get("FETA_BENCH_STREAM") == "1":
         # interleaved plain/wire/plain/wire to average out relay drift
         p1 = bench_streamed_epoch(wire=False)

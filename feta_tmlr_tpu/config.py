@@ -21,18 +21,32 @@ import os
 # FETA_COMPUTE_DTYPE=bfloat16 the kernels take bf16 xa/x/vw (MXU dots in
 # bf16, f32 accumulators/softmax; aux operands stay f32 — Mosaic cannot
 # lower 1x1 bf16 scalar extracts).
-_env = os.environ.get("FETA_PALLAS")
-PALLAS_MODULATION = False if _env is None else _env == "1"
+# Auto threshold: with FETA_PALLAS unset, the flash-style fused kernel
+# turns itself on for padded node counts >= this (only where the layer
+# runs need_heads=False, i.e. the unfiltered layers). Large-N is where
+# skipping the [B,H,N,N] HBM round trips pays; the measured crossover is
+# recorded in BASELINE.md. FETA_PALLAS=1/0 force-overrides either way.
+PALLAS_AUTO_N = int(os.environ.get("FETA_PALLAS_AUTO_N", "256"))
 
 
-def use_pallas_modulation() -> bool:
-    if PALLAS_MODULATION:
-        import jax
-        try:
-            return jax.devices()[0].platform != "cpu"
-        except Exception:
-            return False
-    return False
+def _on_accelerator() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def use_pallas_modulation(n: int = 0) -> bool:
+    """Whether the Pallas fused-attention path should run for a layer
+    whose padded node count is `n` (0 = unknown). Env is re-read per
+    call (trace time), so in-process A/Bs can toggle it."""
+    env = os.environ.get("FETA_PALLAS")
+    if env == "0":
+        return False
+    if env == "1":
+        return _on_accelerator()
+    return n >= PALLAS_AUTO_N and _on_accelerator()
 
 
 # Mixed-precision compute dtype for the transformer/FeTA hot path.

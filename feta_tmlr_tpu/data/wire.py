@@ -19,14 +19,16 @@ Encodings (per GraphBatch field):
                                          bf16 anyway — nn/layers.py)
   lap_pe / eigvecs / eigvals  -> bfloat16 (2x; NaN padding survives)
   x          int32 ids        -> int16  (2x, EXACT for vocab < 32768)
+  x          one-hot f32      -> bool   (4x, EXACT; binary-valued only)
   masks      already bool; y / degree / small fields untouched.
 
 `from_wire` is applied unconditionally at every jitted entry point
 (Trainer steps, Predictor apply): for full-precision batches every cast
 is a same-dtype no-op, so the non-wire path is bit-identical to before.
 
-Typical ZINC batch (B=128, N=48, diffusion PE + lap-8): 2.48 MB -> 0.87 MB
-(2.9x fewer relay bytes). Measured end-to-end impact in BASELINE.md.
+Canonical bench batch (B=128, N=48, one-hot x28, diffusion PE + lap-8):
+3.28 MB -> 1.19 MB (2.75x fewer relay bytes). Measured end-to-end impact
+in BASELINE.md (1.8x streamed-training and serving speedups).
 """
 
 from __future__ import annotations
@@ -71,8 +73,14 @@ def to_wire(batch: GraphBatch, pe_dtype=_BF16,
 
     x = np.asarray(batch.x)
     if np.issubdtype(x.dtype, np.integer) and x.dtype != np.int16:
+        # categorical ids: int16 wire -> int32 on device
         if x.size == 0 or (x.min() >= -32768 and x.max() <= 32767):
             rep["x"] = x.astype(np.int16)
+    elif np.issubdtype(x.dtype, np.floating) and _is_binary(x):
+        # one-hot / binary float features: bool wire -> float on device
+        # (the convention from_wire decodes by: bool x was float, int16
+        # x was ids)
+        rep["x"] = x.astype(np.bool_)
 
     return batch.replace(**rep) if rep else batch
 
@@ -91,10 +99,11 @@ def from_wire(batch: GraphBatch, dtype=jnp.float32) -> GraphBatch:
             rep[name] = jnp.asarray(v).astype(dtype)
     if batch.edge_type is not None:
         rep["edge_type"] = jnp.asarray(batch.edge_type).astype(jnp.int32)
-    x = batch.x
-    if hasattr(x, "dtype") and jnp.issubdtype(jnp.asarray(x).dtype,
-                                              jnp.integer):
-        rep["x"] = jnp.asarray(x).astype(jnp.int32)
+    x = jnp.asarray(batch.x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        rep["x"] = x.astype(jnp.int32)
+    elif x.dtype == jnp.bool_:
+        rep["x"] = x.astype(dtype)
     return batch.replace(**rep)
 
 

@@ -121,7 +121,7 @@ class GraphiTEncoderLayer(nn.Module):
         b_out = self.param("out_proj_bias", nn.initializers.zeros, (d,))
 
         from feta_tmlr_tpu.config import use_pallas_modulation
-        use_pallas = pair_mask is None and use_pallas_modulation()
+        use_pallas = pair_mask is None and use_pallas_modulation(n)
 
         if not need_heads and use_pallas:
             # fully fused flash-style path: the [H, N, N] score/attention
