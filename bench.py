@@ -262,7 +262,8 @@ def bench_saturating(n_graphs=512):
     return n_edges / sec
 
 
-def bench_streamed_epoch(wire: bool, n_batches=16, warm_batches=4):
+def bench_streamed_epoch(wire: bool, n_batches=16, warm_batches=4,
+                         prefetch: bool = False):
     """Streamed training: every step uploads a FRESH batch through the
     relay (the realistic regime when data does not fit on device or is
     re-collated per epoch; `fit`'s pre-upload path hides this cost).
@@ -287,10 +288,21 @@ def bench_streamed_epoch(wire: bool, n_batches=16, warm_batches=4):
 
         def run(state, bs):
             loss = None
-            for i, hb in enumerate(bs):
-                b = jax.device_put(to_wire(hb) if wire else hb)
-                state, loss = trainer._jit_step_donated(
-                    state, b, jax.random.fold_in(rng, i))
+            if prefetch:
+                # background-thread staging (data/prefetch.py): batch
+                # k+1's wire-encode + upload ride under batch k's step
+                from feta_tmlr_tpu.data.prefetch import prefetch_to_device
+                it = prefetch_to_device(
+                    bs, buffer_size=3,
+                    collate_fn=(to_wire if wire else None))
+                for i, b in enumerate(it):
+                    state, loss = trainer._jit_step_donated(
+                        state, b, jax.random.fold_in(rng, i))
+            else:
+                for i, hb in enumerate(bs):
+                    b = jax.device_put(to_wire(hb) if wire else hb)
+                    state, loss = trainer._jit_step_donated(
+                        state, b, jax.random.fold_in(rng, i))
             float(loss)                     # one synchronizing fetch
             return state
         state = run(state, batches[:warm_batches])      # compile + warm
@@ -391,10 +403,13 @@ def main():
         # interleaved plain/wire/plain/wire to average out relay drift
         p1 = bench_streamed_epoch(wire=False)
         w1 = bench_streamed_epoch(wire=True)
+        f1 = bench_streamed_epoch(wire=True, prefetch=True)
         p2 = bench_streamed_epoch(wire=False)
         w2 = bench_streamed_epoch(wire=True)
+        f2 = bench_streamed_epoch(wire=True, prefetch=True)
         extras["stream_sec_per_step_plain"] = round(min(p1, p2), 5)
         extras["stream_sec_per_step_wire"] = round(min(w1, w2), 5)
+        extras["stream_sec_per_step_wire_prefetch"] = round(min(f1, f2), 5)
         extras["stream_wire_speedup"] = round(min(p1, p2) / min(w1, w2), 3)
     best = min(sec_packed, sec_unpacked, sec_bf16)
     out = {
