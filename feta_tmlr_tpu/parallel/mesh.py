@@ -31,3 +31,38 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
                          f"model_parallel={model_parallel}")
     arr = np.asarray(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, axis_names=("data", "model"))
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Multi-host entry: wire this process into the jax.distributed
+    runtime so `jax.devices()` spans every host's chips and the meshes
+    above (plus shard_map collectives) ride ICI/DCN across the slice.
+
+    With no arguments, reads the standard env (JAX auto-detects on TPU
+    pods from the metadata server; elsewhere set JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID). Idempotent: re-initialization
+    attempts are ignored. Returns the global device count.
+
+    Single-process runs (including this repo's CI) skip initialization
+    entirely when no coordinator is configured.
+    """
+    import os
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        np_env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(np_env) if np_env else None
+    if process_id is None:
+        pid_env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(pid_env) if pid_env else None
+    if coordinator_address is not None:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except RuntimeError as e:      # already initialized
+            if "already" not in str(e).lower():
+                raise
+    return len(jax.devices())

@@ -63,6 +63,11 @@ class TrainConfig:
     # travel as bf16 (exact under FETA_COMPUTE_DTYPE=bfloat16, where the
     # modulation multiply casts them to bf16 anyway)
     wire: bool = False
+    # per-epoch NaN/explosion guard — the jit-compatible counterpart of
+    # the reference's per-batch parameter sweep with pdb drops
+    # (run_transformer_gengcn_cv.py:161-179): after each epoch, raise if
+    # the mean loss or any parameter is non-finite or |param| > 1000
+    debug_nan: bool = False
     seed: int = 0
 
 
@@ -428,6 +433,8 @@ class Trainer:
                 state, epoch_batches, jax.random.fold_in(rng, epoch))
             row = {"epoch": epoch, "loss": loss,
                    "time": time.perf_counter() - t0}
+            if cfg.debug_nan:
+                _check_finite(state, loss, epoch)
             if val_batches is not None:
                 vm = self.evaluate(state, val_batches)
                 row.update({f"val_{k}": v for k, v in vm.items()})
@@ -475,6 +482,29 @@ class Trainer:
         if test_batches is not None:
             result["test"] = self.evaluate(best_state, test_batches)
         return result
+
+
+class NonFiniteError(RuntimeError):
+    """Raised by TrainConfig.debug_nan when training diverges; carries
+    the offending parameter paths."""
+
+
+def _check_finite(state: TrainState, loss: float, epoch: int) -> None:
+    if not np.isfinite(loss):
+        raise NonFiniteError(f"non-finite loss {loss} at epoch {epoch}")
+    bad = []
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    for path, leaf in flat:
+        a = np.asarray(leaf)
+        if not np.all(np.isfinite(a)):
+            bad.append(f"{jax.tree_util.keystr(path)}: nan/inf")
+        elif a.size and np.max(np.abs(a)) > 1000:
+            # reference flags |param| > 1000 as exploding (:168-173)
+            bad.append(f"{jax.tree_util.keystr(path)}: "
+                       f"max|p|={np.max(np.abs(a)):.1f}")
+    if bad:
+        raise NonFiniteError(
+            f"epoch {epoch}: bad parameters\n  " + "\n  ".join(bad))
 
 
 def _set_lr(state: TrainState, lr: float) -> TrainState:

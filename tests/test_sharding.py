@@ -74,3 +74,11 @@ def test_batch_sharding_layout():
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_initialize_multihost_noop_single_process():
+    """Without a coordinator configured, the multi-host entry skips
+    jax.distributed and just reports the local device count."""
+    from feta_tmlr_tpu.parallel.mesh import initialize_multihost
+    import jax
+    assert initialize_multihost() == len(jax.devices())

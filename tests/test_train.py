@@ -256,3 +256,29 @@ def test_multi_step_scan_matches_sequential():
     bad = collate_graphs(graphs[:4], max_nodes=16)
     with _pytest.raises(ValueError):
         stack_batches([batches[0], bad])
+
+
+def test_debug_nan_guard():
+    """TrainConfig.debug_nan: clean runs pass; a diverging run (lr big
+    enough to blow params past the reference's |p|>1000 threshold or to
+    NaN) raises NonFiniteError (run_transformer_gengcn_cv.py:161-179)."""
+    import pytest
+    from feta_tmlr_tpu.train.trainer import NonFiniteError
+
+    graphs = random_graph_dataset(seed=5, n_graphs=8, min_nodes=6,
+                                  max_nodes=10, n_features=7,
+                                  task="regression")
+    batch = _prep(graphs, max_nodes=16)
+    mk = lambda: DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=1, d_model=32, nb_heads=4, dim_feedforward=64,
+        dropout=0.0, nb_layers=1, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2)
+    ok = Trainer(mk(), TrainConfig(task="graph_reg", lr=1e-3, epochs=2,
+                                   sign_flip=False, debug_nan=True))
+    res = ok.fit([batch])
+    assert np.isfinite(res["history"][-1]["loss"])
+
+    bad = Trainer(mk(), TrainConfig(task="graph_reg", lr=1e6, epochs=10,
+                                    sign_flip=False, debug_nan=True))
+    with pytest.raises(NonFiniteError):
+        bad.fit([batch])
