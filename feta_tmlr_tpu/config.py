@@ -24,9 +24,11 @@ import os
 # Auto threshold: with FETA_PALLAS unset, the flash-style fused kernel
 # turns itself on for padded node counts >= this (only where the layer
 # runs need_heads=False, i.e. the unfiltered layers). Large-N is where
-# skipping the [B,H,N,N] HBM round trips pays; the measured crossover is
-# recorded in BASELINE.md. FETA_PALLAS=1/0 force-overrides either way.
-PALLAS_AUTO_N = int(os.environ.get("FETA_PALLAS_AUTO_N", "256"))
+# skipping the [B,H,N,N] HBM round trips should pay; the default stays
+# OFF (sentinel) until the recorded large-N A/B (BASELINE.md,
+# FETA_BENCH_PALLAS_LARGEN=1) shows a crossover — set the env var or
+# lower this once measured. FETA_PALLAS=1/0 force-overrides either way.
+PALLAS_AUTO_N = int(os.environ.get("FETA_PALLAS_AUTO_N", str(1 << 30)))
 
 
 def _on_accelerator() -> bool:

@@ -121,7 +121,12 @@ class GraphiTEncoderLayer(nn.Module):
         b_out = self.param("out_proj_bias", nn.initializers.zeros, (d,))
 
         from feta_tmlr_tpu.config import use_pallas_modulation
-        use_pallas = pair_mask is None and use_pallas_modulation(n)
+        # the shape-based auto gate applies only to the fully fused
+        # need_heads=False path (the measured large-N win); the
+        # modulation-kernel fallback for need_heads=True layers stays
+        # explicit-opt-in (FETA_PALLAS=1)
+        use_pallas = pair_mask is None and use_pallas_modulation(
+            0 if need_heads else n)
 
         if not need_heads and use_pallas:
             # fully fused flash-style path: the [H, N, N] score/attention

@@ -62,7 +62,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id)
-        except RuntimeError as e:      # already initialized
-            if "already" not in str(e).lower():
+        except RuntimeError as e:
+            # re-init raises "distributed.initialize should only be
+            # called once." (jax 0.9); treat as already-initialized
+            msg = str(e).lower()
+            if "once" not in msg and "already" not in msg:
                 raise
     return len(jax.devices())

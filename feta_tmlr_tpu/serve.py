@@ -118,10 +118,25 @@ class Predictor:
         if not graphs:
             return np.zeros((0,), np.float32)
         fn = self._compiled.setdefault("fn", self._apply_fn())
-        # dispatch every chunk first (async), fetch afterwards: chunk i's
-        # device->host fetch then overlaps chunk i+1's upload + compute
-        # instead of serializing with it
-        chunks, dev_outs = [], []
+        # bounded-window async pipeline: dispatch up to `window` chunks
+        # ahead, fetching the oldest as new ones enqueue — chunk i's
+        # device->host fetch overlaps chunk i+window's upload + compute,
+        # while peak device memory stays at `window` in-flight batches
+        # (an unbounded dispatch-all would hold the whole request in HBM)
+        window = 4
+        outs = []
+        in_flight: list = []            # [(chunk, device_logits), ...]
+
+        def drain_one():
+            chunk, dl = in_flight.pop(0)
+            logits = np.asarray(dl)
+            if self.node_level:
+                # node-level head: strip padding per graph
+                for i, g in enumerate(chunk):
+                    outs.append(logits[i, : g.num_nodes])
+            else:
+                outs.extend(logits[: len(chunk)])
+
         for lo in range(0, len(graphs), self.max_batch):
             chunk = list(graphs[lo: lo + self.max_batch])
             kw = dict(self.collate_kwargs)
@@ -139,17 +154,11 @@ class Predictor:
             dev_batch = (jax.device_put(batch, self._batch_sharding)
                          if self._batch_sharding is not None
                          else jax.device_put(batch))
-            chunks.append(chunk)
-            dev_outs.append(fn(self.variables, dev_batch))
-        outs = []
-        for chunk, dl in zip(chunks, dev_outs):
-            logits = np.asarray(dl)
-            if self.node_level:
-                # node-level head: strip padding per graph
-                for i, g in enumerate(chunk):
-                    outs.append(logits[i, : g.num_nodes])
-            else:
-                outs.extend(logits[: len(chunk)])
+            in_flight.append((chunk, fn(self.variables, dev_batch)))
+            if len(in_flight) > window:
+                drain_one()
+        while in_flight:
+            drain_one()
         try:
             return np.stack(outs)
         except ValueError:                       # ragged node-level outputs

@@ -493,7 +493,10 @@ def _check_finite(state: TrainState, loss: float, epoch: int) -> None:
     if not np.isfinite(loss):
         raise NonFiniteError(f"non-finite loss {loss} at epoch {epoch}")
     bad = []
-    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    # ONE device->host transfer for the whole tree: per-leaf np.asarray
+    # would pay a full relay round trip (~25 ms) per parameter leaf
+    host_params = jax.device_get(state.params)
+    flat = jax.tree_util.tree_flatten_with_path(host_params)[0]
     for path, leaf in flat:
         a = np.asarray(leaf)
         if not np.all(np.isfinite(a)):

@@ -46,7 +46,12 @@ def test_async_checkpoint_roundtrip(tmp_path):
     """async_save=True: save returns before IO completes; a donated next
     step may invalidate the live buffers (orbax copies device arrays out
     synchronously, so this is safe); wait_until_finished + restore must
-    yield the exact saved state."""
+    yield the exact saved state.
+
+    Limitation: on the CPU test platform jax ignores donate_argnums, so
+    the donation-vs-async-write interaction is only truly exercised on
+    accelerator runs; here the test pins the save/wait/restore contract.
+    """
     graphs = random_graph_dataset(seed=1, n_graphs=8, n_features=7)
     DiffusionEncoding().apply_to(graphs)
     LapEncoding(dim=4).apply_to(graphs)

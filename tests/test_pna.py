@@ -83,3 +83,11 @@ def test_pna_net_gru_variant():
     # param trees differ (the GRU cell exists once, shared across layers)
     v2 = m_plain.init(jax.random.key(0), gb)
     assert "gru" not in v2["params"]
+    # behavioral check: same layer weights WITHOUT the GRU step give a
+    # different output — the GRU is not a pass-through
+    shared = {c: (vs if c != "params" else
+                  {k: p for k, p in vs.items() if k != "gru"})
+              for c, vs in v.items()}
+    out_plain = m_plain.apply(shared, gb)
+    assert not np.allclose(np.asarray(out), np.asarray(out_plain),
+                           atol=1e-5)
