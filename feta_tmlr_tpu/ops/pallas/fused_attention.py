@@ -7,11 +7,19 @@ filtered layer in a FeTA encoder), the whole attention chain
   attn_h   = renormalize(softmax_masked(scores_h) * pe * degree) * masks
   out      = sum_h attn_h @ vw_h + b_out
 
-runs inside one kernel per batch row: the [H, N, N] score/attention tensors
-live only in VMEM and never touch HBM in either direction (the XLA path
-writes+reads them in forward AND backward). The backward kernel recomputes
-attention (flash-attention style) and emits gradients w.r.t. xa, x, the
+runs inside the kernel: the [H, N, N] score/attention tensors live only in
+VMEM and never touch HBM in either direction (the XLA path writes+reads
+them in forward AND backward). The backward kernel recomputes attention
+(flash-attention style) and emits gradients w.r.t. xa, x, the
 bias-correction terms and vw; pe/degree/masks are data.
+
+Grid layout: one program per (batch row, head) — the head axis is a grid
+dimension, not a block dimension, so VMEM holds ONE head's [N, D] blocks
+plus one [N, N] score tile at a time. (The earlier (batch,)-grid variant
+loaded [H, N, D] xa/vw blocks whole: 8 MB each at N=512/H=8/D=64, which
+overflowed VMEM — measured failure recorded in BASELINE.md.) The
+cross-head output sum accumulates in a persistent f32 VMEM scratch that
+TPU pallas carries across the sequential inner grid iterations.
 
 Inputs are the MXU-friendly factorization used by GraphiTEncoderLayer:
 xa = x @ (Wq_h Wk_h^T), vw = v_h @ Wout_h, cq/ck/c0 the rank-1 bias terms.
@@ -19,8 +27,6 @@ jnp twin: `fused_graphit_attention_ref` (tests/test_pallas_fused.py).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -44,99 +50,113 @@ def _attn_from_scores(scores, pd, qmask, kmask):
     return a, u, safe, guard, attn
 
 
+def _head_scores(xa_ref, x, cq_ref, ck_ref, c0_ref, inv_sqrt):
+    """One head's [N, N] modulated-attention scores (pre-softmax)."""
+    return (jnp.dot(xa_ref[0, 0], x.T,
+                    preferred_element_type=jnp.float32)
+            + cq_ref[0, 0] + ck_ref[0, 0] + c0_ref[0, 0]) * inv_sqrt
+
+
 def _fwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
-                deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref, out_ref):
+                deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref, out_ref,
+                acc_ref):
+    j = pl.program_id(1)
+    nh = pl.num_programs(1)
     x = x_ref[0]                                   # [N, D]
     pd = pe_ref[0] * deg_ref[0]                    # [N, N]
     kmask = kmask_ref[0]                           # [1, N]
     qmask = qmask_ref[0]                           # [N, 1]
     inv_sqrt = inv_sqrt_ref[0, 0]
-    cq = cq_ref[0]                                 # [N, H] (block loads —
-    ck = ck_ref[0]                                 # Mosaic rejects strided
-    c0 = c0_ref[0]                                 # scalar VMEM accesses)
-    h = xa_ref.shape[1]
-    # accumulate in f32 regardless of the (possibly bf16) io dtype
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
-    for hi in range(h):
-        scores = (jnp.dot(xa_ref[0, hi], x.T,
-                          preferred_element_type=jnp.float32)
-                  + cq[:, hi][:, None] + ck[:, hi][None, :]
-                  + c0[0, hi]) * inv_sqrt
-        _, _, _, _, attn = _attn_from_scores(scores, pd, qmask, kmask)
-        acc = acc + jnp.dot(attn.astype(vw_ref.dtype), vw_ref[0, hi],
+    scores = _head_scores(xa_ref, x, cq_ref, ck_ref, c0_ref, inv_sqrt)
+    _, _, _, _, attn = _attn_from_scores(scores, pd, qmask, kmask)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(attn.astype(vw_ref.dtype), vw_ref[0, 0],
                             preferred_element_type=jnp.float32)
-    out_ref[0] = acc.astype(out_ref.dtype)
+
+    @pl.when(j == nh - 1)
+    def _emit():
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
 def _bwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
                 deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref, g_ref,
-                dxa_ref, dx_ref, dcq_ref, dck_ref, dc0_ref, dvw_ref):
+                dxa_ref, dx_ref, dcq_ref, dck_ref, dc0_ref, dvw_ref,
+                dx_acc_ref):
+    j = pl.program_id(1)
+    nh = pl.num_programs(1)
     x = x_ref[0]
     pd = pe_ref[0] * deg_ref[0]
     kmask = kmask_ref[0]
     qmask = qmask_ref[0]
     inv_sqrt = inv_sqrt_ref[0, 0]
-    cq = cq_ref[0]
-    ck = ck_ref[0]
-    c0 = c0_ref[0]
     g = g_ref[0]                                   # [N, D]
-    h = xa_ref.shape[1]
-    dx_acc = jnp.zeros(x.shape, jnp.float32)
-    dcq_cols, dck_cols, dc0_cols = [], [], []
-    for hi in range(h):
-        scores = (jnp.dot(xa_ref[0, hi], x.T,
-                          preferred_element_type=jnp.float32)
-                  + cq[:, hi][:, None] + ck[:, hi][None, :]
-                  + c0[0, hi]) * inv_sqrt
-        a, u, safe, guard, attn = _attn_from_scores(scores, pd, qmask, kmask)
+    scores = _head_scores(xa_ref, x, cq_ref, ck_ref, c0_ref, inv_sqrt)
+    a, u, safe, guard, attn = _attn_from_scores(scores, pd, qmask, kmask)
 
-        # d attn from the product; d vw from attn^T g
-        d_attn = jnp.dot(g, vw_ref[0, hi].T,
-                         preferred_element_type=jnp.float32)
-        dvw_ref[0, hi] = jnp.dot(
-            attn.astype(g.dtype).T, g,
-            preferred_element_type=jnp.float32).astype(dvw_ref.dtype)
+    # d attn from the product; d vw from attn^T g
+    d_attn = jnp.dot(g, vw_ref[0, 0].T,
+                     preferred_element_type=jnp.float32)
+    dvw_ref[0, 0] = jnp.dot(
+        attn.astype(g.dtype).T, g,
+        preferred_element_type=jnp.float32).astype(dvw_ref.dtype)
 
-        # through the masks and renormalization (see modulation.py)
-        gm = d_attn * qmask * kmask
-        r = (gm * u).sum(-1, keepdims=True)
-        du = gm / safe - (r / (safe * safe)) * guard
-        da = du * pd
-        ds = a * (da - (da * a).sum(-1, keepdims=True))
-        ds = ds * inv_sqrt
+    # through the masks and renormalization (see modulation.py)
+    gm = d_attn * qmask * kmask
+    r = (gm * u).sum(-1, keepdims=True)
+    du = gm / safe - (r / (safe * safe)) * guard
+    da = du * pd
+    ds = a * (da - (da * a).sum(-1, keepdims=True))
+    ds = ds * inv_sqrt
 
-        ds_c = ds.astype(x.dtype)        # bf16 MXU dots under the policy
-        dxa_ref[0, hi] = jnp.dot(
-            ds_c, x, preferred_element_type=jnp.float32).astype(
-                dxa_ref.dtype)
-        dx_acc = dx_acc + jnp.dot(ds_c.T, xa_ref[0, hi],
-                                  preferred_element_type=jnp.float32)
-        dcq_cols.append(ds.sum(-1))
-        dck_cols.append(ds.sum(0))
-        dc0_cols.append(ds.sum())
-    dx_ref[0] = dx_acc.astype(dx_ref.dtype)
-    # full-block stores (no strided/scalar VMEM writes)
-    dcq_ref[0] = jnp.stack(dcq_cols, axis=-1).astype(dcq_ref.dtype)
-    dck_ref[0] = jnp.stack(dck_cols, axis=-1).astype(dck_ref.dtype)
-    dc0_ref[0] = jnp.stack(dc0_cols).reshape(1, h).astype(dc0_ref.dtype)
+    ds_c = ds.astype(x.dtype)            # bf16 MXU dots under the policy
+    dxa_ref[0, 0] = jnp.dot(
+        ds_c, x, preferred_element_type=jnp.float32).astype(dxa_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        dx_acc_ref[...] = jnp.zeros_like(dx_acc_ref)
+
+    dx_acc_ref[...] += jnp.dot(ds_c.T, xa_ref[0, 0],
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(j == nh - 1)
+    def _emit():
+        dx_ref[0] = dx_acc_ref[...].astype(dx_ref.dtype)
+
+    dcq_ref[0, 0] = ds.sum(-1, keepdims=True).astype(dcq_ref.dtype)
+    dck_ref[0, 0] = ds.sum(0, keepdims=True).astype(dck_ref.dtype)
+    dc0_ref[0, 0] = ds.sum(keepdims=True).reshape(1, 1).astype(
+        dc0_ref.dtype)
 
 
-def _specs(h, n, d, extra_nd=0):
+def _specs(n, d):
+    """Input BlockSpecs over the (batch, head) grid. Per-head operands
+    load one head's block; per-row operands are replicated across the
+    head dimension. cq/ck arrive pre-shaped [B, H, N, 1] / [B, H, 1, N]
+    so the kernel adds them without lane<->sublane transposes; c0 is
+    [H, 1, 1]."""
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
-    row3 = lambda lead: vm((1,) + lead, lambda i: (i,) + (0,) * len(lead))
+    per_row = lambda lead: vm((1,) + lead,
+                              lambda i, j: (i,) + (0,) * len(lead))
+    per_head = lambda lead: vm((1, 1) + lead,
+                               lambda i, j: (i, j) + (0,) * len(lead))
     return [
-        row3((h, n, d)),       # xa
-        row3((n, d)),          # x
-        row3((n, h)),          # cq
-        row3((n, h)),          # ck
-        row3((1, h)),          # c0
-        row3((h, n, d)),       # vw
-        row3((n, n)),          # pe
-        row3((1, n)),          # deg
-        row3((n, 1)),          # qmask
-        row3((1, n)),          # kmask
-        vm((1, 1), lambda i: (0, 0)),   # inv_sqrt scalar (replicated)
+        per_head((n, d)),      # xa
+        per_row((n, d)),       # x
+        per_head((n, 1)),      # cq (column layout)
+        per_head((1, n)),      # ck (row layout)
+        vm((1, 1, 1), lambda i, j: (j, 0, 0)),    # c0 [H,1,1]
+        per_head((n, d)),      # vw
+        per_row((n, n)),       # pe
+        per_row((1, n)),       # deg
+        per_row((n, 1)),       # qmask
+        per_row((1, n)),       # kmask
+        vm((1, 1), lambda i, j: (0, 0)),          # inv_sqrt (replicated)
     ]
 
 
@@ -144,38 +164,43 @@ def _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt):
     b, h, n, d = xa.shape
     return pl.pallas_call(
         _fwd_kernel,
-        grid=(b,),
-        in_specs=_specs(h, n, d),
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+        grid=(b, h),
+        in_specs=_specs(n, d),
+        out_specs=pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), xa.dtype),
+        scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
     )(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
 
 
 def _call_bwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt, g):
     b, h, n, d = xa.shape
-    specs = _specs(h, n, d)
-    specs.append(pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+    specs = _specs(n, d)
+    specs.append(pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM))   # g
-    row = lambda lead: pl.BlockSpec(
-        (1,) + lead, lambda i: (i,) + (0,) * len(lead),
+    per_row = lambda lead: pl.BlockSpec(
+        (1,) + lead, lambda i, j: (i,) + (0,) * len(lead),
+        memory_space=pltpu.VMEM)
+    per_head = lambda lead: pl.BlockSpec(
+        (1, 1) + lead, lambda i, j: (i, j) + (0,) * len(lead),
         memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((b, h, n, d), xa.dtype),   # dxa
         jax.ShapeDtypeStruct((b, n, d), x.dtype),       # dx
-        jax.ShapeDtypeStruct((b, n, h), cq.dtype),      # dcq
-        jax.ShapeDtypeStruct((b, n, h), ck.dtype),      # dck
-        jax.ShapeDtypeStruct((b, 1, h), c0.dtype),      # dc0
+        jax.ShapeDtypeStruct((b, h, n, 1), cq.dtype),   # dcq
+        jax.ShapeDtypeStruct((b, h, 1, n), ck.dtype),   # dck
+        jax.ShapeDtypeStruct((b, h, 1, 1), c0.dtype),   # dc0 (summed later)
         jax.ShapeDtypeStruct((b, h, n, d), vw.dtype),   # dvw
     )
-    out_specs = (row((h, n, d)), row((n, d)), row((n, h)), row((n, h)),
-                 row((1, h)), row((h, n, d)))
+    out_specs = (per_head((n, d)), per_row((n, d)), per_head((n, 1)),
+                 per_head((1, n)), per_head((1, 1)), per_head((n, d)))
     return pl.pallas_call(
         _bwd_kernel,
-        grid=(b,),
+        grid=(b, h),
         in_specs=specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
     )(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt, g)
 
 
@@ -193,6 +218,7 @@ def _fused_bwd(res, g):
     xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt = res
     dxa, dx, dcq, dck, dc0, dvw = _call_bwd(
         xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt, g)
+    dc0 = dc0.sum(0)                   # [B,H,1,1] -> [H,1,1] (c0 primal)
     zeros = lambda t: jnp.zeros_like(t)
     return (dxa, dx, dcq, dck, dc0, dvw, zeros(pe), zeros(deg),
             zeros(qmask), zeros(kmask), zeros(inv_sqrt))
@@ -224,9 +250,16 @@ def fused_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
     qmask = node_mask.astype(f32).reshape(b, n, 1)
     kmask = node_mask.astype(f32).reshape(b, 1, n)
     inv_sqrt = jnp.full((1, 1), 1.0 / (dh ** 0.5), f32)
-    return _fused(xa, x.astype(xa.dtype), cq.astype(f32), ck.astype(f32),
-                  c0.reshape(1, 1, h).astype(f32) * jnp.ones((b, 1, h), f32),
-                  vw, pe_arr, deg_arr, qmask, kmask, inv_sqrt)
+    # kernel-layout bias terms: [B,H,N,1] column / [B,H,1,N] row (avoids
+    # in-kernel transposes), c0 [H,1,1]
+    # kernel-layout adapters are plain jnp ops, so autodiff maps the
+    # kernel's kernel-layout cotangents (dcq [B,H,N,1], ...) back to the
+    # caller's [B,N,H] layouts automatically
+    cq_k = cq.astype(f32).transpose(0, 2, 1)[:, :, :, None]
+    ck_k = ck.astype(f32).transpose(0, 2, 1)[:, :, None, :]
+    c0_k = c0.reshape(h, 1, 1).astype(f32)
+    return _fused(xa, x.astype(xa.dtype), cq_k, ck_k, c0_k, vw, pe_arr,
+                  deg_arr, qmask, kmask, inv_sqrt)
 
 
 def fused_graphit_attention_ref(xa, x, cq, ck, c0, vw, node_mask, pe=None,

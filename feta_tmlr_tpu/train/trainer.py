@@ -63,6 +63,14 @@ class TrainConfig:
     # travel as bf16 (exact under FETA_COMPUTE_DTYPE=bfloat16, where the
     # modulation multiply casts them to bf16 anyway)
     wire: bool = False
+    # stream=True keeps training batches HOST-resident and feeds each
+    # epoch through the double-buffered device prefetcher
+    # (data/prefetch.py) instead of pre-uploading everything — the
+    # production path when the dataset exceeds device memory. Composes
+    # with wire (the wire encode runs on the prefetch thread). Measured
+    # at the canonical config behind the relay: 22.2-22.9 ms/step
+    # (wire+prefetch) vs 51 ms plain streaming vs 4.5 ms device-resident.
+    stream: bool = False
     # per-epoch NaN/explosion guard — the jit-compatible counterpart of
     # the reference's per-batch parameter sweep with pdb drops
     # (run_transformer_gengcn_cv.py:161-179): after each epoch, raise if
@@ -399,10 +407,13 @@ class Trainer:
         cfg = self.cfg
         # host->device transfers are expensive (here the chip sits behind a
         # network relay); place every batch on device once up front,
-        # optionally in the compact wire format (cfg.wire)
+        # optionally in the compact wire format (cfg.wire). With
+        # cfg.stream the TRAIN batches stay host-resident and flow
+        # through the per-epoch prefetcher below instead.
         up = (lambda b: jax.device_put(to_wire(b))) if cfg.wire \
             else jax.device_put
-        train_batches = [up(b) for b in train_batches]
+        if not cfg.stream:
+            train_batches = [up(b) for b in train_batches]
         if val_batches is not None:
             val_batches = [up(b) for b in val_batches]
         if test_batches is not None:
@@ -426,9 +437,15 @@ class Trainer:
           for epoch in range(epochs or cfg.epochs):
             t0 = time.perf_counter()
             if rebatch_fn is not None and epoch > 0:
-                train_batches = [up(b) for b in rebatch_fn(epoch)]
+                train_batches = (list(rebatch_fn(epoch)) if cfg.stream
+                                 else [up(b) for b in rebatch_fn(epoch)])
             epoch_batches = [train_batches[i] for i in
                              order_rng.permutation(len(train_batches))]
+            if cfg.stream:
+                from feta_tmlr_tpu.data.prefetch import prefetch_to_device
+                epoch_batches = prefetch_to_device(
+                    epoch_batches, buffer_size=3,
+                    collate_fn=(to_wire if cfg.wire else None))
             state, loss = self.train_epoch(
                 state, epoch_batches, jax.random.fold_in(rng, epoch))
             row = {"epoch": epoch, "loss": loss,

@@ -118,3 +118,22 @@ def test_predictor_wire_matches():
     c = p_wire.predict(graphs)
     assert a.shape == c.shape
     np.testing.assert_allclose(a, c, rtol=2e-2, atol=2e-2)
+
+
+def test_fit_streamed_wire():
+    """cfg.stream: host-resident train batches through the prefetcher
+    (+wire encode on the prefetch thread) — must learn like the
+    device-resident path."""
+    from feta_tmlr_tpu.nn.models import DiffGraphTransformerGenGCN
+    from feta_tmlr_tpu.train.trainer import Trainer, TrainConfig
+
+    graphs, b = _float_batch(seed=7, n_graphs=16)
+    model = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=1, d_model=32, nb_heads=4,
+        dim_feedforward=64, dropout=0.0, nb_layers=2, lap_pos_enc=True,
+        lap_pos_enc_dim=4, filter_order=2)
+    tr = Trainer(model, TrainConfig(task="graph_reg", lr=3e-3, epochs=10,
+                                    sign_flip=False, stream=True,
+                                    wire=True))
+    res = tr.fit([b], val_batches=[b])
+    assert res["history"][-1]["loss"] < res["history"][0]["loss"]
