@@ -28,8 +28,11 @@ _EPS = 1e-9
 
 
 def _fwd_kernel(scores_ref, pe_ref, deg_ref, qmask_ref, kmask_ref, out_ref):
-    # one grid cell per batch row; all H heads processed here (a (B, H)
-    # grid of [N, N] programs measured grid-overhead-bound: ~8 us x B*H)
+    # one grid cell per (batch row, head block). At small N the block is
+    # ALL heads — a (B, H) grid of [N, N] programs measured
+    # grid-overhead-bound (~8 us x B*H); at large N the block shrinks so
+    # the [hb, N, N] tensors fit VMEM (the all-heads variant overflowed
+    # the compile at N=512/H=8 — BASELINE.md). `_head_block` picks hb.
     kmask = kmask_ref[0]                          # [1, N] broadcast row
     qmask = qmask_ref[0]                          # [N, 1]
     pd = pe_ref[0] * deg_ref[0]                   # [N, N] modulation
@@ -75,31 +78,42 @@ def _bwd_kernel(scores_ref, pe_ref, deg_ref, qmask_ref, kmask_ref, g_ref,
         ds_ref[0, hi] = ds
 
 
+def _head_block(h: int, n: int, itemsize: int) -> int:
+    """Largest divisor of h whose [hb, N, N] score block (plus ~6x
+    working temporaries) stays within a conservative VMEM budget."""
+    budget = 10 * 1024 * 1024                     # bytes, of ~16 MB VMEM
+    per_head = n * n * itemsize * 6               # block + temps, rough
+    hb = max(1, min(h, budget // max(per_head, 1)))
+    while h % hb:
+        hb -= 1
+    return hb
+
+
 def _pallas_call(kernel, scores, pe, deg, qmask, kmask, extra=()):
     b, h, n, _ = scores.shape
+    hb = _head_block(h, n, scores.dtype.itemsize)
+    hspec = lambda: pl.BlockSpec((1, hb, n, n), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
     specs = [
-        pl.BlockSpec((1, h, n, n), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),           # scores (all heads)
-        pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+        hspec(),                                         # scores (head blk)
+        pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # pe
-        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # degree row
-        pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # query mask col
-        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # key mask row
     ]
     args = [scores, pe, deg, qmask, kmask]
     for arr in extra:
-        specs.append(pl.BlockSpec((1, h, n, n), lambda i: (i, 0, 0, 0),
-                                  memory_space=pltpu.VMEM))
+        specs.append(hspec())
         args.append(arr)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, h // hb),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, h, n, n), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=hspec(),
         out_shape=jax.ShapeDtypeStruct(scores.shape, scores.dtype),
     )(*args)
 

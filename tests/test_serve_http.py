@@ -1,0 +1,64 @@
+"""HTTP serving endpoint (serve_http.py): JSON predict round trip."""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+
+from feta_tmlr_tpu.data import collate_graphs, random_graph_dataset
+from feta_tmlr_tpu.nn import DiffGraphTransformerGenGCN
+from feta_tmlr_tpu.pe import DiffusionEncoding, LapEncoding
+from feta_tmlr_tpu.serve import Predictor
+from feta_tmlr_tpu.serve_http import start_background
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_http_predict_roundtrip():
+    graphs = random_graph_dataset(seed=0, n_graphs=4, min_nodes=6,
+                                  max_nodes=10, n_features=7)
+    DiffusionEncoding(beta=1.0).apply_to(graphs)
+    LapEncoding(dim=4).apply_to(graphs)
+    model = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=2, d_model=32, nb_heads=4, dim_feedforward=64,
+        dropout=0.0, nb_layers=1, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2)
+    batch = collate_graphs(graphs, max_nodes=16)
+    variables = model.init(jax.random.key(0), batch)
+    pred = Predictor(model, variables=variables, max_batch=4,
+                     collate_kwargs={"max_nodes": 16})
+    srv, port = start_background(pred)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        payload = {"graphs": [
+            {"x": g.x.tolist(), "edge_index": g.edge_index.tolist(),
+             "pe": g.pe.tolist(), "lap_pe": g.lap_pe.tolist(),
+             "degree": g.degree.tolist()}
+            for g in graphs]}
+        out = _post(port, "/predict", payload)
+        logits = np.asarray(out["logits"])
+        ref = pred.predict(graphs)
+        np.testing.assert_allclose(logits, ref, rtol=1e-5, atol=1e-6)
+
+        # malformed request -> 400, server keeps serving
+        try:
+            _post(port, "/predict", {"graphs": [{"bogus": 1}]})
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        out2 = _post(port, "/predict", payload)
+        assert np.asarray(out2["logits"]).shape == logits.shape
+    finally:
+        srv.shutdown()
