@@ -317,6 +317,32 @@ def bench_streamed_epoch(wire: bool, n_batches=16, warm_batches=4,
     return dt
 
 
+def bench_gckn(n_graphs=128, k=3, hidden=32):
+    """GCKN tier: path enumeration (host C++ DFS) + unsup k-means init +
+    jitted path-conv/pool/Gram encode on device — the counterpart of the
+    reference's kernel micro-bench harnesses (gckn_fast.py:88-126,
+    pooling.py:168-206), reported as end-to-end stage timings."""
+    from feta_tmlr_tpu.data.synthetic import zinc_like_dataset
+    from feta_tmlr_tpu.gckn.models import GCKNFeature
+    graphs = zinc_like_dataset(seed=7, n_graphs=n_graphs)
+    t0 = time.perf_counter()
+    model = GCKNFeature.create(
+        input_size=graphs[0].x.shape[-1], hidden_sizes=[hidden],
+        path_sizes=[k])
+    params = model.unsup_train(graphs, n_sampling_paths=20000, seed=0)
+    t_unsup = time.perf_counter() - t0
+    feats = model.encode(graphs, params)           # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        feats = model.encode(graphs, params)
+    t_encode = (time.perf_counter() - t0) / 5
+    n_nodes = int(sum(g.num_nodes for g in graphs))
+    assert np.all(np.isfinite(np.asarray(feats[0])))
+    return {"gckn_unsup_train_s": round(t_unsup, 3),
+            "gckn_encode_s_per_128graphs": round(t_encode, 4),
+            "gckn_encode_nodes_per_s": round(n_nodes / t_encode, 1)}
+
+
 def bench_serving(graphs, n_calls=30, wire=False):
     """Serving-path latency/throughput (feta_tmlr_tpu/serve.py): a jitted
     bucketed Predictor at the canonical config, batch-of-128 calls.
@@ -381,6 +407,11 @@ def main():
         sec_call_w = bench_serving(graphs, wire=True)
         extras["serve_sec_per_batch128_call_wire"] = round(sec_call_w, 5)
         extras["serve_graphs_per_s_wire"] = round(BATCH / sec_call_w, 1)
+    if os.environ.get("FETA_BENCH_GCKN") == "1":
+        try:
+            extras.update(bench_gckn())
+        except Exception as e:
+            extras["gckn_error"] = type(e).__name__
     if os.environ.get("FETA_BENCH_PALLAS_LARGEN") == "1":
         # interleaved XLA/Pallas at two large-N SBM shapes (bf16 policy)
         for n_nodes, n_graphs in ((256, 16), (512, 4)):
