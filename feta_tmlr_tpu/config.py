@@ -23,11 +23,11 @@ import os
 # lower 1x1 bf16 scalar extracts).
 # Auto threshold: with FETA_PALLAS unset, the flash-style fused kernel
 # turns itself on for padded node counts >= this (only where the layer
-# runs need_heads=False, i.e. the unfiltered layers). Large-N is where
-# skipping the [B,H,N,N] HBM round trips should pay; the default stays
-# OFF (sentinel) until the recorded large-N A/B (BASELINE.md,
-# FETA_BENCH_PALLAS_LARGEN=1) shows a crossover — set the env var or
-# lower this once measured. FETA_PALLAS=1/0 force-overrides either way.
+# runs need_heads=False, i.e. the unfiltered layers). Measured crossover
+# search (BASELINE.md, FETA_BENCH_PALLAS_LARGEN=1, 2026-08-17): XLA
+# 4.04/3.76/3.58 ms vs Pallas 4.33/3.67/compile-fail at N=256/512/1024 —
+# parity at every runnable shape, no crossover found, so the default
+# stays OFF (sentinel). FETA_PALLAS=1/0 force-overrides either way.
 PALLAS_AUTO_N = int(os.environ.get("FETA_PALLAS_AUTO_N", str(1 << 30)))
 
 
