@@ -164,6 +164,34 @@ class Predictor:
         except ValueError:                       # ragged node-level outputs
             return np.asarray(outs, dtype=object)
 
+    def warmup(self, sample: Graph,
+               buckets: Optional[Sequence[int]] = None) -> int:
+        """Precompile one program per node bucket BEFORE serving traffic
+        (first-request latency otherwise includes an XLA compile, which
+        behind this deployment's relay can take minutes). `sample` fixes
+        the feature layout (dims + which optional fields are present);
+        returns the number of bucketed shapes compiled."""
+        from feta_tmlr_tpu.data.batch import _DEFAULT_NODE_BUCKETS
+        fn = self._compiled.setdefault("fn", self._apply_fn())
+        bks = list(buckets if buckets is not None
+                   else (self.node_buckets or _DEFAULT_NODE_BUCKETS))
+        n_compiled = 0
+        for bucket in bks:
+            if bucket < sample.num_nodes:
+                continue
+            kw = dict(self.collate_kwargs)
+            kw["max_nodes"] = bucket
+            kw.pop("node_buckets", None)
+            batch = collate_graphs([sample] * self.max_batch, **kw)
+            if self.wire:
+                batch = to_wire(batch)
+            dev = (jax.device_put(batch, self._batch_sharding)
+                   if self._batch_sharding is not None
+                   else jax.device_put(batch))
+            jax.block_until_ready(fn(self.variables, dev))
+            n_compiled += 1
+        return n_compiled
+
     def compile_stats(self) -> dict:
         """One compile per distinct bucketed batch shape (XLA caches by
         shape under the single jitted fn)."""

@@ -98,3 +98,18 @@ def test_predict_data_parallel_mesh():
 
     with pytest.raises(ValueError):
         Predictor(model, variables=variables, max_batch=12, mesh=mesh)
+
+
+def test_predictor_warmup_precompiles_buckets():
+    """warmup(sample) compiles one program per bucket >= the sample's
+    size; subsequent predicts of those shapes hit the jit cache."""
+    graphs = _graphs(3, seed=11)
+    model = _model()
+    batch = collate_graphs(graphs, max_nodes=16)
+    variables = model.init(jax.random.key(0), batch)
+    pred = Predictor(model, variables=variables, max_batch=4,
+                     node_buckets=(16, 32))
+    n = pred.warmup(graphs[0])
+    assert n == 2
+    out = pred.predict(graphs)
+    assert np.all(np.isfinite(np.asarray(out, dtype=np.float32)))
