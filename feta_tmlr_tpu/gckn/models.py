@@ -27,6 +27,15 @@ from feta_tmlr_tpu.gckn.layer import (
 from feta_tmlr_tpu.gckn.paths import PathBatch, build_path_batch
 
 
+def _host_cpu():
+    """The host CPU jax device (falls back to the default device on
+    builds without a CPU backend registered)."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
+
 @dataclasses.dataclass
 class GCKNFeature:
     """Multi-layer GCKN encoder with k-means pretraining."""
@@ -59,28 +68,44 @@ class GCKNFeature:
         return max(self.path_sizes)
 
     def unsup_train(self, graphs: Sequence[Graph],
-                    n_sampling_paths: int = 100000, seed: int = 0
-                    ) -> PathBatch:
+                    n_sampling_paths: int = 100000, seed: int = 0,
+                    device=None) -> PathBatch:
         """k-means pretrain all layers over enumerated paths
-        (gckn/models.py:72-122)."""
-        batch = build_path_batch(graphs, self.max_path_size)
-        features = jnp.asarray(batch.features)
-        for i, layer in enumerate(self.layers):
-            paths = sample_paths(layer, features, batch,
-                                 n_sampling_paths, seed=seed + i)
-            self.layers[i] = unsup_train_layer(layer, paths, seed=seed + i)
-            features = path_layer_forward(self.layers[i], features, batch)
+        (gckn/models.py:72-122).
+
+        GCKN pretraining/encoding is the PE-PRECOMPUTE tier (its output
+        is cached and fed as a training-time-constant input), so it runs
+        on the host CPU backend by default: the pipeline is a chain of
+        small sequential ops whose per-dispatch latency to a remote
+        accelerator dominates — measured 180 s on the TPU-behind-relay
+        vs 4.7 s on host CPU at 128 ZINC graphs. Pass `device` (e.g.
+        `jax.devices()[0]`) to override."""
+        dev = device if device is not None else _host_cpu()
+        with jax.default_device(dev):
+            batch = build_path_batch(graphs, self.max_path_size)
+            features = jnp.asarray(batch.features)
+            for i, layer in enumerate(self.layers):
+                paths = sample_paths(layer, features, batch,
+                                     n_sampling_paths, seed=seed + i)
+                self.layers[i] = unsup_train_layer(layer, paths,
+                                                   seed=seed + i)
+                features = path_layer_forward(self.layers[i], features,
+                                              batch)
         return batch
 
     def encode(self, graphs: Sequence[Graph],
-               batch: Optional[PathBatch] = None) -> List[np.ndarray]:
+               batch: Optional[PathBatch] = None,
+               device=None) -> List[np.ndarray]:
         """Per-node features, one [n_i, D] array per graph
-        (gckn/models.py:124-153)."""
-        if batch is None:
-            batch = build_path_batch(graphs, self.max_path_size)
-        features = jnp.asarray(batch.features)
-        for layer in self.layers:
-            features = path_layer_forward(layer, features, batch)
+        (gckn/models.py:124-153). Runs on host CPU by default (see
+        `unsup_train`); pass `device` to override."""
+        dev = device if device is not None else _host_cpu()
+        with jax.default_device(dev):
+            if batch is None:
+                batch = build_path_batch(graphs, self.max_path_size)
+            features = jnp.asarray(batch.features)
+            for layer in self.layers:
+                features = path_layer_forward(layer, features, batch)
         flat = np.asarray(features[:-1])           # drop dummy row
         flat = flat.reshape(flat.shape[0], -1)
         out = []
