@@ -78,12 +78,23 @@ class LinearClassifier:
     def fit(self, x, y, max_iter: int = 1000):
         from scipy import optimize
 
-        x = jnp.asarray(np.asarray(x, np.float32))
-        y = jnp.asarray(np.asarray(y))
+        from feta_tmlr_tpu.gckn.models import _host_cpu
+
+        # scipy calls the objective once per quasi-Newton iteration; on a
+        # remote accelerator every call pays the full dispatch round trip
+        # (~25 ms behind this relay x hundreds of iterations), while the
+        # problem itself is tiny — pin the fit to the host CPU backend
+        # (same policy as GCKNFeature.unsup_train). Committed CPU inputs
+        # keep the jit on CPU for every later scipy callback too.
+        cpu = _host_cpu()
+        x = jax.device_put(np.asarray(x, np.float32), cpu)
+        y = jax.device_put(np.asarray(y), cpu)
         value_grad = self._objective(x, y)
 
         def f(wflat64):
-            v, g = value_grad(jnp.asarray(wflat64, jnp.float32))
+            w32 = jax.device_put(
+                np.asarray(wflat64, np.float32), cpu)
+            v, g = value_grad(w32)
             return float(v), np.asarray(g, np.float64).ravel()
 
         w0 = self.weight
