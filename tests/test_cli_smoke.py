@@ -114,3 +114,22 @@ def test_gckn_sbm_and_molpcba_cli():
                    "--batch-size", "8", "--gckn-dim", "8",
                    "--filter_order", "2", "--n-sampling-paths", "500"])
     assert res["best_val"] is not None
+
+
+def test_sweep_runner(tmp_path):
+    """Sweep driver: two ablation grid points through the ZINC main,
+    summary CSV written with best_val per config."""
+    import csv
+    from feta_tmlr_tpu.experiments.sweep import main as sweep_main
+    out = str(tmp_path / "sweep.csv")
+    rows = sweep_main([
+        "--main", "main_ZINC_graph_regression",
+        "--configs", "configs/LPE/ZINC/ablation/full/1e-[23]/node.json",
+        "--out", out,
+        "--", "--epochs", "1", "--synthetic-graphs", "12",
+    ])
+    assert len(rows) == 2
+    assert all(r["status"] == "ok" for r in rows), rows
+    with open(out) as f:
+        got = list(csv.DictReader(f))
+    assert len(got) == 2 and got[0]["best_val"] != ""
