@@ -325,8 +325,7 @@ def smiles_to_graph_arrays(s: str):
     return x, edge_index, edge_attr
 
 
-def smiles_to_graph(s: str, y=None) -> Graph:
-    x, ei, ea = smiles_to_graph_arrays(s)
+def graph_from_arrays(x, ei, ea, y=None) -> Graph:
     g = Graph(x=x, edge_index=ei,
               y=(np.float32(y) if y is not None else None))
     g.edge_attr = ea
@@ -334,6 +333,10 @@ def smiles_to_graph(s: str, y=None) -> Graph:
                    else np.zeros(0, np.int32))
     g.compute_degree_feature()
     return g
+
+
+def smiles_to_graph(s: str, y=None) -> Graph:
+    return graph_from_arrays(*smiles_to_graph_arrays(s), y)
 
 
 # ------------------------------------------------------------- LSC layout
@@ -369,6 +372,15 @@ def load_pcqm4m_lsc(root: str, name: str = "pcqm4m_kddcup2021",
         c1, c2 = int(0.8 * n), int(0.9 * n)
         idx = {"train": np.arange(0, c1), "valid": np.arange(c1, c2),
                "test": np.arange(c2, n)}
+    # native C++ batch featurizer when built (4-8 worker threads,
+    # bit-identical to the python path — tests/test_smiles_native.py);
+    # molecules it rejects are retried in python below
+    from feta_tmlr_tpu.data.smiles_native import (
+        featurize_batch_native,
+        native_available,
+    )
+    use_native = native_available() and \
+        os.environ.get("FETA_NATIVE_SMILES", "1") == "1"
     out = {}
     skipped = 0
     for key in ("train", "valid", "test"):
@@ -376,10 +388,16 @@ def load_pcqm4m_lsc(root: str, name: str = "pcqm4m_kddcup2021",
         if max_graphs is not None:
             take = take[:max_graphs]
         graphs: List[Graph] = []
-        for i in take:
+        native_arrays = (featurize_batch_native(
+            [rows[i][0] for i in take]) if use_native else None)
+        for t, i in enumerate(take):
             s, y = rows[i]
             try:
-                graphs.append(smiles_to_graph(s, y))
+                if native_arrays is not None and \
+                        native_arrays[t] is not None:
+                    graphs.append(graph_from_arrays(*native_arrays[t], y))
+                else:
+                    graphs.append(smiles_to_graph(s, y))
             except Exception:      # out-of-scope chemistry: skip, count
                 skipped += 1
         out[key] = graphs

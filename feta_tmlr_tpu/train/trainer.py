@@ -361,13 +361,15 @@ class Trainer:
         first (rank metrics like ROC-AUC/AP are not batch-decomposable, and
         a positive-free batch would yield NaN). Requires node-level batches
         to share a padded length (make_batches guarantees this)."""
-        # dispatch every eval program first (async), then fetch: the
-        # per-batch device->host round trip overlaps the remaining
-        # batches' compute instead of serializing with it
-        dev_logits = [self._jit_eval(state.params, state.batch_stats, b)
-                      for b in batches]
+        # bounded async window: dispatch up to `window` eval programs
+        # ahead of the fetches, so each device->host round trip overlaps
+        # later batches' compute without holding the whole split's
+        # logits+inputs in device memory at once
+        window = 8
         logits_all, y_all, mask_all = [], [], []
-        for b, dl in zip(batches, dev_logits):
+        in_flight = []
+
+        def fetch(b, dl):
             logits = np.asarray(dl)
             y = np.asarray(b.y)
             if b.graph_mask is not None:
@@ -379,6 +381,14 @@ class Trainer:
             y_all.append(y)
             if b.node_mask is not None and b.graph_mask is None:
                 mask_all.append(np.asarray(b.node_mask))
+
+        for b in batches:
+            in_flight.append(
+                (b, self._jit_eval(state.params, state.batch_stats, b)))
+            if len(in_flight) > window:
+                fetch(*in_flight.pop(0))
+        while in_flight:
+            fetch(*in_flight.pop(0))
         logits = np.concatenate(logits_all, axis=0)
         y = np.concatenate(y_all, axis=0)
         mask = np.concatenate(mask_all, axis=0) if mask_all else None
