@@ -60,6 +60,12 @@ SLOW_TESTS = {
     "test_packed_matches_unpacked_logits",
     "test_trainer_fits_packed_batches",
     # parity & sharding
+    "test_san_training_trajectory_parity",
+    "test_lspe_training_trajectory_parity",
+    "test_fit_streamed_wire",
+    "test_trainer_step_on_wire_batch",
+    "test_debug_nan_guard",
+    "test_accum_trains_with_batchnorm",
     "test_logit_parity_jax_vs_torch_twin",
     "test_logit_parity_batch_norm_train_mode",
     "test_logit_parity_packed_vs_twin",
