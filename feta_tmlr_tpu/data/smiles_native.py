@@ -55,8 +55,9 @@ def featurize_batch_native(
     """-> per molecule (x [n,9], edge_index [2,E], edge_attr [E,3]) in
     ogb.utils.smiles2graph's schema, or None where the native parser
     failed (caller falls back to Python there). Processes in `chunk`-
-    sized slices so the capacity-padded staging buffers stay ~75 MB
-    regardless of dataset size (PCQM4M is 3.8M molecules)."""
+    sized slices so the capacity-padded staging buffers stay ~250 MB
+    (x 75 + edge_index 67 + edge_attr 100 MB at chunk=8192) regardless
+    of dataset size (PCQM4M is 3.8M molecules)."""
     if len(smiles) > chunk:
         out: List = []
         for lo in range(0, len(smiles), chunk):

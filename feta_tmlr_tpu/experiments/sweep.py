@@ -42,7 +42,9 @@ def run_sweep(main_name: str, config_paths, passthrough,
                    "best_val": result.get("best_val")}
             for k, v in (result.get("test") or {}).items():
                 row[f"test_{k}"] = v
-        except Exception as e:                  # keep sweeping
+        except (Exception, SystemExit) as e:    # keep sweeping: argparse
+            # errors raise SystemExit, which plain `except Exception`
+            # would let abort the whole grid (and lose the CSV)
             row = {"config": cfg, "status": f"{type(e).__name__}: {e}"}
         row["wall_s"] = round(time.perf_counter() - t0, 2)
         rows.append(row)

@@ -142,20 +142,23 @@ class Predictor:
             kw = dict(self.collate_kwargs)
             if self.node_buckets is not None:
                 kw.setdefault("node_buckets", self.node_buckets)
-            batch = collate_graphs(chunk, **kw)
-            if self._batch_sharding is not None and \
-                    len(chunk) < self.max_batch:
-                # pad the tail chunk so the sharded leading axis stays
-                # static; padded rows are sliced off below
+            if len(chunk) < self.max_batch:
+                # pad the tail chunk so EVERY dispatch keeps the same
+                # leading dim: one compiled program per node bucket
+                # (warmup() covers them all; an unpadded tail would
+                # compile a fresh shape at request time — minutes behind
+                # a relay). Padded rows are sliced off below.
                 pad = [chunk[0]] * (self.max_batch - len(chunk))
                 batch = collate_graphs(chunk + pad, **kw)
+            else:
+                batch = collate_graphs(chunk, **kw)
             if self.wire:
                 batch = to_wire(batch)
             dev_batch = (jax.device_put(batch, self._batch_sharding)
                          if self._batch_sharding is not None
                          else jax.device_put(batch))
             in_flight.append((chunk, fn(self.variables, dev_batch)))
-            if len(in_flight) > window:
+            if len(in_flight) >= window:
                 drain_one()
         while in_flight:
             drain_one()
@@ -173,8 +176,13 @@ class Predictor:
         returns the number of bucketed shapes compiled."""
         from feta_tmlr_tpu.data.batch import _DEFAULT_NODE_BUCKETS
         fn = self._compiled.setdefault("fn", self._apply_fn())
-        bks = list(buckets if buckets is not None
-                   else (self.node_buckets or _DEFAULT_NODE_BUCKETS))
+        if buckets is not None:
+            bks = list(buckets)
+        elif self.collate_kwargs.get("max_nodes") is not None:
+            # fixed-max_nodes predictors serve exactly one shape
+            bks = [self.collate_kwargs["max_nodes"]]
+        else:
+            bks = list(self.node_buckets or _DEFAULT_NODE_BUCKETS)
         n_compiled = 0
         for bucket in bks:
             if bucket < sample.num_nodes:

@@ -29,11 +29,14 @@ import numpy as np
 
 from feta_tmlr_tpu.data.batch import Graph
 
+_STATS_LOCK = threading.Lock()
+
 
 def _graph_from_json(obj: dict) -> Graph:
-    x = np.asarray(obj["x"], dtype=np.float32)
     if "x_int" in obj:                       # categorical ids variant
         x = np.asarray(obj["x_int"], dtype=np.int32)
+    else:
+        x = np.asarray(obj["x"], dtype=np.float32)
     edge_index = np.asarray(obj.get("edge_index", [[], []]),
                             dtype=np.int32).reshape(2, -1)
     opt = lambda k, dt=np.float32: (
@@ -79,7 +82,8 @@ class _Handler(BaseHTTPRequestHandler):
                 out = [np.asarray(row).tolist() for row in logits]
             else:
                 out = np.asarray(logits).tolist()
-            self.stats["requests"] += 1
+            with _STATS_LOCK:        # handler threads share the counter
+                self.stats["requests"] += 1
             self._reply(200, {"logits": out})
         except Exception as e:               # surface as a 400, keep serving
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})

@@ -385,7 +385,7 @@ class Trainer:
         for b in batches:
             in_flight.append(
                 (b, self._jit_eval(state.params, state.batch_stats, b)))
-            if len(in_flight) > window:
+            if len(in_flight) >= window:
                 fetch(*in_flight.pop(0))
         while in_flight:
             fetch(*in_flight.pop(0))

@@ -138,7 +138,11 @@ struct Parser {
     pending = -1.0;
   }
 
-  void close_ring(int label) {
+  // returns false when no atom precedes the ring digit (python builds a
+  // bond with None there and raises a catchable TypeError downstream —
+  // the molecule is rejected either way, here without UB)
+  bool close_ring(int label) {
+    if (prev < 0) return false;
     auto it = rings.find(label);
     if (it != rings.end()) {
       int other = it->second.first;
@@ -153,6 +157,7 @@ struct Parser {
       rings[label] = {prev, pending};
     }
     pending = -1.0;
+    return true;
   }
 
   // returns 0 ok, <0 parse error
@@ -255,7 +260,7 @@ struct Parser {
         pending = 1.0;
         ++i;
       } else if (isdigit((unsigned char)ch)) {
-        close_ring(ch - '0');
+        if (!close_ring(ch - '0')) return -1;
         ++i;
       } else if (ch == '%') {
         // python slices s[i+1:i+3]; a truncated 1-digit slice shares the
@@ -270,7 +275,7 @@ struct Parser {
           key = lab[0] - '0';
         else
           return -1;
-        close_ring(key);
+        if (!close_ring(key)) return -1;
         i += 3;
       } else if (ch == '(') {
         stack.push_back(prev);

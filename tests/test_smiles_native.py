@@ -34,7 +34,7 @@ MOLECULES = [
     "[C@@H](N)(C)C(=O)O",                 # chirality tokens skipped
     "CC(C)(C)c1ccc(O)cc1",                # branches
     "C%10CC%10",                          # %nn ring labels
-    "[se]1ccc2ccccc12" if False else "c1cc[se]c1",  # selenophene
+    "c1cc[se]c1",                         # selenophene (bracket aromatic)
     "N.CCO",                              # dot-separated fragments
     "S(=O)(=O)(O)O",                      # multivalent sulfur
     "P(=O)(O)(O)O",                       # phosphate (P valence 5)
@@ -116,3 +116,11 @@ def test_native_fuzz_parity():
             np.testing.assert_array_equal(a, b, err_msg=s)
         n_ok += 1
     assert n_ok > 200          # the generator mostly emits parseable strings
+
+
+def test_native_ring_digit_before_atom_rejected():
+    """Leading/dangling ring digits (python raises a catchable TypeError
+    building a bond from None) must come back as clean native errors,
+    not crashes."""
+    outs = featurize_batch_native(["1CC1", "N.1CC1", "C.=1CC=1", "%12CC"])
+    assert all(o is None for o in outs)
