@@ -113,3 +113,39 @@ def test_predictor_warmup_precompiles_buckets():
     assert n == 2
     out = pred.predict(graphs)
     assert np.all(np.isfinite(np.asarray(out, dtype=np.float32)))
+
+
+def test_dynamic_batcher_concurrent_requests():
+    """Concurrent single-graph requests coalesce into shared batches and
+    every caller gets exactly its own logits back (order-preserving
+    scatter), matching the direct Predictor output."""
+    import threading
+    from feta_tmlr_tpu.serve_batcher import DynamicBatcher
+
+    graphs = _graphs(16, seed=3)
+    model = _model()
+    batch = collate_graphs(graphs, max_nodes=16)
+    variables = model.init(jax.random.key(0), batch)
+    pred = Predictor(model, variables=variables, max_batch=8,
+                     collate_kwargs={"max_nodes": 16})
+    want = pred.predict(graphs)
+
+    batcher = DynamicBatcher(pred, max_wait_ms=20.0)
+    results = [None] * len(graphs)
+
+    def worker(i):
+        results[i] = batcher.predict([graphs[i]])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(graphs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batcher.close()
+    for i, r in enumerate(results):
+        assert r is not None and r.shape[0] == 1
+        np.testing.assert_allclose(r[0], want[i], rtol=1e-5, atol=1e-6)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        batcher.predict([graphs[0]])
