@@ -365,6 +365,50 @@ def bench_serving(graphs, n_calls=30, wire=False):
     return dt
 
 
+def bench_serving_concurrent(graphs, n_requests=192, n_clients=16,
+                             max_wait_ms=5.0):
+    """Online-serving regime: many concurrent SINGLE-GRAPH requests.
+    Naive per-request dispatch pays one under-filled batch + relay round
+    trip per request; the DynamicBatcher (serve_batcher.py) coalesces
+    concurrent callers into shared micro-batches. Reports requests/s
+    for both paths."""
+    import threading
+    from feta_tmlr_tpu.serve import Predictor
+    from feta_tmlr_tpu.serve_batcher import DynamicBatcher
+    model = DiffGraphTransformerGenGCN(**CFG)
+    batch0 = collate_graphs(graphs, max_nodes=MAX_NODES)
+    variables = jax.jit(model.init)(jax.random.key(0), batch0)
+    pred = Predictor(model, variables=variables, max_batch=64,
+                     collate_kwargs={"max_nodes": MAX_NODES}, wire=True)
+    pred.predict(graphs[:64])                       # compile + warm
+    reqs = [graphs[i % len(graphs)] for i in range(n_requests)]
+
+    def run_load(call):
+        idx = iter(range(n_requests))
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                with lock:
+                    i = next(idx, None)
+                if i is None:
+                    return
+                call([reqs[i]])
+        ts = [threading.Thread(target=worker) for _ in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return n_requests / (time.perf_counter() - t0)
+
+    rps_naive = run_load(pred.predict)
+    batcher = DynamicBatcher(pred, max_wait_ms=max_wait_ms)
+    rps_batched = run_load(batcher.predict)
+    batcher.close()
+    return rps_naive, rps_batched
+
+
 def main():
     graphs, n_edges = make_graphs()
     # FETA_TRACE_DIR=<dir> captures a jax.profiler trace of the unpacked
@@ -407,6 +451,9 @@ def main():
         sec_call_w = bench_serving(graphs, wire=True)
         extras["serve_sec_per_batch128_call_wire"] = round(sec_call_w, 5)
         extras["serve_graphs_per_s_wire"] = round(BATCH / sec_call_w, 1)
+        rps_n, rps_b = bench_serving_concurrent(graphs)
+        extras["serve_concurrent_rps_naive"] = round(rps_n, 1)
+        extras["serve_concurrent_rps_batched"] = round(rps_b, 1)
     if os.environ.get("FETA_BENCH_GCKN") == "1":
         try:
             extras.update(bench_gckn())
