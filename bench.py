@@ -386,6 +386,7 @@ def bench_serving_concurrent(graphs, n_requests=192, n_clients=16,
     def run_load(call):
         idx = iter(range(n_requests))
         lock = threading.Lock()
+        errors = []
 
         def worker():
             while True:
@@ -393,13 +394,19 @@ def bench_serving_concurrent(graphs, n_requests=192, n_clients=16,
                     i = next(idx, None)
                 if i is None:
                     return
-                call([reqs[i]])
+                try:
+                    call([reqs[i]])
+                except Exception as e:   # a dead worker must fail the
+                    errors.append(e)     # bench, not skew the rate
+                    return
         ts = [threading.Thread(target=worker) for _ in range(n_clients)]
         t0 = time.perf_counter()
         for t in ts:
             t.start()
         for t in ts:
             t.join()
+        if errors:
+            raise errors[0]
         return n_requests / (time.perf_counter() - t0)
 
     rps_naive = run_load(pred.predict)

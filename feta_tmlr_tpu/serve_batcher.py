@@ -4,10 +4,10 @@
 small requests (the typical online-serving regime) each caller would
 dispatch its own under-filled batch and TPU utilization collapses. The
 `DynamicBatcher` coalesces graphs from concurrent callers into shared
-micro-batches: callers enqueue and block on a per-request future; a
-background thread drains the queue, packing up to `max_batch` graphs or
-waiting at most `max_wait_ms` for stragglers, runs ONE Predictor call,
-and scatters the logits back.
+micro-batches: callers enqueue a (graphs, Future) pair; a background
+thread drains the queue, packing up to `max_batch` graphs or waiting at
+most `max_wait_ms` for stragglers, runs ONE Predictor call, and
+scatters the logits back through the futures.
 
     batcher = DynamicBatcher(predictor, max_wait_ms=2.0)
     logits = batcher.predict(graphs)          # thread-safe, blocking
@@ -16,27 +16,24 @@ and scatters the logits back.
 
 Latency/throughput contract: a lone request waits at most max_wait_ms
 beyond its own compute; at saturation every dispatch is a full batch.
-Works unchanged behind serve_http (each HTTP handler thread calls
-predict()).
+Measured on the TPU (16 client threads, single-graph requests, wire
+Predictor): 68.9 -> 238.1 req/s (BASELINE.md). Works unchanged behind
+serve_http (each HTTP handler thread calls predict()).
+
+Shutdown safety: the closed-check and the enqueue happen under one
+lock, and close() sets the flag and posts the shutdown token under the
+same lock — so no request can slip in behind the token and hang.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import List, Sequence
+import time
+from concurrent.futures import Future
+from typing import Sequence
 
 import numpy as np
-
-
-class _Slot:
-    __slots__ = ("graphs", "event", "result", "error")
-
-    def __init__(self, graphs):
-        self.graphs = graphs
-        self.event = threading.Event()
-        self.result = None
-        self.error = None
 
 
 class DynamicBatcher:
@@ -46,6 +43,7 @@ class DynamicBatcher:
         self.max_wait = max_wait_ms / 1e3
         self.max_batch = max_batch or predictor.max_batch
         self._q: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
         self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -53,27 +51,29 @@ class DynamicBatcher:
     # ---------------------------------------------------------- client API
     def predict(self, graphs: Sequence) -> np.ndarray:
         """Blocking predict; safe to call from many threads."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
-        slot = _Slot(list(graphs))
-        self._q.put(slot)
-        slot.event.wait()
-        if slot.error is not None:
-            raise slot.error
-        return slot.result
+        fut: Future = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.put((list(graphs), fut))
+        return fut.result()
 
     def close(self):
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._thread.join()
 
     # ---------------------------------------------------------- batch loop
-    def _drain(self, first: _Slot) -> List[_Slot]:
-        """Collect slots until max_batch graphs are pending or
-        max_wait elapses."""
-        import time
+    def _drain(self, first):
+        """Collect (graphs, future) pairs until max_batch graphs are
+        pending or max_wait elapses. FIFO + the producer lock guarantee
+        nothing follows the shutdown token, so re-posting it keeps it
+        last."""
         slots = [first]
-        total = len(first.graphs)
+        total = len(first[0])
         deadline = time.perf_counter() + self.max_wait
         while total < self.max_batch:
             timeout = deadline - time.perf_counter()
@@ -84,38 +84,32 @@ class DynamicBatcher:
             except queue.Empty:
                 break
             if nxt is None:
-                self._q.put(None)         # re-post the shutdown token
+                self._q.put(None)
                 break
             slots.append(nxt)
-            total += len(nxt.graphs)
+            total += len(nxt[0])
         return slots
 
     def _loop(self):
         while True:
-            slot = self._q.get()
-            if slot is None:
-                break
-            slots = self._drain(slot)
-            merged = [g for s in slots for g in s.graphs]
+            item = self._q.get()
+            if item is None:
+                return
+            slots = self._drain(item)
+            merged = [g for graphs, _ in slots for g in graphs]
             try:
                 logits = self.predictor.predict(merged)
-                off = 0
-                for s in slots:
-                    n = len(s.graphs)
-                    s.result = logits[off: off + n]
-                    off += n
-            except Exception as e:        # pragma: no cover - surfaced
-                for s in slots:
-                    s.error = e
-            finally:
-                for s in slots:
-                    s.event.set()
-        # unblock any producers that raced the shutdown token
-        while True:
-            try:
-                s = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if s is not None:
-                s.error = RuntimeError("batcher closed")
-                s.event.set()
+            except Exception as e:
+                # fresh exception instance per caller: a shared instance
+                # raised from many threads at once would interleave
+                # __traceback__ mutations
+                for _, fut in slots:
+                    err = RuntimeError(f"batched predict failed: {e!r}")
+                    err.__cause__ = e
+                    fut.set_exception(err)
+                continue
+            off = 0
+            for graphs, fut in slots:
+                n = len(graphs)
+                fut.set_result(logits[off: off + n])
+                off += n
