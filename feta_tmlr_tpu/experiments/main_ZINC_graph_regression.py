@@ -57,6 +57,33 @@ def resolve_model_name(cfg, model_arg=None):
         lspe_aliases={"SAN": "SAN_LSPE", "Spectra": "GraphiTSpectra"})
 
 
+def pe_precompute(graphs, cls, kwargs, cfg, max_freqs=10):
+    """The per-model positional-encoding precompute each net needs on its
+    input graphs — shared by the trainer below and the serving CLI
+    (`experiments/serve_main.py`), which must apply the SAME transforms
+    to request graphs."""
+    if cls in (SANNet, SANNodeSpectra):
+        apply_laplace_decomp(graphs, max_freqs)
+    if cls in (GraphiTSpectraNet, GatedGCNLSPENet, SANLSPENet, PNALSPENet):
+        dim = kwargs.get("pos_enc_dim", 20)
+        pe_init = kwargs.get("pe_init", "rand_walk")
+        if pe_init == "rand_walk":
+            for g in graphs:
+                g.lap_pe = rwpe(g, dim)
+        elif pe_init == "lap_pe":
+            # Laplacian eigvec init (LSPE data lap_positional_encoding)
+            from feta_tmlr_tpu.pe import LapEncoding
+            LapEncoding(dim, normalization="sym").apply_to(graphs)
+        else:  # no_pe: nets ignore batch.lap_pe but collation still
+            # needs a consistent (absent) attribute across graphs
+            pass
+        if kwargs.get("adaptive_edge_pe"):
+            # k_RW = (I - gamma L)^p_steps (LSPE molecules.py make_full_graph)
+            PStepRWEncoding(p=cfg["net_params"].get("p_steps", 2),
+                            beta=cfg["net_params"].get("gamma", 0.25),
+                            normalization="sym").apply_to(graphs)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default=None)
@@ -101,29 +128,10 @@ def main(argv=None):
     kwargs = model_kwargs_for(cls, cfg["net_params"])
     kwargs.update(extra)
 
-    # per-model PE precompute
-    if cls in (SANNet, SANNodeSpectra):
-        apply_laplace_decomp(graphs, args.max_freqs)
-    if cls in (GraphiTSpectraNet, GatedGCNLSPENet, SANLSPENet, PNALSPENet):
-        dim = kwargs.get("pos_enc_dim", 20)
-        pe_init = kwargs.get("pe_init", "rand_walk")
-        if pe_init == "rand_walk":
-            for g in graphs:
-                g.lap_pe = rwpe(g, dim)
-        elif pe_init == "lap_pe":
-            # Laplacian eigvec init (LSPE data lap_positional_encoding)
-            from feta_tmlr_tpu.pe import LapEncoding
-            LapEncoding(dim, normalization="sym").apply_to(graphs)
-        else:  # no_pe: nets ignore batch.lap_pe but collation still
-            # needs a consistent (absent) attribute across graphs
-            pass
-        if kwargs.get("adaptive_edge_pe"):
-            # k_RW = (I - gamma L)^p_steps (LSPE molecules.py make_full_graph)
-            PStepRWEncoding(p=cfg["net_params"].get("p_steps", 2),
-                            beta=cfg["net_params"].get("gamma", 0.25),
-                            normalization="sym").apply_to(graphs)
-        if cls is PNALSPENet:
-            kwargs.setdefault("avg_d_log", average_log_degree(graphs))
+    # per-model PE precompute (shared with the serving CLI)
+    pe_precompute(graphs, cls, kwargs, cfg, max_freqs=args.max_freqs)
+    if cls is PNALSPENet:
+        kwargs.setdefault("avg_d_log", average_log_degree(graphs))
 
     if cls in (GATFeTANet, GATNet):
         model = cls(num_atom_type=NUM_ATOM_TYPE, **kwargs)

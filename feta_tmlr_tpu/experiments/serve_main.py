@@ -1,0 +1,114 @@
+"""Serving CLI: expose a trained config-driven model over HTTP.
+
+The reference stops at training scripts; this is the deployment entry:
+build the model the SAME way the config-driven trainer does (same JSON
+schema, same registry), restore its checkpoint, and serve raw-graph JSON
+requests — positional encodings (laplace_decomp / RWPE / k_RW) are
+computed SERVER-side with the exact transforms training used, so clients
+only send `x` (or `x_int`), `edge_index`, and optional `edge_type`.
+
+  feta-serve --config configs/LPE/ZINC_SAN_NodeLPE_optimized.json \\
+      --ckpt-dir runs/ckpt --port 8000 [--wire] [--max-batch 64]
+
+  POST /predict {"graphs": [{"x_int": [...], "edge_index": [[..],[..]],
+                             "edge_type": [...]}]} -> {"logits": [...]}
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from feta_tmlr_tpu.data import collate_graphs
+from feta_tmlr_tpu.data.synthetic import zinc_categorical_dataset
+from feta_tmlr_tpu.experiments.main_ZINC_graph_regression import (
+    MODEL_REGISTRY,
+    NUM_ATOM_TYPE,
+    NUM_BOND_TYPE,
+    pe_precompute,
+    resolve_model_name,
+)
+from feta_tmlr_tpu.nn.gat import GATFeTANet, GATNet
+from feta_tmlr_tpu.nn.pna import PNALSPENet
+from feta_tmlr_tpu.serve import Predictor
+from feta_tmlr_tpu.train import Trainer, TrainConfig
+from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
+
+
+def build_from_config(config_path=None, model_arg=None, max_freqs=10):
+    """(model, preprocess_fn, sample_graphs) for serving — mirrors the
+    trainer's construction path."""
+    cfg = (load_config(config_path) if config_path
+           else {"model": "SAN_NodeSpectra", "params": {},
+                 "net_params": {}})
+    name = resolve_model_name(cfg, model_arg)
+    if name not in MODEL_REGISTRY:
+        raise SystemExit(f"unknown model {name}; "
+                         f"choose from {sorted(MODEL_REGISTRY)}")
+    cls, extra = MODEL_REGISTRY[name]
+    kwargs = model_kwargs_for(cls, cfg["net_params"])
+    kwargs.update(extra)
+
+    def preprocess(graphs):
+        pe_precompute(graphs, cls, kwargs, cfg, max_freqs=max_freqs)
+
+    sample = zinc_categorical_dataset(seed=0, n_graphs=4)
+    preprocess(sample)
+    if cls is PNALSPENet:
+        from feta_tmlr_tpu.nn.pna import average_log_degree
+        kwargs.setdefault("avg_d_log", average_log_degree(sample))
+    if cls in (GATFeTANet, GATNet):
+        model = cls(num_atom_type=NUM_ATOM_TYPE, **kwargs)
+    else:
+        model = cls(num_atom_type=NUM_ATOM_TYPE,
+                    num_bond_type=NUM_BOND_TYPE, **kwargs)
+    return model, preprocess, sample
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--model", type=str, default=None)
+    p.add_argument("--ckpt-dir", type=str, default=None,
+                   help="orbax checkpoint dir from training "
+                        "(--ckpt-dir of the mains); omitted -> fresh "
+                        "random weights (smoke mode)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--max-nodes", type=int, default=64)
+    p.add_argument("--max_freqs", type=int, default=10)
+    p.add_argument("--wire", action="store_true",
+                   help="compact wire format for device upload")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile the serving shape before listening")
+    args = p.parse_args(argv)
+
+    model, preprocess, sample = build_from_config(
+        args.config, args.model, args.max_freqs)
+    sample_batch = collate_graphs(sample, max_nodes=args.max_nodes)
+    if args.ckpt_dir:
+        trainer = Trainer(model, TrainConfig(task="graph_reg"))
+        state_like = trainer.init(jax.random.key(0), sample_batch)
+        pred = Predictor(model, ckpt_dir=args.ckpt_dir,
+                         state_like=state_like,
+                         max_batch=args.max_batch,
+                         collate_kwargs={"max_nodes": args.max_nodes},
+                         wire=args.wire)
+    else:
+        variables = jax.jit(model.init)(jax.random.key(0), sample_batch)
+        pred = Predictor(model, variables=variables,
+                         max_batch=args.max_batch,
+                         collate_kwargs={"max_nodes": args.max_nodes},
+                         wire=args.wire)
+    if args.warmup:
+        n = pred.warmup(sample[0])
+        print(f"warmed up {n} serving shape(s)")
+
+    from feta_tmlr_tpu.serve_http import serve_forever
+    serve_forever(pred, args.host, args.port, preprocess=preprocess)
+
+
+if __name__ == "__main__":
+    main()

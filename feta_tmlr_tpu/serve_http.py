@@ -35,6 +35,8 @@ _STATS_LOCK = threading.Lock()
 def _graph_from_json(obj: dict) -> Graph:
     if "x_int" in obj:                       # categorical ids variant
         x = np.asarray(obj["x_int"], dtype=np.int32)
+        if x.ndim == 1:                      # flat id list -> [n, 1]
+            x = x[:, None]
     else:
         x = np.asarray(obj["x"], dtype=np.float32)
     edge_index = np.asarray(obj.get("edge_index", [[], []]),
@@ -49,6 +51,7 @@ def _graph_from_json(obj: dict) -> Graph:
 class _Handler(BaseHTTPRequestHandler):
     predictor = None          # set by make_server
     stats = None
+    preprocess = None         # optional fn(graphs)->None (PE precompute)
 
     def log_message(self, fmt, *args):       # silence default stderr spam
         pass
@@ -77,6 +80,10 @@ class _Handler(BaseHTTPRequestHandler):
             payload = json.loads(self.rfile.read(length) or b"{}")
             graphs = [_graph_from_json(g)
                       for g in payload.get("graphs", [])]
+            if self.preprocess is not None:
+                # server-side PE precompute: clients send raw graphs,
+                # the model's positional encodings are derived here
+                self.preprocess(graphs)
             logits = self.predictor.predict(graphs)
             if logits.dtype == object:       # ragged node-level outputs
                 out = [np.asarray(row).tolist() for row in logits]
@@ -90,26 +97,28 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(predictor, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+                port: int = 0, preprocess=None) -> ThreadingHTTPServer:
     """Build (without starting) the HTTP server; port=0 picks a free one
     (read it back from `server.server_address[1]`)."""
     handler = type("Handler", (_Handler,),
-                   {"predictor": predictor, "stats": {"requests": 0}})
+                   {"predictor": predictor, "stats": {"requests": 0},
+                    "preprocess": staticmethod(preprocess)
+                    if preprocess else None})
     return ThreadingHTTPServer((host, port), handler)
 
 
 def serve_forever(predictor, host: str = "127.0.0.1",
-                  port: int = 8000) -> None:
-    srv = make_server(predictor, host, port)
+                  port: int = 8000, preprocess=None) -> None:
+    srv = make_server(predictor, host, port, preprocess)
     print(f"serving on http://{host}:{srv.server_address[1]}")
     srv.serve_forever()
 
 
 def start_background(predictor, host: str = "127.0.0.1",
-                     port: int = 0):
+                     port: int = 0, preprocess=None):
     """Start on a daemon thread; returns (server, port). `server.shutdown()`
     stops it."""
-    srv = make_server(predictor, host, port)
+    srv = make_server(predictor, host, port, preprocess)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, srv.server_address[1]

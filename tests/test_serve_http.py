@@ -62,3 +62,42 @@ def test_http_predict_roundtrip():
         assert np.asarray(out2["logits"]).shape == logits.shape
     finally:
         srv.shutdown()
+
+
+def test_serve_main_end_to_end(tmp_path):
+    """The serving CLI path: build a config-driven model, checkpoint it,
+    restore + serve raw-graph JSON with SERVER-side PE precompute."""
+    from feta_tmlr_tpu.data import collate_graphs as _collate
+    from feta_tmlr_tpu.data.synthetic import zinc_categorical_dataset
+    from feta_tmlr_tpu.experiments.serve_main import build_from_config
+    from feta_tmlr_tpu.serve import Predictor
+    from feta_tmlr_tpu.serve_http import start_background
+    from feta_tmlr_tpu.train import Trainer, TrainConfig
+    from feta_tmlr_tpu.train.checkpoint import CheckpointManager
+
+    model, preprocess, sample = build_from_config(
+        "configs/LPE/ZINC_SAN_NodeLPE_optimized.json", max_freqs=5)
+    sample_batch = _collate(sample, max_nodes=32)
+    trainer = Trainer(model, TrainConfig(task="graph_reg"))
+    state = trainer.init(jax.random.key(0), sample_batch)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(0, state)
+    mgr.close()
+
+    pred = Predictor(model, ckpt_dir=str(tmp_path / "ck"),
+                     state_like=state, max_batch=4,
+                     collate_kwargs={"max_nodes": 32})
+    srv, port = start_background(pred, preprocess=preprocess)
+    try:
+        raw = zinc_categorical_dataset(seed=3, n_graphs=3)
+        payload = {"graphs": [
+            {"x_int": g.x.reshape(-1).tolist(),
+             "edge_index": g.edge_index.tolist()}
+            for g in raw]}
+        # note: edge_type omitted -> net runs without edge features;
+        # PE (laplace_decomp for SAN_NodeLPE) computed server-side
+        out = _post(port, "/predict", payload)
+        logits = np.asarray(out["logits"])
+        assert logits.shape[0] == 3 and np.all(np.isfinite(logits))
+    finally:
+        srv.shutdown()
