@@ -59,6 +59,9 @@ SLOW_TESTS = {
     "test_packed_trains",
     "test_packed_matches_unpacked_logits",
     "test_trainer_fits_packed_batches",
+    # serving e2e
+    "test_serve_main_end_to_end",
+    "test_dynamic_batcher_concurrent_requests",
     # parity & sharding
     "test_san_training_trajectory_parity",
     "test_lspe_training_trajectory_parity",
