@@ -86,10 +86,18 @@ class PlateauScheduler:
 
 
 def make_optimizer(lr, weight_decay: float = 1e-5,
-                   injectable: bool = False):
+                   injectable: bool = False,
+                   grad_clip_norm=None):
     """AdamW; with injectable=True the learning rate becomes a runtime
-    hyperparameter (for plateau scheduling without recompiles)."""
+    hyperparameter (for plateau scheduling without recompiles).
+    grad_clip_norm: optional global-norm gradient clipping in front of
+    the update (the reference has no clipping — its scripts drop into
+    pdb on exploding params instead; this is the production knob)."""
     if injectable:
-        return optax.inject_hyperparams(optax.adamw)(
+        opt = optax.inject_hyperparams(optax.adamw)(
             learning_rate=lr, weight_decay=weight_decay)
-    return optax.adamw(learning_rate=lr, weight_decay=weight_decay)
+    else:
+        opt = optax.adamw(learning_rate=lr, weight_decay=weight_decay)
+    if grad_clip_norm is not None:
+        return optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
+    return opt

@@ -47,6 +47,7 @@ class TrainConfig:
     regularization: float = 0.0
     sign_flip: bool = True             # lap-PE sign-flip augmentation
     schedule: str = "constant"         # constant | step | plateau | warmup
+    grad_clip_norm: Optional[float] = None   # global-norm clip (off = ref)
     warmup_steps: int = 2000           # for schedule='warmup' (ref default)
     step_size: int = 50                # StepLR epochs (reference: 50)
     gamma: float = 0.5
@@ -163,22 +164,26 @@ class Trainer:
         c = config
         if c.schedule == "step":
             lr = step_lr(c.lr, c.step_size, c.gamma, steps_per_epoch)
-            self.optimizer = make_optimizer(lr, c.weight_decay)
+            self.optimizer = make_optimizer(
+                lr, c.weight_decay, grad_clip_norm=c.grad_clip_norm)
             self.plateau = None
         elif c.schedule == "warmup":
             from feta_tmlr_tpu.train.optim import warmup_inverse_sqrt
             self.optimizer = make_optimizer(
-                warmup_inverse_sqrt(c.lr, c.warmup_steps), c.weight_decay)
+                warmup_inverse_sqrt(c.lr, c.warmup_steps), c.weight_decay,
+                grad_clip_norm=c.grad_clip_norm)
             self.plateau = None
         elif c.schedule == "plateau":
             self.optimizer = make_optimizer(
-                c.lr, c.weight_decay, injectable=True)
+                c.lr, c.weight_decay, injectable=True,
+                grad_clip_norm=c.grad_clip_norm)
             self.plateau = PlateauScheduler(
                 factor=c.plateau_factor, patience=c.plateau_patience,
                 mode=("min" if c.task == "graph_reg" else "max"),
                 min_lr=c.min_lr)
         else:
-            self.optimizer = make_optimizer(c.lr, c.weight_decay)
+            self.optimizer = make_optimizer(
+                c.lr, c.weight_decay, grad_clip_norm=c.grad_clip_norm)
             self.plateau = None
         self._jit_step = jax.jit(self._step)
         # donating variant for tight loops (fit): the input TrainState's
@@ -538,7 +543,14 @@ def _check_finite(state: TrainState, loss: float, epoch: int) -> None:
 
 
 def _set_lr(state: TrainState, lr: float) -> TrainState:
-    opt_state = state.opt_state
-    if hasattr(opt_state, "hyperparams"):
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+    """Inject the plateau-scheduled lr into the optax state. With
+    grad_clip_norm the optimizer is an optax.chain, whose state is a
+    tuple — search its elements for the inject_hyperparams state."""
+    candidates = state.opt_state
+    if not isinstance(candidates, tuple):
+        candidates = (candidates,)
+    for os_ in candidates:
+        if hasattr(os_, "hyperparams"):
+            os_.hyperparams["learning_rate"] = jnp.asarray(lr)
+            break
     return state
