@@ -57,6 +57,32 @@ def resolve_model_name(cfg, model_arg=None):
         lspe_aliases={"SAN": "SAN_LSPE", "Spectra": "GraphiTSpectra"})
 
 
+def resolve_build(cfg, model_arg=None):
+    """(cls, kwargs) for a config — the registry/kwargs half of model
+    construction, shared by the trainer main and the serving CLI."""
+    name = resolve_model_name(cfg, model_arg)
+    if name not in MODEL_REGISTRY:
+        raise SystemExit(f"unknown model {name}; "
+                         f"choose from {sorted(MODEL_REGISTRY)}")
+    cls, extra = MODEL_REGISTRY[name]
+    kwargs = model_kwargs_for(cls, cfg["net_params"])
+    kwargs.update(extra)
+    return cls, kwargs
+
+
+def construct_model(cls, kwargs, avg_d_log=None):
+    """Instantiate with the dataset-derived PNA degree stat when given
+    (training computes it over the train graphs; serving should pass the
+    SAME value — persist it in net_params.avg_d_log, else predictions
+    come from a different function than was trained)."""
+    if cls is PNALSPENet and avg_d_log is not None:
+        kwargs.setdefault("avg_d_log", avg_d_log)
+    if cls in (GATFeTANet, GATNet):
+        return cls(num_atom_type=NUM_ATOM_TYPE, **kwargs)
+    return cls(num_atom_type=NUM_ATOM_TYPE,
+               num_bond_type=NUM_BOND_TYPE, **kwargs)
+
+
 def pe_precompute(graphs, cls, kwargs, cfg, max_freqs=10):
     """The per-model positional-encoding precompute each net needs on its
     input graphs — shared by the trainer below and the serving CLI
@@ -110,10 +136,7 @@ def main(argv=None):
 
     cfg = (load_config(args.config) if args.config
            else {"model": "SAN_NodeSpectra", "params": {}, "net_params": {}})
-    model_name = resolve_model_name(cfg, args.model)
-    if model_name not in MODEL_REGISTRY:
-        raise SystemExit(f"unknown model {model_name}; "
-                         f"choose from {sorted(MODEL_REGISTRY)}")
+    cls, kwargs = resolve_build(cfg, args.model)
 
     params = cfg["params"]
     epochs = args.epochs or params.get("epochs", 100)
@@ -124,20 +147,12 @@ def main(argv=None):
         args.data_dir, seed=args.seed, n_synthetic=args.synthetic_graphs,
         subset=not args.zinc_full, max_graphs_per_split=args.max_graphs)
     graphs = tr + va + te
-    cls, extra = MODEL_REGISTRY[model_name]
-    kwargs = model_kwargs_for(cls, cfg["net_params"])
-    kwargs.update(extra)
 
     # per-model PE precompute (shared with the serving CLI)
     pe_precompute(graphs, cls, kwargs, cfg, max_freqs=args.max_freqs)
-    if cls is PNALSPENet:
-        kwargs.setdefault("avg_d_log", average_log_degree(graphs))
-
-    if cls in (GATFeTANet, GATNet):
-        model = cls(num_atom_type=NUM_ATOM_TYPE, **kwargs)
-    else:
-        model = cls(num_atom_type=NUM_ATOM_TYPE,
-                    num_bond_type=NUM_BOND_TYPE, **kwargs)
+    model = construct_model(cls, kwargs,
+                            avg_d_log=(average_log_degree(graphs)
+                                       if cls is PNALSPENet else None))
 
     max_nodes = max(g.num_nodes for g in graphs)
     train_b = make_batches(tr, batch_size, max_nodes, shuffle_seed=args.seed)

@@ -23,47 +23,38 @@ import jax
 from feta_tmlr_tpu.data import collate_graphs
 from feta_tmlr_tpu.data.synthetic import zinc_categorical_dataset
 from feta_tmlr_tpu.experiments.main_ZINC_graph_regression import (
-    MODEL_REGISTRY,
-    NUM_ATOM_TYPE,
-    NUM_BOND_TYPE,
+    construct_model,
     pe_precompute,
-    resolve_model_name,
+    resolve_build,
 )
-from feta_tmlr_tpu.nn.gat import GATFeTANet, GATNet
 from feta_tmlr_tpu.nn.pna import PNALSPENet
 from feta_tmlr_tpu.serve import Predictor
 from feta_tmlr_tpu.train import Trainer, TrainConfig
-from feta_tmlr_tpu.utils.config import load_config, model_kwargs_for
+from feta_tmlr_tpu.utils.config import load_config
 
 
 def build_from_config(config_path=None, model_arg=None, max_freqs=10):
-    """(model, preprocess_fn, sample_graphs) for serving — mirrors the
-    trainer's construction path."""
+    """(model, preprocess_fn, sample_graphs) for serving — the SAME
+    resolve/construct path the trainer main uses."""
     cfg = (load_config(config_path) if config_path
            else {"model": "SAN_NodeSpectra", "params": {},
                  "net_params": {}})
-    name = resolve_model_name(cfg, model_arg)
-    if name not in MODEL_REGISTRY:
-        raise SystemExit(f"unknown model {name}; "
-                         f"choose from {sorted(MODEL_REGISTRY)}")
-    cls, extra = MODEL_REGISTRY[name]
-    kwargs = model_kwargs_for(cls, cfg["net_params"])
-    kwargs.update(extra)
+    cls, kwargs = resolve_build(cfg, model_arg)
 
     def preprocess(graphs):
         pe_precompute(graphs, cls, kwargs, cfg, max_freqs=max_freqs)
 
     sample = zinc_categorical_dataset(seed=0, n_graphs=4)
     preprocess(sample)
-    if cls is PNALSPENet:
-        from feta_tmlr_tpu.nn.pna import average_log_degree
-        kwargs.setdefault("avg_d_log", average_log_degree(sample))
-    if cls in (GATFeTANet, GATNet):
-        model = cls(num_atom_type=NUM_ATOM_TYPE, **kwargs)
-    else:
-        model = cls(num_atom_type=NUM_ATOM_TYPE,
-                    num_bond_type=NUM_BOND_TYPE, **kwargs)
-    return model, preprocess, sample
+    if cls is PNALSPENet and "avg_d_log" not in kwargs:
+        # avg_d_log is a TRAINING-dataset statistic baked into PNA's
+        # degree scalers; it must travel with the model. Persist it in
+        # the config (net_params.avg_d_log) when training — without it
+        # the served function differs from the trained one.
+        raise SystemExit(
+            "PNA serving needs net_params.avg_d_log in the config "
+            "(the training dataset's average log degree)")
+    return construct_model(cls, kwargs), preprocess, sample
 
 
 def main(argv=None):
@@ -89,7 +80,11 @@ def main(argv=None):
         args.config, args.model, args.max_freqs)
     sample_batch = collate_graphs(sample, max_nodes=args.max_nodes)
     if args.ckpt_dir:
-        trainer = Trainer(model, TrainConfig(task="graph_reg"))
+        # the restore template's opt_state tree must MATCH the training
+        # optimizer's — the ZINC main trains with the plateau schedule
+        # (injectable lr), so build the template the same way
+        trainer = Trainer(model, TrainConfig(task="graph_reg",
+                                             schedule="plateau"))
         state_like = trainer.init(jax.random.key(0), sample_batch)
         pred = Predictor(model, ckpt_dir=args.ckpt_dir,
                          state_like=state_like,

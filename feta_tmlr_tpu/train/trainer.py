@@ -543,14 +543,20 @@ def _check_finite(state: TrainState, loss: float, epoch: int) -> None:
 
 
 def _set_lr(state: TrainState, lr: float) -> TrainState:
-    """Inject the plateau-scheduled lr into the optax state. With
-    grad_clip_norm the optimizer is an optax.chain, whose state is a
-    tuple — search its elements for the inject_hyperparams state."""
-    candidates = state.opt_state
-    if not isinstance(candidates, tuple):
-        candidates = (candidates,)
-    for os_ in candidates:
+    """Inject the plateau-scheduled lr into the optax state. The
+    inject_hyperparams state is itself a NamedTuple (i.e. a tuple!), so
+    check the state DIRECTLY first; only when it isn't the injectable
+    state treat it as an optax.chain tuple (grad_clip_norm) and search
+    its elements."""
+    def inject(os_):
         if hasattr(os_, "hyperparams"):
             os_.hyperparams["learning_rate"] = jnp.asarray(lr)
-            break
+            return True
+        return False
+
+    os_ = state.opt_state
+    if not inject(os_) and isinstance(os_, tuple):
+        for el in os_:
+            if inject(el):
+                break
     return state

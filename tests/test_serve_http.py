@@ -78,14 +78,23 @@ def test_serve_main_end_to_end(tmp_path):
     model, preprocess, sample = build_from_config(
         "configs/LPE/ZINC_SAN_NodeLPE_optimized.json", max_freqs=5)
     sample_batch = _collate(sample, max_nodes=32)
-    trainer = Trainer(model, TrainConfig(task="graph_reg"))
+    # checkpoint with the TRAINING main's optimizer (plateau/injectable
+    # lr — main_ZINC hardcodes schedule='plateau') so the restore
+    # template in serve_main must match that tree, as in real use
+    trainer = Trainer(model, TrainConfig(task="graph_reg",
+                                         schedule="plateau"))
     state = trainer.init(jax.random.key(0), sample_batch)
     mgr = CheckpointManager(str(tmp_path / "ck"))
     mgr.save(0, state)
     mgr.close()
 
+    # restore through serve_main's own template-construction path (a
+    # fresh plateau trainer), NOT the saved state object
+    tmpl_trainer = Trainer(model, TrainConfig(task="graph_reg",
+                                              schedule="plateau"))
+    state_like = tmpl_trainer.init(jax.random.key(7), sample_batch)
     pred = Predictor(model, ckpt_dir=str(tmp_path / "ck"),
-                     state_like=state, max_batch=4,
+                     state_like=state_like, max_batch=4,
                      collate_kwargs={"max_nodes": 32})
     srv, port = start_background(pred, preprocess=preprocess)
     try:

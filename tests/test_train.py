@@ -302,16 +302,67 @@ def test_grad_clip_norm():
     res = tr.fit([batch], val_batches=[batch])
     assert np.isfinite(res["history"][-1]["loss"])
 
-    # update-norm bound check at huge lr=0: inspect one clipped step
-    tr2 = Trainer(mk(), TrainConfig(task="graph_reg", lr=1.0,
+    # wiring check: the trainer's optimizer must be EXACTLY
+    # chain(clip_by_global_norm(0.1), adamw) — same update on the same
+    # grads (AdamW itself is nearly scale-invariant, so comparing
+    # against the unclipped update would not detect a missing clip)
+    import optax
+    tr2 = Trainer(mk(), TrainConfig(task="graph_reg", lr=1e-2,
                                     sign_flip=False, grad_clip_norm=0.1))
     state = tr2.init(jax.random.key(0), batch)
-    p0 = jax.tree_util.tree_map(np.asarray, state.params)
-    state, _ = tr2._jit_step(state, jax.device_put(batch),
-                             jax.random.key(1))
-    # AdamW normalizes per-param, but the clip bounds the GRADIENT norm
-    # fed in; at least assert the step ran and params moved finitely
-    moved = [np.abs(np.asarray(b) - a).max() for a, b in zip(
-        jax.tree_util.tree_leaves(p0),
-        jax.tree_util.tree_leaves(state.params))]
-    assert all(np.isfinite(m) for m in moved) and max(moved) > 0
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.full(jnp.shape(p), 3.0), state.params)
+    upd, _ = tr2.optimizer.update(grads, state.opt_state, state.params)
+    ref_opt = optax.chain(optax.clip_by_global_norm(0.1),
+                          optax.adamw(1e-2, weight_decay=1e-5))
+    ref_upd, _ = ref_opt.update(grads, ref_opt.init(state.params),
+                                state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(upd),
+                    jax.tree_util.tree_leaves(ref_upd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+    # and the clip actually fired: the pre-adam gradient seen by the
+    # chain is bounded, which for constant grads shows up as identical
+    # updates for any grads of norm >= 0.1
+    grads_big = jax.tree_util.tree_map(lambda g: g * 100.0, grads)
+    upd_big, _ = tr2.optimizer.update(grads_big, state.opt_state,
+                                      state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(upd),
+                    jax.tree_util.tree_leaves(upd_big)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_plateau_lr_actually_injected():
+    """Regression for a silent break: the inject_hyperparams state is a
+    NamedTuple, so naive tuple-walking missed it and plateau reductions
+    only changed the logged lr, never the device lr. Assert the
+    opt_state's learning_rate really moves — with and without the
+    grad-clip chain wrapper."""
+    from feta_tmlr_tpu.train.trainer import _set_lr
+
+    graphs = random_graph_dataset(seed=8, n_graphs=4, min_nodes=6,
+                                  max_nodes=10, n_features=7,
+                                  task="regression")
+    batch = _prep(graphs, max_nodes=16)
+    mk = lambda clip: Trainer(
+        DiffGraphTransformerGenGCN(
+            in_size=7, nb_class=1, d_model=32, nb_heads=4,
+            dim_feedforward=64, dropout=0.0, nb_layers=1,
+            lap_pos_enc=True, lap_pos_enc_dim=4, filter_order=2),
+        TrainConfig(task="graph_reg", lr=1e-3, schedule="plateau",
+                    sign_flip=False, grad_clip_norm=clip))
+
+    def injected_lr(opt_state):
+        states = opt_state if isinstance(opt_state, tuple) else [opt_state]
+        for s in [opt_state, *states]:
+            if hasattr(s, "hyperparams"):
+                return float(s.hyperparams["learning_rate"])
+        raise AssertionError("no injectable state found")
+
+    for clip in (None, 0.5):
+        tr = mk(clip)
+        state = tr.init(jax.random.key(0), batch)
+        assert abs(injected_lr(state.opt_state) - 1e-3) < 1e-9
+        _set_lr(state, 5e-4)
+        assert abs(injected_lr(state.opt_state) - 5e-4) < 1e-9, clip
