@@ -467,8 +467,12 @@ def main():
         except Exception as e:
             extras["gckn_error"] = type(e).__name__
     if os.environ.get("FETA_BENCH_PALLAS_LARGEN") == "1":
-        # interleaved XLA/Pallas at two large-N SBM shapes (bf16 policy)
-        for n_nodes, n_graphs in ((256, 16), (512, 4)):
+        # interleaved XLA/Pallas at large-N SBM shapes (bf16 policy). The
+        # query-blocked flash kernel (FETA_PALLAS_IMPL=flash, default)
+        # compiles at every N; N>=1024 was the old single-block kernel's
+        # VMEM wall (VERDICT r2 item 2)
+        for n_nodes, n_graphs in ((256, 16), (512, 4), (1024, 2),
+                                  (2048, 1)):
             try:
                 sx1, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs,
                                                      False)

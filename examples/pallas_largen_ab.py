@@ -1,0 +1,43 @@
+"""Interleaved XLA vs flash-Pallas A/B at large N (run on the real TPU).
+
+Standalone driver for VERDICT r2 item 2: measures the query-blocked flash
+attention kernel (ops/pallas/flash_attention.py) against the XLA dense
+path at N in {256, 512, 1024, 2048} on SBM-shaped node classification,
+bf16 policy, interleaved in one process. Prints one JSON line per shape.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from bench import bench_pallas_vs_xla_large_n
+
+SHAPES = ((256, 16), (512, 4), (1024, 2), (2048, 1))
+
+
+def main():
+    shapes = SHAPES
+    if len(sys.argv) > 1:                       # e.g. "1024:2,2048:1"
+        shapes = tuple(tuple(int(v) for v in s.split(":"))
+                       for s in sys.argv[1].split(","))
+    for n_nodes, n_graphs in shapes:
+        row = {"n_nodes": n_nodes, "n_graphs": n_graphs}
+        try:
+            sx1, ne = bench_pallas_vs_xla_large_n(n_nodes, n_graphs, False)
+            sp1, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs, True)
+            sx2, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs, False)
+            sp2, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs, True)
+            row.update(xla_ms=[round(sx1 * 1e3, 2), round(sx2 * 1e3, 2)],
+                       pallas_ms=[round(sp1 * 1e3, 2), round(sp2 * 1e3, 2)],
+                       speedup=round(min(sx1, sx2) / min(sp1, sp2), 3),
+                       edges=ne)
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {e}"[:300]
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,13 +129,21 @@ class GraphiTEncoderLayer(nn.Module):
             0 if need_heads else n)
 
         if not need_heads and use_pallas:
-            # fully fused flash-style path: the [H, N, N] score/attention
-            # tensors never reach HBM (ops/pallas/fused_attention.py)
-            from feta_tmlr_tpu.ops.pallas.fused_attention import \
-                fused_graphit_attention
+            # fully fused flash path: the [H, N, N] score/attention tensors
+            # never reach HBM. Default impl is the query/key-blocked
+            # online-softmax kernel (ops/pallas/flash_attention.py), which
+            # compiles at any N; FETA_PALLAS_IMPL=fused selects the older
+            # single-block kernel (VMEM-bound to N<=512) for A/Bs.
+            import os as _os
+            if _os.environ.get("FETA_PALLAS_IMPL", "flash") == "fused":
+                from feta_tmlr_tpu.ops.pallas.fused_attention import \
+                    fused_graphit_attention as _fused_attn
+            else:
+                from feta_tmlr_tpu.ops.pallas.flash_attention import \
+                    flash_graphit_attention as _fused_attn
             vw = jnp.einsum("bmhe,hef->bhmf", v_nhd,
                             w_out.reshape(h, dh, d).astype(cdt))
-            attn_out = fused_graphit_attention(
+            attn_out = _fused_attn(
                 xa, x, c_q, c_k, c_0, vw, node_mask, pe=pe,
                 degree=degree) + b_out
             attn = None

@@ -1,0 +1,404 @@
+"""Pallas TPU kernel: query-blocked (online-softmax) fused GraphiT attention.
+
+Same math as `fused_attention.fused_graphit_attention` (the GraphiT
+modulated-attention chain of the reconstructed DiffTransformerEncoderLayer,
+reference call-site contract transformer/models.py:92-93,166-167):
+
+  scores_h = (xa_h x^T + cq + ck + c0) / sqrt(dh)
+  a        = softmax_masked(scores_h)
+  u        = a * (pe * degree)
+  attn     = u / sum_k(u)  [eps-guarded] * qmask * kmask
+  out      = sum_h attn_h @ vw_h
+
+but tiled flash-attention style over (query block, key block) so that no
+[N, N] tile ever resides whole in VMEM and no [B, H, N, N] tensor ever
+reaches HBM. This removes the N>=1024 VMEM wall of the single-block
+kernel (recorded in BASELINE.md) — the per-program working set is
+O(Bq*Bk + Bq*D + Bk*D) regardless of N.
+
+Online accumulation: GraphiT's renormalization makes the row statistics a
+triple (m = running max, S_e = sum_k e, S_u = sum_k e*pd) instead of
+softmax's usual pair; with e_ij = exp(s_ij - m_i) the output closed form is
+
+  out_i = qmask_i * (sum_k e*pd*kmask @ vw) / (|S_u/S_e| > eps ? S_u : S_e)
+
+(the eps branch reproduces the twin's `where(|denom|>eps, denom, 1)` with
+denom = S_u/S_e and u = e*pd/S_e). The forward emits per-head outputs plus
+(m, S_e, S_u) so the backward is single-pass: the two full-row reductions
+the gradient needs collapse to closed forms of saved statistics —
+  r_i = safe_i * sum_d(g * out_head)      (the renorm-denominator term)
+  sum_j(da*a)_i = (1 - guard_i) * r_i     (the softmax-jacobian term)
+— derived in tests/test_flash_attention.py's twin-equality suite. The
+backward recomputes score blocks twice (one kernel over query blocks for
+dxa/dcq, one over key blocks for dvw/dck/dx), the standard dq/dkv split.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_EPS = 1e-9
+
+
+def _pick_block(n: int, prefer: int = 512) -> int:
+    """Largest power-of-two block <= prefer that divides n (falls back to
+    n itself for odd sizes — then the kernel degenerates to single-block,
+    still correct)."""
+    bs = prefer
+    while bs >= 128:
+        if n % bs == 0 and n >= bs:
+            return bs
+        bs //= 2
+    return n
+
+
+def _score_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
+                 kmask_ref):
+    """One (query block, key block) tile of masked scaled scores [Bq, Bk]."""
+    s = (jnp.dot(xa_ref[0, 0], x_ref[0].T,
+                 preferred_element_type=jnp.float32)
+         + cq_ref[0, 0] + ck_ref[0, 0] + c0_ref[0, 0]) * inv_sqrt_ref[0, 0]
+    return jnp.where(kmask_ref[0] > 0, s, _NEG_INF)
+
+
+# ---------------------------------------------------------------- forward
+
+def _fwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
+                deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref,
+                outh_ref, m_ref, se_ref, su_ref,
+                m_s, se_s, su_s, acc_s):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, -jnp.inf)
+        se_s[...] = jnp.zeros_like(se_s)
+        su_s[...] = jnp.zeros_like(su_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    s = _score_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
+                     kmask_ref)
+    km = kmask_ref[0]                                # [1, Bk]
+    m_prev = m_s[...]                                # [Bq, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    scale = jnp.exp(m_prev - m_new)                  # 0 at first block
+    e = jnp.exp(s - m_new)                           # [Bq, Bk]
+    pd = pe_ref[0] * deg_ref[0]                      # [Bq, Bk]
+    w = e * pd
+    se_s[...] = se_s[...] * scale + e.sum(-1, keepdims=True)
+    su_s[...] = su_s[...] * scale + w.sum(-1, keepdims=True)
+    acc_s[...] = acc_s[...] * scale + jnp.dot(
+        (w * km).astype(vw_ref.dtype), vw_ref[0, 0],
+        preferred_element_type=jnp.float32)
+    m_s[...] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _emit():
+        se = se_s[...]
+        su = su_s[...]
+        guard = jnp.abs(su / se) > _EPS
+        div = jnp.where(guard, su, se)
+        outh_ref[0, 0] = (acc_s[...] / div * qmask_ref[0]).astype(
+            outh_ref.dtype)
+        m_ref[0, 0] = m_s[...]
+        se_ref[0, 0] = se
+        su_ref[0, 0] = su
+
+
+def _fwd_specs(n, d, bq, bk, last_grid_axes=1):
+    """BlockSpecs over the forward grid (b, h, nq, nk)."""
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    return [
+        vm((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),  # xa
+        vm((1, bk, d), lambda bi, hi, qi, ki: (bi, ki, 0)),         # x
+        vm((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),  # cq
+        vm((1, 1, 1, bk), lambda bi, hi, qi, ki: (bi, hi, 0, ki)),  # ck
+        vm((1, 1, 1), lambda bi, hi, qi, ki: (hi, 0, 0)),           # c0
+        vm((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),  # vw
+        vm((1, bq, bk), lambda bi, hi, qi, ki: (bi, qi, ki)),       # pe
+        vm((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),         # deg
+        vm((1, bq, 1), lambda bi, hi, qi, ki: (bi, qi, 0)),         # qmask
+        vm((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),         # kmask
+        vm((1, 1), lambda bi, hi, qi, ki: (0, 0)),                  # inv_sqrt
+    ]
+
+
+def _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+              bq, bk):
+    b, h, n, d = xa.shape
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    stat = lambda: vm((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(b, h, n // bq, n // bk),
+        in_specs=_fwd_specs(n, d, bq, bk),
+        out_specs=(
+            vm((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            stat(), stat(), stat()),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, d), xa.dtype),      # outh
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),   # m
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),   # S_e
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),   # S_u
+        ),
+        scratch_shapes=[pltpu.VMEM((bq, 1), jnp.float32),
+                        pltpu.VMEM((bq, 1), jnp.float32),
+                        pltpu.VMEM((bq, 1), jnp.float32),
+                        pltpu.VMEM((bq, d), jnp.float32)],
+    )(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
+
+
+# --------------------------------------------------------------- backward
+
+def _recompute_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
+                     kmask_ref, pe_ref, deg_ref, vw_ref, g_ref,
+                     m_ref, ise_ref, qa_ref, beta_ref, c_ref):
+    """Shared bwd tile math: recompute a, then ds [Bq, Bk] and attn.
+
+    Row constants (precomputed outside from the saved statistics):
+      ise = 1/S_e;  qa = qmask/safe;  beta = guard*r/safe^2;  c = (1-guard)*r
+    with r = safe * sum_d(g * out_head).
+    """
+    s = _score_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
+                     kmask_ref)
+    e = jnp.exp(s - m_ref[0, 0])
+    a = e * ise_ref[0, 0]                            # [Bq, Bk]
+    pd = pe_ref[0] * deg_ref[0]
+    km = kmask_ref[0]
+    g_attn = jnp.dot(g_ref[0], vw_ref[0, 0].T,
+                     preferred_element_type=jnp.float32)
+    du = g_attn * km * qa_ref[0, 0] - beta_ref[0, 0]
+    ds = a * (du * pd - c_ref[0, 0]) * inv_sqrt_ref[0, 0]
+    attn = a * pd * qa_ref[0, 0] * km
+    return ds, attn
+
+
+def _bwd_q_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
+                  deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref, g_ref,
+                  m_ref, ise_ref, qa_ref, beta_ref, c_ref,
+                  dxa_ref, dcq_ref, dxa_s, dcq_s):
+    """Query-block pass: dxa = ds @ x, dcq = row-sums; grid (b,h,nq,nk)."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+    ds, _ = _recompute_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref,
+                             inv_sqrt_ref, kmask_ref, pe_ref, deg_ref,
+                             vw_ref, g_ref, m_ref, ise_ref, qa_ref,
+                             beta_ref, c_ref)
+
+    @pl.when(ki == 0)
+    def _init():
+        dxa_s[...] = jnp.zeros_like(dxa_s)
+        dcq_s[...] = jnp.zeros_like(dcq_s)
+
+    dxa_s[...] += jnp.dot(ds.astype(x_ref.dtype), x_ref[0],
+                          preferred_element_type=jnp.float32)
+    dcq_s[...] += ds.sum(-1, keepdims=True)
+
+    @pl.when(ki == nk - 1)
+    def _emit():
+        dxa_ref[0, 0] = dxa_s[...].astype(dxa_ref.dtype)
+        dcq_ref[0, 0] = dcq_s[...]
+
+
+def _bwd_k_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
+                  deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref, g_ref,
+                  m_ref, ise_ref, qa_ref, beta_ref, c_ref,
+                  dvw_ref, dck_ref, dx_ref, dvw_s, dck_s, dx_s):
+    """Key-block pass: dvw = attn^T g, dck = col-sums, dx = sum_h ds^T xa;
+    grid (b, nk, h, nq) — h and nq are inner so dx accumulates both."""
+    hi = pl.program_id(2)
+    nh = pl.num_programs(2)
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+    ds, attn = _recompute_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref,
+                                inv_sqrt_ref, kmask_ref, pe_ref, deg_ref,
+                                vw_ref, g_ref, m_ref, ise_ref, qa_ref,
+                                beta_ref, c_ref)
+
+    @pl.when(qi == 0)
+    def _init_head():
+        dvw_s[...] = jnp.zeros_like(dvw_s)
+        dck_s[...] = jnp.zeros_like(dck_s)
+
+    @pl.when(jnp.logical_and(hi == 0, qi == 0))
+    def _init_row():
+        dx_s[...] = jnp.zeros_like(dx_s)
+
+    g = g_ref[0]
+    dvw_s[...] += jnp.dot(attn.astype(g.dtype).T, g,
+                          preferred_element_type=jnp.float32)
+    dck_s[...] += ds.sum(0, keepdims=True)
+    dx_s[...] += jnp.dot(ds.astype(xa_ref.dtype).T, xa_ref[0, 0],
+                         preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _emit_head():
+        dvw_ref[0, 0] = dvw_s[...].astype(dvw_ref.dtype)
+        dck_ref[0, 0] = dck_s[...]
+
+    @pl.when(jnp.logical_and(hi == nh - 1, qi == nq - 1))
+    def _emit_row():
+        dx_ref[0] = dx_s[...].astype(dx_ref.dtype)
+
+
+def _bwd_specs_q(n, d, bq, bk):
+    """Inputs over grid (b, h, nq, nk): forward specs + g + row constants."""
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    specs = _fwd_specs(n, d, bq, bk)
+    specs.append(vm((1, bq, d), lambda bi, hi, qi, ki: (bi, qi, 0)))  # g
+    stat = vm((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    specs.extend([stat] * 5)                  # m, ise, qa, beta, c
+    return specs
+
+
+def _bwd_specs_k(n, d, bq, bk):
+    """Same operands over grid (b, nk, h, nq)."""
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    specs = [
+        vm((1, 1, bq, d), lambda bi, ki, hi, qi: (bi, hi, qi, 0)),  # xa
+        vm((1, bk, d), lambda bi, ki, hi, qi: (bi, ki, 0)),         # x
+        vm((1, 1, bq, 1), lambda bi, ki, hi, qi: (bi, hi, qi, 0)),  # cq
+        vm((1, 1, 1, bk), lambda bi, ki, hi, qi: (bi, hi, 0, ki)),  # ck
+        vm((1, 1, 1), lambda bi, ki, hi, qi: (hi, 0, 0)),           # c0
+        vm((1, 1, bk, d), lambda bi, ki, hi, qi: (bi, hi, ki, 0)),  # vw
+        vm((1, bq, bk), lambda bi, ki, hi, qi: (bi, qi, ki)),       # pe
+        vm((1, 1, bk), lambda bi, ki, hi, qi: (bi, 0, ki)),         # deg
+        vm((1, bq, 1), lambda bi, ki, hi, qi: (bi, qi, 0)),         # qmask
+        vm((1, 1, bk), lambda bi, ki, hi, qi: (bi, 0, ki)),         # kmask
+        vm((1, 1), lambda bi, ki, hi, qi: (0, 0)),                  # inv_sqrt
+        vm((1, bq, d), lambda bi, ki, hi, qi: (bi, qi, 0)),         # g
+    ]
+    stat = vm((1, 1, bq, 1), lambda bi, ki, hi, qi: (bi, hi, qi, 0))
+    specs.extend([stat] * 5)
+    return specs
+
+
+def _call_bwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+              g, m, ise, qa, beta, c, bq, bk):
+    b, h, n, d = xa.shape
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    args = (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+            g, m, ise, qa, beta, c)
+    dxa, dcq = pl.pallas_call(
+        _bwd_q_kernel,
+        grid=(b, h, n // bq, n // bk),
+        in_specs=_bwd_specs_q(n, d, bq, bk),
+        out_specs=(
+            vm((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            vm((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, d), xa.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32),
+                        pltpu.VMEM((bq, 1), jnp.float32)],
+    )(*args)
+    dvw, dck, dx = pl.pallas_call(
+        _bwd_k_kernel,
+        grid=(b, n // bk, h, n // bq),
+        in_specs=_bwd_specs_k(n, d, bq, bk),
+        out_specs=(
+            vm((1, 1, bk, d), lambda bi, ki, hi, qi: (bi, hi, ki, 0)),
+            vm((1, 1, 1, bk), lambda bi, ki, hi, qi: (bi, hi, 0, ki)),
+            vm((1, bk, d), lambda bi, ki, hi, qi: (bi, ki, 0))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, d), vw.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, d), x.dtype)),
+        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                        pltpu.VMEM((1, bk), jnp.float32),
+                        pltpu.VMEM((bk, d), jnp.float32)],
+    )(*args)
+    return dxa, dcq, dvw, dck, dx
+
+
+# ------------------------------------------------------------ custom vjp
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _flash(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt, bq, bk):
+    outh, _, _, _ = _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask,
+                              kmask, inv_sqrt, bq, bk)
+    return _head_sum(outh)                           # [B, N, D]
+
+
+def _head_sum(outh):
+    """Cross-head sum in f32 (matches the single-block kernel's f32 VMEM
+    accumulator), cast back to the io dtype."""
+    return outh.astype(jnp.float32).sum(axis=1).astype(outh.dtype)
+
+
+def _flash_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+               bq, bk):
+    outh, m, se, su = _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask,
+                                kmask, inv_sqrt, bq, bk)
+    out = _head_sum(outh)
+    res = (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+           outh, m, se, su)
+    return out, res
+
+
+def _flash_bwd(bq, bk, res, g):
+    (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+     outh, m, se, su) = res
+    g32 = g.astype(jnp.float32)
+    # row constants from the saved statistics (see module docstring)
+    delta = jnp.einsum("bnd,bhnd->bhn", g32,
+                       outh.astype(jnp.float32))[..., None]  # [B,H,N,1]
+    denom = su / se
+    guard = (jnp.abs(denom) > _EPS).astype(jnp.float32)
+    safe = jnp.where(guard > 0, denom, 1.0)
+    r = safe * delta
+    ise = 1.0 / se
+    qa = qmask[:, None] / safe                       # [B,H,N,1]
+    beta = (r / (safe * safe)) * guard
+    cterm = (1.0 - guard) * r
+    dxa, dcq, dvw, dck, dx = _call_bwd(
+        xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+        g.astype(xa.dtype), m, ise, qa, beta, cterm, bq, bk)
+    dc0 = dcq.sum(axis=(0, 2)).reshape(c0.shape)     # [H,1,1]
+    zeros = lambda t: jnp.zeros_like(t)
+    return (dxa, dx, dcq, dck, dc0, dvw, zeros(pe), zeros(deg),
+            zeros(qmask), zeros(kmask), zeros(inv_sqrt))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
+                            degree=None, block_q=None, block_k=None):
+    """out[b, n, d] = sum_h modulated_attn_h @ vw_h — query/key-blocked.
+
+    Drop-in replacement for `fused_attention.fused_graphit_attention`
+    (same args: xa [B,H,N,D] = x @ Wq_h Wk_h^T, x [B,N,D], cq/ck [B,N,H]
+    rank-1 bias corrections, c0 [H], vw [B,H,N,D] = v_h @ Wout_h,
+    node_mask [B,N], optional pe [B,N,N] / degree [B,N] modulation data)
+    that scales to N >= 1024 by never holding an [N, N] tile in VMEM.
+    """
+    b, h, n, d = xa.shape
+    dh = d // h
+    bq = block_q or _pick_block(n)
+    bk = block_k or _pick_block(n)
+    f32 = jnp.float32
+    pe_arr = (pe.astype(f32) if pe is not None
+              else jnp.ones((b, n, n), f32))
+    deg_arr = (degree.astype(f32) if degree is not None
+               else jnp.ones((b, n), f32)).reshape(b, 1, n)
+    qmask = node_mask.astype(f32).reshape(b, n, 1)
+    kmask = node_mask.astype(f32).reshape(b, 1, n)
+    inv_sqrt = jnp.full((1, 1), 1.0 / (dh ** 0.5), f32)
+    cq_k = cq.astype(f32).transpose(0, 2, 1)[:, :, :, None]
+    ck_k = ck.astype(f32).transpose(0, 2, 1)[:, :, None, :]
+    c0_k = c0.reshape(h, 1, 1).astype(f32)
+    return _flash(xa, x.astype(xa.dtype), cq_k, ck_k, c0_k, vw, pe_arr,
+                  deg_arr, qmask, kmask, inv_sqrt, bq, bk)

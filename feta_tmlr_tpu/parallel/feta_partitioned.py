@@ -25,10 +25,17 @@ parity is checked against the very model users train on one chip
 (tests/test_feta_partitioned.py), and `__graft_entry__.dryrun_multichip`
 drives a training step of it on the virtual mesh.
 
-Scope notes: LayerNorm tier (`batch_norm=False`), no dropout (the
-partitioned path is a scale-out inference/training core; stochastic
-augmentation lives in the host trainer), `last_layer_filter=True`,
-ChebConvDynamic with 'sym' normalization (lambda_max=2).
+Scope notes: no dropout (the partitioned path is a scale-out
+inference/training core; stochastic augmentation lives in the host
+trainer); ChebConvDynamic with 'sym' normalization (lambda_max=2).
+Both norms are supported: `batch_norm=True` reproduces the canonical TU
+config (reference run_transformer_gengcn_cv.py:57 `--batch-norm`) with
+masked batch statistics psum-reduced across node shards (train mode —
+exactly `nn.layers.MaskedBatchNorm`'s masked moments over the global
+node set), and `last_layer_filter=False` filters EVERY layer with the
+shared coefficient head + skip-sum like the dense FeTAEncoder
+(run_transformer_gengcn_cv.py:76). Multi-graph batches of node-sharded
+graphs live in `parallel/feta_batched.py`.
 """
 
 from __future__ import annotations
@@ -57,9 +64,25 @@ def _layer_norm(x, p, eps=1e-5):
     return (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
 
 
+def _masked_batch_norm(x, p, mask_f, axes, eps=1e-5):
+    """Train-mode MaskedBatchNorm (nn/layers.py:40-62) with the masked
+    moments psum-reduced over the mesh axes: statistics are over the
+    GLOBAL valid-node set, bit-matching the dense module's
+    `(x*m).sum((0,1)) / m.sum()` on one chip. x: [..., D], mask_f last
+    dim 1-broadcastable."""
+    red = tuple(range(x.ndim - 1))
+    cnt = jnp.maximum(jax.lax.psum(mask_f.sum(), axes), 1.0)
+    mean = jax.lax.psum((x * mask_f).sum(red), axes) / cnt
+    var = jax.lax.psum((((x - mean) ** 2) * mask_f).sum(red), axes) / cnt
+    y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    return y * p["scale"] + p["bias"]
+
+
 def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
                                   n_layers: int, filter_order: int,
-                                  axis: str = "data"):
+                                  axis: str = "data",
+                                  batch_norm: bool = False,
+                                  last_layer_filter: bool = True):
     """Builds forward(params, x_sh, pe_sh, mask_sh, src, dst, w, m)
     -> per-node logits (sharded [V/D, nb_class]).
 
@@ -111,12 +134,15 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
         attn_out = out_heads.reshape(-1, d) @ lp["out_proj_kernel"] \
             + lp["out_proj_bias"]
 
+        mask_f = mask_local[:, None].astype(x_local.dtype)
+        norm = ((lambda t, p: _masked_batch_norm(t, p, mask_f, (axis,)))
+                if batch_norm else _layer_norm)
         x = x_local + attn_out
-        x = _layer_norm(x, lp["norm1"])
+        x = norm(x, lp["norm1"])
         ff = x @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
         ff = jax.nn.relu(ff)
         ff = ff @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
-        x = _layer_norm(x + ff, lp["norm2"])
+        x = norm(x + ff, lp["norm2"])
         mask_f = mask_local[:, None].astype(x.dtype)
         x = x * mask_f
         if not need_heads:
@@ -190,18 +216,26 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
                    if deg_sh is not None else None)
 
         x = x_sh @ params["embedding"]["kernel"]
+        allout_filt = None
         for i in range(n_layers):
-            last = i + 1 == n_layers
+            # dense semantics (nn/feta.py:225-273): filter only the last
+            # layer, or EVERY layer when last_layer_filter=False — shared
+            # coefficient head, skip-summed filtered signal
+            filtered = (not last_layer_filter) or (i + 1 == n_layers)
             x_all = jax.lax.all_gather(x, axis).reshape(-1, d_model)
             x, attn, out_heads = attention_layer(
                 enc[f"layer_{i}"], x, x_all, pe_local, deg_all,
-                mask_local, mask_all, need_heads=last)
+                mask_local, mask_all, need_heads=filtered)
+            if not filtered:
+                continue
+            coeff = coeff_head(enc["coeff_head"], attn, mask_local,
+                               mask_all, n_valid)            # [h, C]
+            filt = cheb_filter(out_heads, coeff, enc["cheb_bias"],
+                               src[0], dst[0], w[0], m[0], mask_local)
+            allout_filt = (filt if allout_filt is None
+                           else allout_filt + filt)
 
-        coeff = coeff_head(enc["coeff_head"], attn, mask_local, mask_all,
-                           n_valid)                          # [h, C]
-        filt = cheb_filter(out_heads, coeff, enc["cheb_bias"],
-                           src[0], dst[0], w[0], m[0], mask_local)
-        out = jnp.concatenate([x, filt], axis=-1) \
+        out = jnp.concatenate([x, allout_filt], axis=-1) \
             @ enc["linear_cat"]["kernel"] + enc["linear_cat"]["bias"]
 
         cl = params["classifier"]
@@ -225,11 +259,13 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
 
 def make_feta_train_step(mesh: Mesh, d_model: int, n_heads: int,
                          n_layers: int, filter_order: int, lr: float = 1e-3,
-                         axis: str = "data"):
+                         axis: str = "data", batch_norm: bool = False,
+                         last_layer_filter: bool = True):
     """SGD step over the partitioned forward: masked per-node CE, grads
     psum-reduced by shard_map autodiff, params replicated."""
     forward = make_feta_partitioned_forward(
-        mesh, d_model, n_heads, n_layers, filter_order, axis)
+        mesh, d_model, n_heads, n_layers, filter_order, axis,
+        batch_norm=batch_norm, last_layer_filter=last_layer_filter)
 
     @jax.jit
     def step(params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
