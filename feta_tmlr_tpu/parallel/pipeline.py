@@ -28,10 +28,20 @@ TPU-first design notes:
     end to end; bubble-tick computations never reach the loss and
     therefore contribute zero gradient.
 
-Scope mirrors `parallel/feta_partitioned.py`: LayerNorm tier
-(batch_norm=False), deterministic core (dropout lives in the host
-trainer), `last_layer_filter=True` (the reference's default — the L-1
-pipelined layers are exactly the unfiltered chain).
+Scope mirrors `parallel/feta_partitioned.py`: deterministic core
+(dropout lives in the host trainer), `last_layer_filter=True` (the
+reference's default — the L-1 pipelined layers are exactly the
+unfiltered chain). Both norms are supported. BatchNorm semantics under
+pipelining: statistics are taken PER MICROBATCH inside each stage —
+exact full-batch statistics would require holding every microbatch's
+activations at a layer simultaneously, which is precisely what GPipe
+streaming avoids (a two-pass schedule would double compute). This is
+the same approximation torch's nn.DataParallel makes per replica
+(per-device statistics, the reference's only parallel mode,
+run_transformer_gckn_gengcn_molpcba.py:469-475); with one microbatch it
+is exact, and tests/test_pipeline.py checks that case against the dense
+model. The back (filtered) layer always sees the full batch, so its
+statistics are exact regardless of the microbatch count.
 """
 
 from __future__ import annotations
@@ -99,13 +109,14 @@ def make_pipelined_forward(mesh: Mesh, model, n_microbatches: int,
     S = mesh.shape[axis]
     M = n_microbatches
     dp = mesh.shape[data_axis] if data_axis else 1
+    bn = bool(getattr(model, "batch_norm", False))
     layer = GraphiTEncoderLayer(
         model.d_model, model.nb_heads, model.dim_feedforward,
-        0.0, False)
+        0.0, bn)
     back_enc = FeTAEncoder(
         d_model=model.d_model, n_heads=model.nb_heads, n_layers=1,
         dim_feedforward=model.dim_feedforward, dropout=0.0,
-        batch_norm=False, filter_order=model.filter_order,
+        batch_norm=bn, filter_order=model.filter_order,
         gnn_type=model.gnn_type, last_layer_filter=True,
         learn_only_filter_order_coeff=model.learn_only_filter_order_coeff,
         use_skip_conn=model.use_skip_conn)
@@ -115,8 +126,16 @@ def make_pipelined_forward(mesh: Mesh, model, n_microbatches: int,
     def stage_apply(stage_params, x, pe, mask, deg):
         for j in range(k):
             lp = jax.tree.map(lambda a: a[j], stage_params)
-            x, _, _ = layer.apply({"params": lp}, x, pe, mask, deg,
-                                  True, None, False)
+            if bn:
+                # train-mode statistics over THIS microbatch (see module
+                # docstring); the updated running averages are discarded —
+                # the host trainer owns eval-time statistics
+                (x, _, _), _ = layer.apply(
+                    {"params": lp}, x, pe, mask, deg, False, None, False,
+                    mutable=["batch_stats"])
+            else:
+                x, _, _ = layer.apply({"params": lp}, x, pe, mask, deg,
+                                      True, None, False)
         return x
 
     def pipeline_local(stacked, x_mb, pe_mb, mask_mb, deg_mb):
@@ -187,9 +206,16 @@ def make_pipelined_forward(mesh: Mesh, model, n_microbatches: int,
             args.append(split(batch.degree))
         h = fn(*args).reshape(B, N, D)
 
-        out, _attn, coeff = back_enc.apply(
-            _back_variables(params, model.nb_layers), h, batch.pe,
-            batch.adj, batch.node_mask, degree=batch.degree)
+        if bn:
+            # full batch here, so these statistics are exact
+            (out, _attn, coeff), _ = back_enc.apply(
+                _back_variables(params, model.nb_layers), h, batch.pe,
+                batch.adj, batch.node_mask, degree=batch.degree,
+                deterministic=False, mutable=["batch_stats"])
+        else:
+            out, _attn, coeff = back_enc.apply(
+                _back_variables(params, model.nb_layers), h, batch.pe,
+                batch.adj, batch.node_mask, degree=batch.degree)
         m = batch.node_mask.astype(out.dtype)[..., None]
         pooled = (out * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
         cl = p["classifier"]

@@ -81,7 +81,8 @@ SLOW_TESTS = {
 }
 
 SLOW_FILES = {"test_cli_smoke.py", "test_real_data_e2e.py",
-              "test_feta_partitioned.py", "test_mixed_precision.py"}
+              "test_feta_partitioned.py", "test_mixed_precision.py",
+              "test_soak_resume.py", "test_feta_batched.py"}
 
 
 def pytest_collection_modifyitems(config, items):

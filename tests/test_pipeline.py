@@ -16,7 +16,8 @@ from feta_tmlr_tpu.parallel.pipeline import (
 from feta_tmlr_tpu.pe import DiffusionEncoding, LapEncoding
 
 
-def _setup(n_layers=5, n_graphs=8, task="classification", nb_class=2):
+def _setup(n_layers=5, n_graphs=8, task="classification", nb_class=2,
+           batch_norm=False):
     graphs = random_graph_dataset(seed=5, n_graphs=n_graphs, min_nodes=5,
                                   max_nodes=11, n_features=6, task=task)
     DiffusionEncoding(beta=1.0).apply_to(graphs)
@@ -25,7 +26,7 @@ def _setup(n_layers=5, n_graphs=8, task="classification", nb_class=2):
     model = DiffGraphTransformerGenGCN(
         in_size=6, nb_class=nb_class, d_model=16, nb_heads=2,
         dim_feedforward=32, dropout=0.0, nb_layers=n_layers,
-        batch_norm=False, lap_pos_enc=True, lap_pos_enc_dim=3,
+        batch_norm=batch_norm, lap_pos_enc=True, lap_pos_enc_dim=3,
         filter_order=2)
     params = jax.jit(model.init)(jax.random.key(0), batch)
     return model, params, batch
@@ -61,6 +62,37 @@ def test_pipeline_parity_with_degree():
     np.testing.assert_allclose(np.asarray(logits),
                                np.asarray(dense_logits),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_batch_norm_single_microbatch_exact():
+    """BatchNorm tier: with one microbatch the per-microbatch statistics
+    ARE the full-batch statistics, so the pipelined forward must match
+    the dense train-mode model exactly (M>1 is the documented
+    per-microbatch approximation)."""
+    model, params, batch = _setup(n_layers=5, batch_norm=True)
+    (dense_logits, _), _ = model.apply(params, batch, deterministic=False,
+                                       mutable=["batch_stats"])
+    fwd = make_pipelined_forward(_mesh(4), model, n_microbatches=1)
+    with _mesh(4):
+        logits, _ = jax.jit(fwd)(params, batch)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(dense_logits),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_batch_norm_trains():
+    """Per-microbatch BN statistics still train (M=2 over 2 stages)."""
+    model, params, batch = _setup(n_layers=3, task="regression",
+                                  nb_class=1, batch_norm=True)
+    step = make_pipeline_train_step(_mesh(2), model, 2, lr=5e-3,
+                                    task="graph_reg")
+    with _mesh(2):
+        losses = []
+        for _ in range(12):
+            params, loss = step(params, batch)
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
 
 
 def test_pipeline_trains():
