@@ -408,7 +408,8 @@ class Trainer:
             rebatch_fn: Optional[Callable[[int], Sequence[GraphBatch]]]
             = None,
             ckpt_dir: Optional[str] = None,
-            ckpt_async: bool = False):
+            ckpt_async: bool = False,
+            resume: bool = False):
         """rebatch_fn(epoch) -> fresh training batches: full per-epoch
         reshuffling at the graph level, matching the reference's
         DataLoader(shuffle=True). Without it, the fixed batches are
@@ -418,7 +419,21 @@ class Trainer:
         ckpt_dir: per-epoch checkpoint of the live TrainState with a
         keep-latest policy — the reference saves every epoch and prunes
         files older than epoch-1 (LPE main_ZINC_graph_regression.py:
-        184-195); resume via train.checkpoint.CheckpointManager."""
+        184-195).
+
+        resume=True restarts from ckpt_dir's latest checkpoint and
+        continues the EXACT uninterrupted trajectory: the TrainState
+        (params/opt_state/step/batch_stats, which carries any
+        plateau-injected lr) comes from orbax; host-side loop state —
+        plateau counters, best_val/best_epoch — from the fit_meta.json
+        sidecar written with each save; the epoch-order numpy generator
+        is fast-forwarded through the completed epochs; per-epoch
+        training rngs are pure functions of (seed, epoch) already. The
+        best-so-far WEIGHTS are the one thing not re-materialized (only
+        their score is): after a crash the best state is approximated by
+        the resume point until a better epoch appears — exact best
+        weights need the best epoch's checkpoint still on disk
+        (raise max_to_keep)."""
         cfg = self.cfg
         # host->device transfers are expensive (here the chip sits behind a
         # network relay); place every batch on device once up front,
@@ -440,16 +455,42 @@ class Trainer:
         order_rng = np.random.default_rng(cfg.seed)
         mode = "min" if cfg.task == "graph_reg" else "max"
         ckpt_mgr = None
+        meta_path = None
         if ckpt_dir is not None:
+            import os
             from feta_tmlr_tpu.train.checkpoint import CheckpointManager
             # ckpt_async overlaps each epoch's checkpoint IO with the
             # next epoch's training (safe with the donated step loop:
             # orbax copies device arrays out synchronously at save())
             ckpt_mgr = CheckpointManager(ckpt_dir, max_to_keep=2,
                                          async_save=ckpt_async)
+            meta_path = os.path.join(os.path.abspath(ckpt_dir),
+                                     "fit_meta.json")
+        start_epoch = 0
+        if resume and ckpt_mgr is not None \
+                and ckpt_mgr.latest_step() is not None:
+            import json as _json
+            import os
+            last = ckpt_mgr.latest_step()
+            state = ckpt_mgr.restore(state, step=last)
+            best_state = state
+            start_epoch = last + 1
+            if meta_path and os.path.isfile(meta_path):
+                with open(meta_path) as f:
+                    meta = _json.load(f)
+                best_val = meta.get("best_val")
+                best_epoch = meta.get("best_epoch", last)
+                if self.plateau is not None:
+                    self.plateau.best = meta.get("plateau_best")
+                    self.plateau.bad_epochs = meta.get("plateau_bad", 0)
+                    self.plateau.scale = meta.get("plateau_scale", 1.0)
+            # fast-forward the epoch-order generator through completed
+            # epochs so batch order continues the uninterrupted sequence
+            for _ in range(start_epoch):
+                order_rng.permutation(len(train_batches))
         t_start = time.perf_counter()
         try:
-          for epoch in range(epochs or cfg.epochs):
+          for epoch in range(start_epoch, epochs or cfg.epochs):
             t0 = time.perf_counter()
             if rebatch_fn is not None and epoch > 0:
                 train_batches = (list(rebatch_fn(epoch)) if cfg.stream
@@ -491,6 +532,23 @@ class Trainer:
                 log_fn(row)
             if ckpt_mgr is not None:
                 ckpt_mgr.save(epoch, state)
+                if meta_path:
+                    import json as _json
+                    meta = {"epoch": epoch,
+                            "best_val": (None if best_val is None
+                                         else float(best_val)),
+                            "best_epoch": best_epoch}
+                    if self.plateau is not None:
+                        meta.update(
+                            plateau_best=(None if self.plateau.best is None
+                                          else float(self.plateau.best)),
+                            plateau_bad=self.plateau.bad_epochs,
+                            plateau_scale=self.plateau.scale)
+                    tmp = meta_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        _json.dump(meta, f)
+                    import os
+                    os.replace(tmp, meta_path)
             if (cfg.stop_at_min_lr and self.plateau is not None
                     and row.get("lr", cfg.lr) <= cfg.min_lr):
                 print("lr <= min_lr, stopping")

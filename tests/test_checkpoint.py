@@ -80,3 +80,60 @@ def test_async_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def _fit_setup(seed=3):
+    graphs = random_graph_dataset(seed=seed, n_graphs=24, n_features=7,
+                                  task="regression")
+    DiffusionEncoding().apply_to(graphs)
+    LapEncoding(dim=4).apply_to(graphs)
+    batches = [collate_graphs(graphs[i:i + 8], max_nodes=32)
+               for i in range(0, 24, 8)]
+    model = DiffGraphTransformerGenGCN(
+        in_size=7, nb_class=1, d_model=32, nb_heads=4, dim_feedforward=64,
+        dropout=0.0, nb_layers=1, lap_pos_enc=True, lap_pos_enc_dim=4,
+        filter_order=2)
+
+    def make_trainer():
+        # plateau with tiny patience so the kill/resume crosses an lr drop
+        return Trainer(model, TrainConfig(
+            task="graph_reg", lr=1e-2, sign_flip=False, seed=7,
+            schedule="plateau", plateau_patience=1, plateau_factor=0.5,
+            min_lr=1e-5))
+
+    return make_trainer, batches
+
+
+def test_fit_resume_bitexact_trajectory(tmp_path):
+    """Kill/resume protocol: fit 3 epochs with ckpt_dir, then resume=True
+    in a FRESH Trainer for the rest — per-epoch train losses, val
+    metrics, and plateau-lr sequence must equal the uninterrupted 7-epoch
+    run's exactly (epoch rngs are (seed, epoch)-pure, the batch-order
+    generator is fast-forwarded, plateau counters come from
+    fit_meta.json)."""
+    make_trainer, batches = _fit_setup()
+    full = make_trainer().fit(batches, val_batches=batches[:1], epochs=7)
+
+    ckpt = str(tmp_path / "soak")
+    make_trainer().fit(batches, val_batches=batches[:1], epochs=3,
+                       ckpt_dir=ckpt)
+    resumed = make_trainer().fit(batches, val_batches=batches[:1],
+                                 epochs=7, ckpt_dir=ckpt, resume=True)
+
+    assert [r["epoch"] for r in resumed["history"]] == [3, 4, 5, 6]
+    by_epoch = {r["epoch"]: r for r in full["history"]}
+    for row in resumed["history"]:
+        ref = by_epoch[row["epoch"]]
+        np.testing.assert_allclose(row["loss"], ref["loss"], rtol=1e-6)
+        np.testing.assert_allclose(row["val_mae"], ref["val_mae"],
+                                   rtol=1e-6)
+        assert row.get("lr") == ref.get("lr"), (row, ref)
+
+
+def test_fit_resume_without_checkpoint_starts_fresh(tmp_path):
+    """resume=True with an empty ckpt_dir must train from scratch."""
+    make_trainer, batches = _fit_setup(seed=4)
+    res = make_trainer().fit(batches, epochs=2,
+                             ckpt_dir=str(tmp_path / "empty"),
+                             resume=True)
+    assert [r["epoch"] for r in res["history"]] == [0, 1]
