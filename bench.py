@@ -110,13 +110,19 @@ def bench_packed(graphs, n_edges):
     return _measure_steps(jax.jit(step, donate_argnums=(0,)), state, batch)
 
 
-def bench_unpacked(graphs, n_edges):
+def bench_unpacked(graphs, n_edges, mfu_out=None):
     batch = jax.device_put(collate_graphs(graphs, max_nodes=MAX_NODES))
     jax.block_until_ready(batch.x)
     model = DiffGraphTransformerGenGCN(**CFG)
     trainer = Trainer(model, TrainConfig(task="graph_reg", lr=1e-3,
                                          sign_flip=True))
     state = trainer.init(jax.random.key(0), batch)
+    if mfu_out is not None:
+        # XLA cost model of the compiled step (before timing: donation
+        # invalidates `state` buffers once steps run)
+        from feta_tmlr_tpu.utils.profiling import mfu_fields
+        mfu_out.update(mfu_fields(trainer._jit_step_donated, state, batch,
+                                  jax.random.key(1)))
     # donated step (what Trainer.fit runs): ~1.4x faster than the
     # non-donated jit behind the relay (A/B 2026-08-17: 3.9-4.6 ms vs
     # 6.1-6.4 ms bf16) - donation reuses the param/opt-state buffers
@@ -162,7 +168,7 @@ def bench_torch_baseline(graphs):
     return sec
 
 
-def bench_unpacked_dtype(graphs, dtype_name):
+def bench_unpacked_dtype(graphs, dtype_name, mfu_out=None):
     """Same canonical config under FETA_COMPUTE_DTYPE=<dtype_name>.
 
     The env knob is read at trace time (nn/layers.py), so a fresh
@@ -171,7 +177,7 @@ def bench_unpacked_dtype(graphs, dtype_name):
     prev = os.environ.get("FETA_COMPUTE_DTYPE")
     os.environ["FETA_COMPUTE_DTYPE"] = dtype_name
     try:
-        return bench_unpacked(graphs, 0)
+        return bench_unpacked(graphs, 0, mfu_out=mfu_out)
     finally:
         if prev is None:
             os.environ.pop("FETA_COMPUTE_DTYPE", None)
@@ -233,33 +239,111 @@ def bench_pallas_vs_xla_large_n(n_nodes, n_graphs, use_pallas,
     return sec, n_edges
 
 
-def bench_saturating(n_graphs=512):
-    """Throughput at a saturating batch (the B=128 reference batch leaves
-    the chip latency-bound at these tiny graph sizes). Runs bf16: the
-    interleaved A/B at B=512 measured f32 1.42M / bf16 1.71M /
-    bf16+remat 1.33M edges/s (2026-08-17) - bf16 wins, remat loses
-    (the working set streams fine; recompute only adds FLOPs)."""
+def bench_pallas_xla_pair(n_nodes, n_graphs, dtype_name="bfloat16",
+                          repeats=2):
+    """Compile-frugal interleaved XLA/Pallas A/B at one SBM shape.
+
+    `bench_pallas_vs_xla_large_n` builds a fresh Trainer per call (4
+    calls per shape = ~16 remote compiles, 1-10 min each behind the
+    relay). Here each impl's trainer is built ONCE (the FETA_PALLAS env
+    knob is read at trace time, so the impl is frozen into that
+    trainer's jit cache at its first step) and only the MEASUREMENTS
+    interleave — per-measurement state re-init because donation consumes
+    it. Returns ({'xla': [sec...], 'pallas': [sec...]}, n_edges)."""
+    from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
+    from feta_tmlr_tpu.nn import DiffGraphTransformerGenGCNSBM
+    prev_dt = os.environ.get("FETA_COMPUTE_DTYPE")
+    prev_pl = os.environ.get("FETA_PALLAS")
+    os.environ["FETA_COMPUTE_DTYPE"] = dtype_name
+    try:
+        graphs = sbm_like_dataset(seed=2, n_graphs=n_graphs,
+                                  n_nodes=n_nodes)
+        DiffusionEncoding(beta=1.0).apply_to(graphs)
+        LapEncoding(dim=8).apply_to(graphs)
+        n_edges = int(sum(g.num_edges for g in graphs))
+        batch = jax.device_put(collate_graphs(graphs, max_nodes=n_nodes,
+                                              node_labels=True))
+        jax.block_until_ready(batch.x)
+        model = DiffGraphTransformerGenGCNSBM(
+            in_size=3, nb_class=2, d_model=CFG["d_model"],
+            nb_heads=CFG["nb_heads"],
+            dim_feedforward=CFG["dim_feedforward"], dropout=0.0,
+            nb_layers=CFG["nb_layers"], batch_norm=True,
+            lap_pos_enc=True, lap_pos_enc_dim=8,
+            filter_order=CFG["filter_order"])
+        trainers = {}
+        for key, flag in (("xla", "0"), ("pallas", "1")):
+            trainers[key] = Trainer(model, TrainConfig(
+                task="node_clf", lr=1e-3, sign_flip=True))
+            # trace now, with the env knob set for THIS impl: one step
+            # freezes the impl into the trainer's jit cache
+            os.environ["FETA_PALLAS"] = flag
+            st = trainers[key].init(jax.random.key(0), batch)
+            st, _ = trainers[key]._jit_step_donated(st, batch,
+                                                    jax.random.key(1))
+            del st
+        results = {"xla": [], "pallas": []}
+        for _ in range(repeats):
+            for key, flag in (("xla", "0"), ("pallas", "1")):
+                os.environ["FETA_PALLAS"] = flag
+                state = trainers[key].init(jax.random.key(0), batch)
+                sec = _measure_steps(trainers[key]._jit_step_donated,
+                                     state, batch, n1=5, n2=20)
+                results[key].append(sec)
+        return results, n_edges
+    finally:
+        for name, prev in (("FETA_COMPUTE_DTYPE", prev_dt),
+                           ("FETA_PALLAS", prev_pl)):
+            if prev is None:
+                os.environ.pop(name, None)
+            else:
+                os.environ[name] = prev
+
+
+def bench_batch_sweep(sizes=(128, 256, 512, 1024), repeats=2):
+    """Interleaved in-process batch-size throughput sweep (bf16 policy,
+    donated steps, batches pre-uploaded so only step time is measured).
+
+    Replaces the old `bench_saturating(512)` single point, whose
+    cross-run instability (1.04-1.71M edges/s at B=512 across sessions)
+    produced the round-2 "throughput DROPS at 4x batch" anomaly: the
+    B=128 and B=512 numbers came from different processes under +-30%
+    relay session noise. Here every size is measured twice, interleaved
+    in ONE process, and the per-size result is the max of the two (relay
+    stalls only ever add time). Returns {batch_size: edges/s}."""
     prev = os.environ.get("FETA_COMPUTE_DTYPE")
     os.environ["FETA_COMPUTE_DTYPE"] = "bfloat16"
-    graphs = zinc_like_dataset(seed=1, n_graphs=n_graphs)
-    DiffusionEncoding(beta=1.0).apply_to(graphs)
-    LapEncoding(dim=8).apply_to(graphs)
-    n_edges = int(sum(g.num_edges for g in graphs))
-    batch = jax.device_put(collate_graphs(graphs, max_nodes=MAX_NODES))
-    jax.block_until_ready(batch.x)
-    model = DiffGraphTransformerGenGCN(**CFG)
-    trainer = Trainer(model, TrainConfig(task="graph_reg", lr=1e-3,
-                                         sign_flip=True))
-    state = trainer.init(jax.random.key(0), batch)
     try:
-        sec = _measure_steps(trainer._jit_step_donated, state, batch,
-                             n1=10, n2=40)
+        model = DiffGraphTransformerGenGCN(**CFG)
+        setups = {}
+        for bsz in sizes:
+            graphs = zinc_like_dataset(seed=1, n_graphs=bsz)
+            DiffusionEncoding(beta=1.0).apply_to(graphs)
+            LapEncoding(dim=8).apply_to(graphs)
+            n_edges = int(sum(g.num_edges for g in graphs))
+            batch = jax.device_put(
+                collate_graphs(graphs, max_nodes=MAX_NODES))
+            jax.block_until_ready(batch.x)
+            setups[bsz] = (batch, n_edges)
+        # ONE trainer: its jitted step caches per batch shape, so the
+        # second repeat of a size re-runs the compiled program instead of
+        # recompiling (state must be re-init'd — donation consumed it)
+        trainer = Trainer(model, TrainConfig(task="graph_reg", lr=1e-3,
+                                             sign_flip=True))
+        results = {bsz: [] for bsz in sizes}
+        for _ in range(repeats):
+            for bsz in sizes:
+                batch, n_edges = setups[bsz]
+                state = trainer.init(jax.random.key(0), batch)
+                sec = _measure_steps(trainer._jit_step_donated, state,
+                                     batch, n1=5, n2=20)
+                results[bsz].append(n_edges / sec)
+        return {bsz: max(v) for bsz, v in results.items()}
     finally:
         if prev is None:
             os.environ.pop("FETA_COMPUTE_DTYPE", None)
         else:
             os.environ["FETA_COMPUTE_DTYPE"] = prev
-    return n_edges / sec
 
 
 def bench_streamed_epoch(wire: bool, n_batches=16, warm_batches=4,
@@ -422,25 +506,56 @@ def main():
     # measurement for XProf/TensorBoard (utils/profiling.trace)
     trace_dir = os.environ.get("FETA_TRACE_DIR")
     sec_packed = bench_packed(graphs, n_edges)
+    mfu_unpacked, mfu_bf16 = {}, {}
     if trace_dir:
         from feta_tmlr_tpu.utils.profiling import trace
         with trace(trace_dir):
-            sec_unpacked = bench_unpacked(graphs, n_edges)
+            sec_unpacked = bench_unpacked(graphs, n_edges,
+                                          mfu_out=mfu_unpacked)
     else:
-        sec_unpacked = bench_unpacked(graphs, n_edges)
+        sec_unpacked = bench_unpacked(graphs, n_edges,
+                                      mfu_out=mfu_unpacked)
     # bf16 mixed-precision variant (attention/FFN/Cheb matmuls on the MXU
     # at 2x peak; params/softmax/norms f32) — measured 6.1 vs 8.4-8.6 ms
     # f32 interleaved in-process (2026-08-17, see BASELINE.md A/B table)
-    sec_bf16 = bench_unpacked_dtype(graphs, "bfloat16")
+    sec_bf16 = bench_unpacked_dtype(graphs, "bfloat16", mfu_out=mfu_bf16)
     try:
         sec_torch = bench_torch_baseline(graphs)
     except Exception:
         sec_torch = None
     try:
-        eps_saturating = bench_saturating()
+        sweep = bench_batch_sweep()
     except Exception:
-        eps_saturating = None
+        sweep = None
     extras = {}
+    if sweep:
+        for bsz, eps in sweep.items():
+            extras[f"edges_per_s_b{bsz}"] = round(eps, 1)
+    # mechanized speed-of-light accounting (XLA cost model): achieved
+    # TFLOP/s, model-FLOPs utilization vs bf16 peak, HBM BW utilization
+    from feta_tmlr_tpu.utils.profiling import device_peaks
+    for mfu, sec, tag in ((mfu_unpacked, sec_unpacked, "unpacked"),
+                          (mfu_bf16, sec_bf16, "bf16")):
+        for k, v in mfu.items():
+            extras[f"{tag}_{k}"] = v
+        flops = mfu.get("flops_per_step")
+        if flops and sec > 0:
+            extras[f"{tag}_achieved_tflops"] = round(flops / sec / 1e12, 3)
+            peaks = device_peaks()
+            if peaks:
+                extras[f"{tag}_mfu_vs_bf16_peak"] = round(
+                    flops / sec / peaks[0], 4)
+                byt = mfu.get("hbm_bytes_per_step")
+                if byt:
+                    extras[f"{tag}_hbm_bw_util"] = round(
+                        byt / sec / peaks[1], 4)
+    if os.environ.get("FETA_BENCH_TIERS") == "1":
+        # tier-2/3 model families on the chip (bench_tiers.py):
+        # SAN_NodeSpectra (ZINC + PATTERN N=128), GATFeTA,
+        # GraphiTSpectraNet, GatedGCN-LSPE, PNA — train + serve + MFU,
+        # torch twins interleaved where they exist
+        from bench_tiers import run_tiers
+        extras.update(run_tiers())
     if os.environ.get("FETA_BENCH_ABLATE") == "1":
         # dtype + large-N A/Bs, interleaved in this same process (cross-
         # session TPU timings vary +-30% behind the relay; see BASELINE.md)
@@ -474,20 +589,14 @@ def main():
         for n_nodes, n_graphs in ((256, 16), (512, 4), (1024, 2),
                                   (2048, 1)):
             try:
-                sx1, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs,
-                                                     False)
-                sp1, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs,
-                                                     True)
-                sx2, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs,
-                                                     False)
-                sp2, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs,
-                                                     True)
+                res, _ = bench_pallas_xla_pair(n_nodes, n_graphs)
             except Exception as e:                 # e.g. VMEM overflow
                 extras[f"n{n_nodes}_pallas_error"] = type(e).__name__
                 continue
-            extras[f"n{n_nodes}_sec_per_step_xla"] = round(min(sx1, sx2), 5)
+            extras[f"n{n_nodes}_sec_per_step_xla"] = round(
+                min(res["xla"]), 5)
             extras[f"n{n_nodes}_sec_per_step_pallas"] = round(
-                min(sp1, sp2), 5)
+                min(res["pallas"]), 5)
     if os.environ.get("FETA_BENCH_STREAM") == "1":
         # interleaved plain/wire/plain/wire to average out relay drift
         p1 = bench_streamed_epoch(wire=False)
@@ -509,8 +618,10 @@ def main():
         "sec_per_step_packed": round(sec_packed, 5),
         "sec_per_step_unpacked": round(sec_unpacked, 5),
         "sec_per_step_bf16": round(sec_bf16, 5),
-        "edges_per_s_saturating_b512": (round(eps_saturating, 1)
-                                        if eps_saturating else None),
+        # saturating = best point of the interleaved batch-size sweep
+        # (per-size max of 2 in-process repeats; bench_batch_sweep)
+        "edges_per_s_saturating": (round(max(sweep.values()), 1)
+                                   if sweep else None),
         "epoch_time_s_zinc10k": round(
             best * (ZINC_TRAIN_GRAPHS / BATCH), 3),
         "baseline": "pure-torch CPU twin (reference stack unavailable)",

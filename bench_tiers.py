@@ -1,0 +1,314 @@
+"""Tier-2/3 TPU benchmark: every model family on the chip's scoreboard.
+
+VERDICT r2 item 1: bench.py measured only the flagship (tier-1 FeTA);
+the SAN/GATFeTA (tier 2, reference LPE subtree) and LSPE (tier 3) families
+had parity tests but no TPU numbers. This module times a jitted donated
+train step and a jitted serving forward for each family at its CANONICAL
+reference configuration (the net_params of the shipped config JSONs,
+cited per tier below), interleaved with the pure-torch CPU twin where one
+exists (reference_twin/torch_san.py, torch_lspe.py) — the same protocol
+as the flagship bench. Per-variant MFU/HBM-utilization fields come from
+XLA's own cost model (utils/profiling.mfu_fields).
+
+Timing caveats are bench.py's: chained-steps difference method behind the
+axon relay, inputs device_put once, A/Bs interleaved in one process.
+
+Run via `FETA_BENCH_TIERS=1 python bench.py` or standalone
+`python bench_tiers.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from feta_tmlr_tpu.data import collate_graphs
+from feta_tmlr_tpu.data.synthetic import (
+    sbm_like_dataset,
+    zinc_categorical_dataset,
+)
+from feta_tmlr_tpu.pe import PStepRWEncoding
+from feta_tmlr_tpu.pe.laplace import apply_laplace_decomp
+from feta_tmlr_tpu.pe.rwpe import rwpe
+from feta_tmlr_tpu.train import Trainer, TrainConfig
+from feta_tmlr_tpu.utils.profiling import mfu_fields, timed_steps
+
+import os
+
+# FETA_BENCH_SMOKE=1 shrinks the batch + timing windows so the full
+# plumbing (trainer, serving chain, twins, MFU extraction) can be
+# validated on CPU in minutes; canonical numbers use the defaults.
+_SMOKE = os.environ.get("FETA_BENCH_SMOKE") == "1"
+BATCH = 8 if _SMOKE else 128   # flagship bench's canonical ZINC batch
+MAX_NODES = 32       # zinc_categorical graphs pad to 32 (tests' layout)
+_N1, _N2 = (1, 3) if _SMOKE else (5, 20)
+
+
+def _zinc_graphs(seed=0, n_graphs=BATCH, eig_freqs=None, rw_dim=None,
+                 pstep=None):
+    graphs = zinc_categorical_dataset(seed=seed, n_graphs=n_graphs)
+    if eig_freqs:
+        apply_laplace_decomp(graphs, eig_freqs)
+    if rw_dim:
+        for g in graphs:
+            g.lap_pe = rwpe(g, rw_dim)
+    if pstep:
+        p_steps, gamma = pstep
+        PStepRWEncoding(p=p_steps, beta=gamma,
+                        normalization="sym").apply_to(graphs)
+    return graphs
+
+
+def _time_jax(model, batch, task, sign_flip, n1=_N1, n2=_N2):
+    """(sec_per_step_train, sec_per_call_serve, mfu dicts)."""
+    batch_d = jax.device_put(batch)
+    jax.block_until_ready(batch_d.x)
+    trainer = Trainer(model, TrainConfig(task=task, lr=1e-3,
+                                         sign_flip=sign_flip))
+    state = trainer.init(jax.random.key(0), batch_d)
+    rng_fn = lambda i: jax.random.fold_in(jax.random.key(1), i)
+    mfu_train = mfu_fields(trainer._jit_step_donated, state, batch_d,
+                           rng_fn(0), prefix="train_")
+    sec_train = timed_steps(trainer._jit_step_donated, state, batch_d,
+                            rng_fn, n1=n1, n2=n2)
+
+    # serving forward, relay-chained: thread a scalar carry through the
+    # input so successive calls are data-dependent (same reason
+    # timed_steps threads state — block_until_ready does not synchronize
+    # behind the relay)
+    variables = jax.jit(model.init)(jax.random.key(2), batch_d)
+
+    @jax.jit
+    def serve_step(carry, b, _rng):
+        bb = b.replace(x=b.x + jnp.zeros_like(b.x) *
+                       carry.astype(b.x.dtype))
+        out = model.apply(variables, bb)
+        logits = out[0] if isinstance(out, tuple) else out
+        return jnp.sum(logits.astype(jnp.float32)), logits.sum()
+
+    mfu_serve = mfu_fields(serve_step, jnp.float32(0.0), batch_d,
+                           rng_fn(0), prefix="serve_")
+    sec_serve = timed_steps(serve_step, jnp.float32(0.0), batch_d, rng_fn,
+                            n1=n1, n2=n2, check_finite=False)
+    return sec_train, sec_serve, {**_derive(mfu_train, sec_train,
+                                            "train_"),
+                                  **_derive(mfu_serve, sec_serve,
+                                            "serve_")}
+
+
+def _derive(mfu: dict, sec: float, prefix: str) -> dict:
+    """Attach achieved-rate fields now that the step time is measured."""
+    out = dict(mfu)
+    flops = mfu.get(f"{prefix}flops_per_step")
+    if flops and sec > 0:
+        from feta_tmlr_tpu.utils.profiling import device_peaks
+        out[f"{prefix}achieved_tflops"] = round(flops / sec / 1e12, 3)
+        peaks = device_peaks()
+        if peaks:
+            out[f"{prefix}mfu_vs_bf16_peak"] = round(
+                flops / sec / peaks[0], 4)
+            byt = mfu.get(f"{prefix}hbm_bytes_per_step")
+            if byt:
+                out[f"{prefix}hbm_bw_util"] = round(byt / sec / peaks[1],
+                                                    4)
+    return out
+
+
+def _time_torch(build_fn, inputs, y, n_steps=3):
+    """Twin protocol of bench.bench_torch_baseline: AdamW, L1, warmup+3."""
+    import torch
+    model = build_fn()
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        out = model(*inputs)
+        loss = torch.abs(out.reshape(y.shape) - y).mean()
+        loss.backward()
+        opt.step()
+
+    step()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    return (time.perf_counter() - t0) / n_steps
+
+
+# ----------------------------------------------------------------- tiers
+
+def bench_san_zinc():
+    """SAN_NodeSpectra at configs/LPE/ZINC/optimized.json shape
+    (GT_hidden 56, 10 layers, 8 heads, LPE dim 8 x 2 layers, m=10,
+    batch_norm) vs reference_twin/torch_san.TorchSANNodeSpectra."""
+    from feta_tmlr_tpu.nn.san import SANNodeSpectra
+    graphs = _zinc_graphs(seed=0, eig_freqs=10)
+    batch = collate_graphs(graphs, max_nodes=MAX_NODES)
+    kw = dict(hidden_dim=56, out_dim=56, n_heads=8, n_layers=10,
+              lpe_dim=8, lpe_heads=4, lpe_layers=2, gamma=1e-5,
+              dropout=0.0, in_feat_dropout=0.0, filter_order=4, n_out=1)
+    model = SANNodeSpectra(num_atom_type=28, num_bond_type=4,
+                           layer_norm=False, batch_norm=True, **kw)
+    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                          sign_flip=True)
+
+    def twin():
+        import torch  # noqa: F401  (twin import guards)
+        from feta_tmlr_tpu.reference_twin.torch_san import \
+            TorchSANNodeSpectra
+        return TorchSANNodeSpectra(
+            num_atom_type=28, num_bond_type=4, hidden_dim=56, out_dim=56,
+            n_heads=8, n_layers=10, lpe_dim=8, lpe_heads=4, lpe_layers=2,
+            gamma=1e-5, filter_order=4, n_out=1)
+
+    import torch
+    tin = (torch.from_numpy(np.asarray(batch.x)).long(),
+           torch.from_numpy(np.asarray(batch.edge_type)).long(),
+           torch.from_numpy(np.asarray(batch.adj)),
+           torch.from_numpy(np.asarray(batch.node_mask)),
+           torch.from_numpy(np.asarray(batch.eigvecs)),
+           torch.from_numpy(np.asarray(batch.eigvals)))
+    y = torch.from_numpy(np.asarray(batch.y, np.float32))
+    sec_twin = _time_torch(twin, tin, y)
+    return sec_train, sec_serve, sec_twin, mfu
+
+
+def bench_san_pattern():
+    """SAN_NodeSpectra at PATTERN shape: node classification, N=128
+    (reference SBMs_node_classification nets; dense full-graph
+    attention at the N that bounds the LPE tier)."""
+    from feta_tmlr_tpu.nn.san import SANNodeSpectra
+    graphs = sbm_like_dataset(seed=3, n_graphs=(4 if _SMOKE else 32),
+                              n_nodes=128, n_classes=2)
+    apply_laplace_decomp(graphs, 10)
+    batch = collate_graphs(graphs, max_nodes=128, node_labels=True)
+    model = SANNodeSpectra(
+        num_atom_type=0, num_bond_type=4, hidden_dim=56, out_dim=56,
+        n_heads=8, n_layers=10, lpe_dim=8, lpe_heads=4, lpe_layers=2,
+        gamma=1e-5, dropout=0.0, in_feat_dropout=0.0, layer_norm=False,
+        batch_norm=True, filter_order=4, n_out=2, node_level=True,
+        categorical_input=False)
+    sec_train, sec_serve, mfu = _time_jax(model, batch, "node_clf",
+                                          sign_flip=True)
+    return sec_train, sec_serve, None, mfu
+
+
+def bench_gat_feta():
+    """GATFeTANet at configs/LPE/ZINC/optimized_gat_feta_1.json shape
+    (L=16, hidden 22/head, 8 heads, out 176, batch_norm)."""
+    from feta_tmlr_tpu.nn.gat import GATFeTANet
+    graphs = _zinc_graphs(seed=1)
+    batch = collate_graphs(graphs, max_nodes=MAX_NODES)
+    model = GATFeTANet(num_atom_type=28, hidden_dim=22, out_dim=176,
+                       num_heads=8, n_layers=16, batch_norm=True,
+                       residual=True, filter_order=4, n_out=1)
+    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                          sign_flip=False)
+    return sec_train, sec_serve, None, mfu
+
+
+def bench_lspe_spectra():
+    """GraphiTSpectraNet at configs/LSPE/GraphiT_ZINC_LSPE.json shape
+    (L=10, hidden 48, 8 heads, rand_walk PE dim 16, adaptive k_RW edge
+    PE p=16 gamma=0.25, batch_norm) vs torch_lspe twin."""
+    from feta_tmlr_tpu.nn.lspe import GraphiTSpectraNet
+    graphs = _zinc_graphs(seed=2, rw_dim=16, pstep=(16, 0.25))
+    batch = collate_graphs(graphs, max_nodes=MAX_NODES)
+    kw = dict(hidden_dim=48, out_dim=48, n_heads=8, n_layers=10,
+              pos_enc_dim=16, filter_order=4, n_out=1)
+    model = GraphiTSpectraNet(num_atom_type=28, num_bond_type=4,
+                              pe_init="rand_walk", adaptive_edge_pe=True,
+                              batch_norm=True, layer_norm=False, **kw)
+    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                          sign_flip=False)
+
+    def twin():
+        from feta_tmlr_tpu.reference_twin.torch_lspe import \
+            TorchGraphiTSpectraNet
+        return TorchGraphiTSpectraNet(
+            num_atom_type=28, num_bond_type=4, adaptive_edge_pe=True,
+            **kw)
+
+    import torch
+    tin = (torch.from_numpy(np.asarray(batch.x)).long(),
+           torch.from_numpy(np.asarray(batch.edge_type)).long(),
+           torch.from_numpy(np.asarray(batch.adj)),
+           torch.from_numpy(np.asarray(batch.node_mask)),
+           torch.from_numpy(np.asarray(batch.lap_pe)),
+           torch.from_numpy(np.asarray(batch.pe)))
+    y = torch.from_numpy(np.asarray(batch.y, np.float32))
+    sec_twin = _time_torch(twin, tin, y)
+    return sec_train, sec_serve, sec_twin, mfu
+
+
+def bench_gatedgcn_lspe():
+    """GatedGCNLSPENet at configs/LSPE/GatedGCN_ZINC_LSPE.json shape
+    (L=16, hidden 59, rand_walk PE dim 20, batch_norm). No full torch
+    twin exists for this family (numpy layer twin only,
+    tests/test_gatedgcn.py)."""
+    from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
+    graphs = _zinc_graphs(seed=4, rw_dim=20)
+    batch = collate_graphs(graphs, max_nodes=MAX_NODES)
+    model = GatedGCNLSPENet(num_atom_type=28, num_bond_type=4,
+                            hidden_dim=59, out_dim=59, n_layers=16,
+                            pos_enc_dim=20, n_out=1)
+    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                          sign_flip=False)
+    return sec_train, sec_serve, None, mfu
+
+
+def bench_pna_lspe():
+    """PNALSPENet at configs/LSPE/PNA_ZINC_LSPE.json shape (L=16, hidden
+    55, 5 towers, rand_walk PE dim 16). No full torch twin (numpy
+    scaler/aggregator twins only, tests/test_pna.py)."""
+    from feta_tmlr_tpu.nn.pna import PNALSPENet, average_log_degree
+    graphs = _zinc_graphs(seed=5, rw_dim=16)
+    avg_log = average_log_degree(graphs)
+    batch = collate_graphs(graphs, max_nodes=MAX_NODES)
+    model = PNALSPENet(num_atom_type=28, num_bond_type=4, hidden_dim=55,
+                       out_dim=55, n_layers=16, pos_enc_dim=16, towers=5,
+                       avg_d_log=avg_log, n_out=1)
+    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                          sign_flip=False)
+    return sec_train, sec_serve, None, mfu
+
+
+TIERS = {
+    "san_zinc": bench_san_zinc,
+    "san_pattern_n128": bench_san_pattern,
+    "gat_feta_zinc": bench_gat_feta,
+    "lspe_spectra_zinc": bench_lspe_spectra,
+    "gatedgcn_lspe_zinc": bench_gatedgcn_lspe,
+    "pna_lspe_zinc": bench_pna_lspe,
+}
+
+
+def run_tiers(names=None):
+    """Extras dict for bench.py's JSON line (and BASELINE.md tables)."""
+    out = {}
+    for name, fn in TIERS.items():
+        if names and name not in names:
+            continue
+        try:
+            sec_train, sec_serve, sec_twin, mfu = fn()
+        except Exception as e:
+            out[f"tier_{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            continue
+        out[f"tier_{name}_sec_per_step"] = round(sec_train, 5)
+        out[f"tier_{name}_serve_sec_per_call"] = round(sec_serve, 5)
+        if sec_twin is not None:
+            out[f"tier_{name}_twin_sec_per_step"] = round(sec_twin, 5)
+            out[f"tier_{name}_vs_twin"] = round(sec_twin / sec_train, 2)
+        for k, v in mfu.items():
+            out[f"tier_{name}_{k}"] = v
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+    print(json.dumps(run_tiers(names)))

@@ -13,7 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from bench import bench_pallas_vs_xla_large_n
+from bench import bench_pallas_xla_pair
 
 SHAPES = ((256, 16), (512, 4), (1024, 2), (2048, 1))
 
@@ -26,13 +26,11 @@ def main():
     for n_nodes, n_graphs in shapes:
         row = {"n_nodes": n_nodes, "n_graphs": n_graphs}
         try:
-            sx1, ne = bench_pallas_vs_xla_large_n(n_nodes, n_graphs, False)
-            sp1, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs, True)
-            sx2, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs, False)
-            sp2, _ = bench_pallas_vs_xla_large_n(n_nodes, n_graphs, True)
-            row.update(xla_ms=[round(sx1 * 1e3, 2), round(sx2 * 1e3, 2)],
-                       pallas_ms=[round(sp1 * 1e3, 2), round(sp2 * 1e3, 2)],
-                       speedup=round(min(sx1, sx2) / min(sp1, sp2), 3),
+            res, ne = bench_pallas_xla_pair(n_nodes, n_graphs)
+            ms = lambda xs: [round(s * 1e3, 2) for s in xs]
+            row.update(xla_ms=ms(res["xla"]), pallas_ms=ms(res["pallas"]),
+                       speedup=round(min(res["xla"])
+                                     / min(res["pallas"]), 3),
                        edges=ne)
         except Exception as e:
             row["error"] = f"{type(e).__name__}: {e}"[:300]

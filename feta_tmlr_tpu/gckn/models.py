@@ -27,6 +27,39 @@ from feta_tmlr_tpu.gckn.layer import (
 from feta_tmlr_tpu.gckn.paths import PathBatch, build_path_batch
 
 
+def _total_paths(batch) -> int:
+    return int(sum(p.shape[0] for p in batch.path_indices))
+
+
+def _auto_device(n_paths: int, device=None):
+    """Data-driven GCKN device policy (VERDICT r2 item 6).
+
+    Round-2 pinned the whole tier to the host CPU from ONE small
+    measurement (22x at 128 ZINC graphs); the crossover study
+    (examples/gckn_crossover.py, table in BASELINE.md) shows the remote
+    accelerator's dispatch latency is amortized once the path batch is
+    large enough, so the policy keys on total enumerated paths:
+
+      - FETA_GCKN_DEVICE=cpu|accel forces a side;
+      - otherwise the accelerator is used when n_paths >=
+        FETA_GCKN_TPU_MIN_PATHS (default from the measured crossover)
+        and a non-CPU backend exists; else host CPU.
+    """
+    if device is not None:
+        return device
+    import os
+    forced = os.environ.get("FETA_GCKN_DEVICE")
+    if forced == "cpu":
+        return _host_cpu()
+    if forced in ("accel", "tpu"):
+        return jax.devices()[0]
+    accel = jax.devices()[0]
+    thresh = int(os.environ.get("FETA_GCKN_TPU_MIN_PATHS", "3000000"))
+    if accel.platform != "cpu" and n_paths >= thresh:
+        return accel
+    return _host_cpu()
+
+
 def _host_cpu():
     """The host CPU jax device (falls back to the default device on
     builds without a CPU backend registered)."""
@@ -75,14 +108,16 @@ class GCKNFeature:
 
         GCKN pretraining/encoding is the PE-PRECOMPUTE tier (its output
         is cached and fed as a training-time-constant input), so it runs
-        on the host CPU backend by default: the pipeline is a chain of
-        small sequential ops whose per-dispatch latency to a remote
-        accelerator dominates — measured 180 s on the TPU-behind-relay
-        vs 4.7 s on host CPU at 128 ZINC graphs. Pass `device` (e.g.
-        `jax.devices()[0]`) to override."""
-        dev = device if device is not None else _host_cpu()
+        on the host CPU backend for SMALL path batches: the pipeline is a
+        chain of small sequential ops whose per-dispatch latency to a
+        remote accelerator dominates — measured 180 s on the
+        TPU-behind-relay vs 4.7 s on host CPU at 128 ZINC graphs. Above
+        the measured crossover the accelerator takes over automatically
+        (`_auto_device`; examples/gckn_crossover.py). Pass `device` to
+        override, or FETA_GCKN_DEVICE=cpu|accel."""
+        batch = build_path_batch(graphs, self.max_path_size)
+        dev = _auto_device(_total_paths(batch), device)
         with jax.default_device(dev):
-            batch = build_path_batch(graphs, self.max_path_size)
             features = jnp.asarray(batch.features)
             for i, layer in enumerate(self.layers):
                 paths = sample_paths(layer, features, batch,
@@ -97,12 +132,13 @@ class GCKNFeature:
                batch: Optional[PathBatch] = None,
                device=None) -> List[np.ndarray]:
         """Per-node features, one [n_i, D] array per graph
-        (gckn/models.py:124-153). Runs on host CPU by default (see
-        `unsup_train`); pass `device` to override."""
-        dev = device if device is not None else _host_cpu()
+        (gckn/models.py:124-153). Device chosen by the measured-crossover
+        policy (see `unsup_train` / `_auto_device`); pass `device` to
+        override."""
+        if batch is None:
+            batch = build_path_batch(graphs, self.max_path_size)
+        dev = _auto_device(_total_paths(batch), device)
         with jax.default_device(dev):
-            if batch is None:
-                batch = build_path_batch(graphs, self.max_path_size)
             features = jnp.asarray(batch.features)
             for layer in self.layers:
                 features = path_layer_forward(layer, features, batch)

@@ -68,6 +68,66 @@ def timed_steps(step_fn: Callable, state, batch, rng_fn: Callable,
     return estimates[len(estimates) // 2]
 
 
+# Peak spec sheet per TPU generation: (dense bf16 FLOP/s, HBM bytes/s).
+# Public numbers (cloud.google.com/tpu/docs/system-architecture); MFU is
+# always reported against the bf16 matmul peak — f32 programs will show
+# proportionally lower utilization, which is the honest reading.
+_TPU_PEAKS = {
+    "v5e": (197e12, 819e9), "v5 lite": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6e": (918e12, 1640e9), "v6 lite": (918e12, 1640e9),
+    "v3": (123e12, 900e9),
+}
+
+
+def device_peaks(device=None):
+    """(bf16_flops, hbm_bytes_per_s) for the device, or None if unknown."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peaks in _TPU_PEAKS.items():
+        if key in kind:
+            return peaks
+    return None
+
+
+def mfu_fields(jitted_fn, *args, sec_per_step=None, prefix=""):
+    """Mechanized speed-of-light accounting for one compiled program.
+
+    Pulls XLA's own cost model from the compiled executable
+    (`lower().compile().cost_analysis()`): total FLOPs and bytes accessed.
+    With `sec_per_step` also derives achieved TFLOP/s, model-FLOPs
+    utilization vs the chip's bf16 peak, and HBM bandwidth utilization.
+    Returns {} when the backend exposes no cost analysis (never raises) —
+    bench output then simply omits the fields rather than guessing.
+    """
+    try:
+        cost = jitted_fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        return {}
+    if flops <= 0:
+        return {}
+    out = {f"{prefix}flops_per_step": flops}
+    if bytes_acc > 0:
+        out[f"{prefix}hbm_bytes_per_step"] = bytes_acc
+        out[f"{prefix}arithmetic_intensity"] = round(flops / bytes_acc, 2)
+    if sec_per_step:
+        out[f"{prefix}achieved_tflops"] = round(flops / sec_per_step / 1e12,
+                                                3)
+        peaks = device_peaks()
+        if peaks:
+            out[f"{prefix}mfu_vs_bf16_peak"] = round(
+                flops / sec_per_step / peaks[0], 4)
+            if bytes_acc > 0:
+                out[f"{prefix}hbm_bw_util"] = round(
+                    bytes_acc / sec_per_step / peaks[1], 4)
+    return out
+
+
 class EpochTimer:
     """Per-epoch wall timer matching the reference's logging fields."""
 
