@@ -110,10 +110,13 @@ def run_scale(n_shards, nodes_per_shard, edges_per_shard, devices,
     return n_edges * (k_order - 1) / dt
 
 
-def run_feta_scale(n_shards, nodes_per_shard, devices, iters=4):
+def run_feta_scale(n_shards, nodes_per_shard, devices, iters=4,
+                   ring_attention=False):
     """Weak scaling of the FULL edge-partitioned FeTA training step
     (parallel/feta_partitioned.py): V = n_shards * nodes_per_shard nodes
-    of ONE SBM-like graph, constant nodes/edges per shard."""
+    of ONE SBM-like graph, constant nodes/edges per shard.
+    ring_attention=True streams K/V blocks around the ring instead of
+    gathering [V, d] per layer (see feta_partitioned.py)."""
     from jax.sharding import Mesh
     from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
     from feta_tmlr_tpu.data import collate_graphs
@@ -138,7 +141,7 @@ def run_feta_scale(n_shards, nodes_per_shard, devices, iters=4):
                              np.asarray(g.y, np.int32), mesh,
                              degree=g.degree)
     x_sh, pe_sh, mask_sh, src, dst, w, m, lab, lmask, deg_sh = xs
-    step = make_feta_train_step(mesh, **cfg)
+    step = make_feta_train_step(mesh, ring_attention=ring_attention, **cfg)
     params = variables["params"]
     params, _ = step(params, x_sh, pe_sh, mask_sh, src, dst, w, m, lab,
                      lmask, deg_sh)
@@ -306,11 +309,16 @@ def main():
         if s_ > len(devices):
             break
         nps = run_feta_scale(s_, args.feta_nodes_per_shard, devices)
+        nps_ring = run_feta_scale(s_, args.feta_nodes_per_shard, devices,
+                                  ring_attention=True)
         if base_f is None:
             base_f = nps
+            base_r = nps_ring
         feta[f"{s_}x"] = {
             "nodes_per_s": round(nps, 1),
             "weak_scaling_eff": round(nps / (base_f * s_), 4),
+            "nodes_per_s_ring_attention": round(nps_ring, 1),
+            "ring_attention_eff": round(nps_ring / (base_r * s_), 4),
         }
     pipe = {}
     base_p = None

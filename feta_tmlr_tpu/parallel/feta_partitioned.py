@@ -35,7 +35,10 @@ exactly `nn.layers.MaskedBatchNorm`'s masked moments over the global
 node set), and `last_layer_filter=False` filters EVERY layer with the
 shared coefficient head + skip-sum like the dense FeTAEncoder
 (run_transformer_gengcn_cv.py:76). Multi-graph batches of node-sharded
-graphs live in `parallel/feta_batched.py`.
+graphs live in `parallel/feta_batched.py`. `ring_attention=True` swaps
+the per-layer K/V all_gather for a ring schedule with online-softmax
+accumulation (the multi-chip analogue of the single-chip flash kernel) —
+see `make_feta_partitioned_forward`.
 """
 
 from __future__ import annotations
@@ -82,21 +85,129 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
                                   n_layers: int, filter_order: int,
                                   axis: str = "data",
                                   batch_norm: bool = False,
-                                  last_layer_filter: bool = True):
+                                  last_layer_filter: bool = True,
+                                  ring_attention: bool = False):
     """Builds forward(params, x_sh, pe_sh, mask_sh, src, dst, w, m)
     -> per-node logits (sharded [V/D, nb_class]).
 
     params is flax's `variables["params"]` for DiffGraphTransformerGenGCNSBM
     (replicated). pe_sh may be None (no relative PE kernel).
+
+    ring_attention=True streams key/value blocks around the mesh ring
+    (ppermute) with online-softmax accumulation for the UNFILTERED layers:
+    per-layer peak memory drops from O(h * Vs * V) score rows +
+    O(V * d) gathered features to O(h * Vs * Vs) per ring step — the
+    multi-chip complement of the single-chip query-blocked Pallas kernel
+    (ops/pallas/flash_attention.py; same (m, S_e, S_u) triple statistics,
+    see `ring_attention_core` below). Filtered layers keep the gathered
+    schedule because the FilterCoefficientHead consumes the whole
+    attention graph (its in-degree normalization needs global column
+    sums); under the canonical `last_layer_filter=True` config that is 1
+    layer of L, so the memory ceiling is set by the coefficient head, not
+    attention.
     """
     n_shards = mesh.shape[axis]
     h, dh = n_heads, d_model // n_heads
     ring = ring_spmm_local(axis, n_shards)
 
+    def ring_attention_core(lp, x_local, pe_local, deg_all, mask_local,
+                            mask_all):
+        """GraphiT modulated attention with K/V blocks rotating the ring.
+
+        Online accumulation keeps a triple of row statistics per head —
+        m (running max), S_e = sum_k e, S_u = sum_k e*pd — because the
+        renormalization denominator is sum_k(a * pe * deg) = S_u / S_e;
+        the closed form out = acc / (|S_u/S_e| > eps ? S_u : S_e)
+        reproduces the gathered path's `where(|denom|>eps, denom, 1)`
+        exactly (same derivation as flash_attention.py's docstring).
+        Rows whose keys are all masked get uniform e=1 in both schedules
+        (exp(-1e30 - (-1e30)) = 1), so padded rows stay finite and equal.
+        Each ring step is jax.checkpoint'ed: the backward re-derives the
+        [h, Vs, Vs] score block instead of storing one per step, so bwd
+        memory matches fwd.
+        """
+        d = d_model
+        vs = x_local.shape[0]
+        wqkv = lp["qkv"].reshape(d, 3, h, dh)
+        bqkv = lp["qkv_bias"].reshape(3, h, dh)
+        wq, wk, wv = wqkv[:, 0], wqkv[:, 1], wqkv[:, 2]
+        bq, bk, bv = bqkv[0], bqkv[1], bqkv[2]
+
+        a_mix = jnp.einsum("dhe,ghe->hdg", wq, wk)
+        xa = jnp.einsum("nd,hdg->hng", x_local, a_mix)        # [h, Vs, d]
+        c_q = jnp.einsum("nd,dhe,he->nh", x_local, wq, bk)
+        c_q = c_q.T[:, :, None]                               # [h, Vs, 1]
+        c_0 = jnp.einsum("he,he->h", bq, bk)[:, None, None]
+        inv = 1.0 / jnp.sqrt(jnp.asarray(dh, x_local.dtype))
+        my = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        f32 = jnp.float32
+
+        def body(carry, t):
+            x_blk, m, se, su, acc = carry
+            s = (my - t) % n_shards
+            kmask = jax.lax.dynamic_slice_in_dim(
+                mask_all, s * vs, vs)                         # [Vs]
+            scores = jnp.einsum("hng,mg->hnm", xa, x_blk)
+            c_k = jnp.einsum("md,dhe,he->mh", x_blk, wk, bq)
+            scores = (scores + c_q + c_k.T[:, None, :] + c_0) * inv
+            scores = jnp.where(kmask[None, None, :] > 0,
+                               scores.astype(f32), _NEG_INF)
+            m_new = jnp.maximum(m, scores.max(-1, keepdims=True))
+            scale = jnp.exp(m - m_new)
+            e = jnp.exp(scores - m_new)                       # [h, Vs, Vs]
+            pd = None
+            if pe_local is not None:
+                pd = jax.lax.dynamic_slice_in_dim(
+                    pe_local, s * vs, vs, axis=1).astype(f32)  # [Vs, Vs]
+            if deg_all is not None:
+                dblk = jax.lax.dynamic_slice_in_dim(
+                    deg_all, s * vs, vs).astype(f32)[None, :]
+                pd = dblk if pd is None else pd * dblk
+            w_mod = e if pd is None else e * pd[None]
+            v_blk = jnp.einsum("md,dhe->mhe", x_blk, wv) + bv
+            se = se * scale + e.sum(-1, keepdims=True)
+            su = su * scale + w_mod.sum(-1, keepdims=True)
+            acc = acc * scale + jnp.einsum(
+                "hnm,mhe->hne", w_mod.astype(x_blk.dtype), v_blk)
+            x_blk = jax.lax.ppermute(x_blk, axis, perm)
+            return (x_blk, m_new, se, su, acc), None
+
+        # the stat carries become device-varying after step 1 — mark the
+        # replicated zero inits as varying up front (shard_map + scan)
+        vary = lambda t: jax.lax.pcast(t, (axis,), to="varying")
+        init = (x_local,
+                vary(jnp.full((h, vs, 1), -jnp.inf, f32)),
+                vary(jnp.zeros((h, vs, 1), f32)),
+                vary(jnp.zeros((h, vs, 1), f32)),
+                vary(jnp.zeros((h, vs, dh), f32)))
+        (_, _, se, su, acc), _ = jax.lax.scan(
+            jax.checkpoint(body), init, jnp.arange(n_shards))
+        guard = jnp.abs(su / se) > 1e-9
+        div = jnp.where(guard, su, se)
+        heads = (acc / div).astype(x_local.dtype)             # [h, Vs, dh]
+        out_heads = heads.transpose(1, 0, 2) \
+            * mask_local[:, None, None]                       # [Vs, h, dh]
+        return out_heads.reshape(vs, d) @ lp["out_proj_kernel"] \
+            + lp["out_proj_bias"]
+
     def attention_layer(lp, x_local, x_all, pe_local, deg_all, mask_local,
                         mask_all, need_heads):
         """GraphiTEncoderLayer semantics (nn/layers.py:79-183), node-sharded
-        queries, gathered keys/values."""
+        queries; keys/values gathered, or streamed around the ring when
+        x_all is None (ring_attention mode, unfiltered layers only)."""
+        if x_all is None:
+            attn_out = ring_attention_core(lp, x_local, pe_local, deg_all,
+                                           mask_local, mask_all)
+            mask_f = mask_local[:, None].astype(x_local.dtype)
+            norm = ((lambda t, p: _masked_batch_norm(t, p, mask_f, (axis,)))
+                    if batch_norm else _layer_norm)
+            x = norm(x_local + attn_out, lp["norm1"])
+            ff = x @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
+            ff = jax.nn.relu(ff)
+            ff = ff @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
+            x = norm(x + ff, lp["norm2"])
+            return x * mask_f, None, None
         d = d_model
         wqkv = lp["qkv"].reshape(d, 3, h, dh)
         bqkv = lp["qkv_bias"].reshape(3, h, dh)
@@ -222,7 +333,8 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
             # layer, or EVERY layer when last_layer_filter=False — shared
             # coefficient head, skip-summed filtered signal
             filtered = (not last_layer_filter) or (i + 1 == n_layers)
-            x_all = jax.lax.all_gather(x, axis).reshape(-1, d_model)
+            x_all = (None if (ring_attention and not filtered)
+                     else jax.lax.all_gather(x, axis).reshape(-1, d_model))
             x, attn, out_heads = attention_layer(
                 enc[f"layer_{i}"], x, x_all, pe_local, deg_all,
                 mask_local, mask_all, need_heads=filtered)
@@ -260,12 +372,14 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
 def make_feta_train_step(mesh: Mesh, d_model: int, n_heads: int,
                          n_layers: int, filter_order: int, lr: float = 1e-3,
                          axis: str = "data", batch_norm: bool = False,
-                         last_layer_filter: bool = True):
+                         last_layer_filter: bool = True,
+                         ring_attention: bool = False):
     """SGD step over the partitioned forward: masked per-node CE, grads
     psum-reduced by shard_map autodiff, params replicated."""
     forward = make_feta_partitioned_forward(
         mesh, d_model, n_heads, n_layers, filter_order, axis,
-        batch_norm=batch_norm, last_layer_filter=last_layer_filter)
+        batch_norm=batch_norm, last_layer_filter=last_layer_filter,
+        ring_attention=ring_attention)
 
     @jax.jit
     def step(params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,

@@ -101,3 +101,73 @@ def test_partitioned_feta_learns():
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, losses
     assert np.isfinite(losses[-1])
+
+
+@pytest.mark.parametrize("n_nodes,with_pe,batch_norm",
+                         [(24, True, False), (22, False, False),
+                          (24, True, True)])
+def test_ring_attention_matches_dense(n_nodes, with_pe, batch_norm):
+    """Ring-streamed K/V attention (online (m, S_e, S_u) accumulation)
+    reproduces the dense model exactly: same logits as the single-chip
+    flax model, covering PE+degree modulation, padded tail shards, and
+    psum'd masked BatchNorm."""
+    mesh = _mesh()
+    g = _graph(n_nodes, with_pe=with_pe)
+    batch = collate_graphs([g], max_nodes=n_nodes, node_labels=False)
+
+    model = DiffGraphTransformerGenGCNSBM(
+        in_size=3, nb_class=2, d_model=CFG["d_model"],
+        nb_heads=CFG["nb_heads"], dim_feedforward=2 * CFG["d_model"],
+        dropout=0.0, nb_layers=CFG["nb_layers"], batch_norm=batch_norm,
+        lap_pos_enc=False, filter_order=CFG["filter_order"])
+    variables = model.init(jax.random.key(0), batch)
+    if batch_norm:
+        # train mode: batch statistics, matching the partitioned path
+        (logits_dense, _), _ = model.apply(variables, batch,
+                                           deterministic=False,
+                                           mutable=["batch_stats"])
+    else:
+        logits_dense, _ = model.apply(variables, batch)
+    logits_dense = np.asarray(logits_dense[0])
+
+    x_sh, pe_sh, mask_sh, src, dst, w, m, _, _, deg_sh = \
+        prepare_feta_inputs(
+            g.edge_index, g.x.astype(np.float32), None, mesh,
+            pe=g.pe if with_pe else None, degree=g.degree)
+    forward = make_feta_partitioned_forward(
+        mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+        CFG["filter_order"], batch_norm=batch_norm, ring_attention=True)
+    logits_ring = np.asarray(forward(
+        variables["params"], x_sh, pe_sh, mask_sh, src, dst, w, m,
+        deg_sh=deg_sh))
+    np.testing.assert_allclose(logits_ring[:n_nodes], logits_dense,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ring_attention_grads_match_gathered():
+    """One SGD step through the ring schedule (scan + checkpoint +
+    ppermute autodiff) lands on the same params as the gathered
+    schedule."""
+    mesh = _mesh()
+    g = _graph(24, seed=3)
+    labels = np.asarray(g.y, np.int32)
+    model = _dense_model()
+    batch = collate_graphs([g], max_nodes=24, node_labels=False)
+    params = model.init(jax.random.key(1), batch)["params"]
+
+    x_sh, pe_sh, mask_sh, src, dst, w, m, lab, lmask, deg_sh = \
+        prepare_feta_inputs(
+            g.edge_index, g.x.astype(np.float32), labels, mesh, pe=g.pe,
+            degree=g.degree)
+    outs = {}
+    for name, ring in (("gathered", False), ("ring", True)):
+        step = make_feta_train_step(
+            mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+            CFG["filter_order"], lr=3e-2, ring_attention=ring)
+        p, loss = step(params, x_sh, pe_sh, mask_sh, src, dst, w, m,
+                       lab, lmask, deg_sh)
+        outs[name] = (jax.tree_util.tree_leaves(p), float(loss))
+    assert np.isclose(outs["ring"][1], outs["gathered"][1], rtol=1e-5)
+    for a, b in zip(outs["ring"][0], outs["gathered"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
