@@ -51,6 +51,20 @@ class PartitionedGraph:
 
 def partition_edges(edge_index: np.ndarray, n_nodes: int, n_shards: int,
                     edge_weight=None) -> PartitionedGraph:
+    # native fast path (native/edgepart.cpp via ctypes): two sequential
+    # passes with no per-edge Python — the list-append builder below is
+    # the golden twin (bit-identical, tests/test_edgepart_native.py)
+    from feta_tmlr_tpu.parallel.edgepart_native import (
+        native_available,
+        partition_edges_native,
+    )
+    if native_available():
+        vs, src_local, dst_local, weight, mask = partition_edges_native(
+            edge_index, n_nodes, n_shards, edge_weight)
+        return PartitionedGraph(n_nodes=n_nodes, n_shards=n_shards,
+                                nodes_per_shard=vs, src_local=src_local,
+                                dst_local=dst_local, weight=weight,
+                                mask=mask)
     vs = -(-n_nodes // n_shards)          # nodes per shard (ceil)
     src, dst = edge_index[0], edge_index[1]
     if edge_weight is None:
