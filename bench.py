@@ -500,33 +500,74 @@ def bench_serving_concurrent(graphs, n_requests=192, n_clients=16,
     return rps_naive, rps_batched
 
 
+def _accelerator_available() -> bool:
+    """Probe default-backend init in a SUBPROCESS with a hard deadline.
+
+    When the axon relay is unreachable, in-process `jax.devices()` blocks
+    for 20+ minutes before raising (measured 2026-08-18) — a try/except
+    in this process would hang the whole bench. The subprocess is killed
+    at FETA_BENCH_PROBE_TIMEOUT (default 240 s; healthy relay init takes
+    seconds)."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; "
+             "sys.exit(0 if jax.devices()[0].platform != 'cpu' else 3)"],
+            timeout=int(os.environ.get("FETA_BENCH_PROBE_TIMEOUT", "240")),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    # If the accelerator backend cannot initialize (e.g. the axon relay is
+    # unreachable), fall back to host CPU and say so in the JSON rather
+    # than crashing (or hanging) with no record for the round.
+    degraded = None
+    if not _accelerator_available():
+        degraded = "accelerator backend unavailable; host-CPU fallback"
+        jax.config.update("jax_platforms", "cpu")
     graphs, n_edges = make_graphs()
     # FETA_TRACE_DIR=<dir> captures a jax.profiler trace of the unpacked
     # measurement for XProf/TensorBoard (utils/profiling.trace)
     trace_dir = os.environ.get("FETA_TRACE_DIR")
-    sec_packed = bench_packed(graphs, n_edges)
     mfu_unpacked, mfu_bf16 = {}, {}
-    if trace_dir:
-        from feta_tmlr_tpu.utils.profiling import trace
-        with trace(trace_dir):
+    if degraded:
+        # CPU fallback: one meaningful row (unpacked f32 + twin ratio),
+        # skip the variants/sweeps whose point is on-chip behavior
+        sec_unpacked = bench_unpacked(graphs, n_edges, mfu_out=mfu_unpacked)
+        sec_packed = sec_bf16 = None
+        try:
+            sec_torch = bench_torch_baseline(graphs)
+        except Exception:
+            sec_torch = None
+        sweep = None
+    else:
+        sec_packed = bench_packed(graphs, n_edges)
+        if trace_dir:
+            from feta_tmlr_tpu.utils.profiling import trace
+            with trace(trace_dir):
+                sec_unpacked = bench_unpacked(graphs, n_edges,
+                                              mfu_out=mfu_unpacked)
+        else:
             sec_unpacked = bench_unpacked(graphs, n_edges,
                                           mfu_out=mfu_unpacked)
-    else:
-        sec_unpacked = bench_unpacked(graphs, n_edges,
-                                      mfu_out=mfu_unpacked)
-    # bf16 mixed-precision variant (attention/FFN/Cheb matmuls on the MXU
-    # at 2x peak; params/softmax/norms f32) — measured 6.1 vs 8.4-8.6 ms
-    # f32 interleaved in-process (2026-08-17, see BASELINE.md A/B table)
-    sec_bf16 = bench_unpacked_dtype(graphs, "bfloat16", mfu_out=mfu_bf16)
-    try:
-        sec_torch = bench_torch_baseline(graphs)
-    except Exception:
-        sec_torch = None
-    try:
-        sweep = bench_batch_sweep()
-    except Exception:
-        sweep = None
+        # bf16 mixed-precision variant (attention/FFN/Cheb matmuls on the
+        # MXU at 2x peak; params/softmax/norms f32) — measured 6.1 vs
+        # 8.4-8.6 ms f32 interleaved in-process (see BASELINE.md A/B table)
+        sec_bf16 = bench_unpacked_dtype(graphs, "bfloat16",
+                                        mfu_out=mfu_bf16)
+        try:
+            sec_torch = bench_torch_baseline(graphs)
+        except Exception:
+            sec_torch = None
+        try:
+            sweep = bench_batch_sweep()
+        except Exception:
+            sweep = None
     extras = {}
     if sweep:
         for bsz, eps in sweep.items():
@@ -609,15 +650,17 @@ def main():
         extras["stream_sec_per_step_wire"] = round(min(w1, w2), 5)
         extras["stream_sec_per_step_wire_prefetch"] = round(min(f1, f2), 5)
         extras["stream_wire_speedup"] = round(min(p1, p2) / min(w1, w2), 3)
-    best = min(sec_packed, sec_unpacked, sec_bf16)
+    rnd = lambda s: round(s, 5) if s is not None else None
+    best = min(s for s in (sec_packed, sec_unpacked, sec_bf16)
+               if s is not None)
     out = {
         "metric": "edges_per_s_per_chip",
         "value": round(n_edges / best, 1),
         "unit": "edges/s",
         "vs_baseline": (round(sec_torch / best, 3) if sec_torch else None),
-        "sec_per_step_packed": round(sec_packed, 5),
-        "sec_per_step_unpacked": round(sec_unpacked, 5),
-        "sec_per_step_bf16": round(sec_bf16, 5),
+        "sec_per_step_packed": rnd(sec_packed),
+        "sec_per_step_unpacked": rnd(sec_unpacked),
+        "sec_per_step_bf16": rnd(sec_bf16),
         # saturating = best point of the interleaved batch-size sweep
         # (per-size max of 2 in-process repeats; bench_batch_sweep)
         "edges_per_s_saturating": (round(max(sweep.values()), 1)
@@ -628,6 +671,7 @@ def main():
         "device": str(jax.devices()[0]),
         "batch_graphs": BATCH,
         "edges_per_batch": n_edges,
+        **({"degraded": degraded} if degraded else {}),
         **extras,
     }
     print(json.dumps(out))

@@ -20,3 +20,16 @@ Layout:
 __version__ = "0.1.0"
 
 from feta_tmlr_tpu.data.batch import GraphBatch  # noqa: F401
+
+# Opt-in persistent XLA-executable cache: FETA_COMPILE_CACHE=<dir> (or "1"
+# for the default path). Critical behind a device relay where each unique
+# jitted program costs minutes to compile (utils/profiling.py).
+import os as _os
+
+_cache = _os.environ.get("FETA_COMPILE_CACHE")
+if _cache:
+    from feta_tmlr_tpu.utils.profiling import (
+        enable_persistent_compile_cache as _epcc,
+    )
+
+    _epcc("/tmp/feta_jax_cache" if _cache == "1" else _cache)

@@ -146,3 +146,25 @@ class EpochTimer:
     @property
     def last(self) -> Optional[float]:
         return self.history[-1] if self.history else None
+
+
+def enable_persistent_compile_cache(path: str = "/tmp/feta_jax_cache",
+                                    min_compile_secs: float = 1.0) -> bool:
+    """Persist compiled XLA executables across processes.
+
+    Behind the device relay a single jitted program takes 1-10 minutes to
+    compile; the on-disk cache makes every later process that traces the
+    same program (bench re-runs, serving restarts, resumed soaks) load it
+    in seconds instead. Safe to call on any backend; returns False if the
+    running JAX build rejects the config (cache disabled, nothing else
+    changes). Auto-enabled when FETA_COMPILE_CACHE is set in the
+    environment (see feta_tmlr_tpu/__init__.py).
+    """
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+        jax.config.update("jax_enable_compilation_cache", True)
+        return True
+    except Exception:
+        return False
