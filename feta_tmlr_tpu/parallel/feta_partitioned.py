@@ -37,8 +37,9 @@ shared coefficient head + skip-sum like the dense FeTAEncoder
 (run_transformer_gengcn_cv.py:76). Multi-graph batches of node-sharded
 graphs live in `parallel/feta_batched.py`. `ring_attention=True` swaps
 the per-layer K/V all_gather for a ring schedule with online-softmax
-accumulation (the multi-chip analogue of the single-chip flash kernel) —
-see `make_feta_partitioned_forward`.
+accumulation (the multi-chip analogue of the single-chip flash kernel),
+including the filtered layers' coefficient head — see
+`make_feta_partitioned_forward`.
 """
 
 from __future__ import annotations
@@ -94,24 +95,22 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
     (replicated). pe_sh may be None (no relative PE kernel).
 
     ring_attention=True streams key/value blocks around the mesh ring
-    (ppermute) with online-softmax accumulation for the UNFILTERED layers:
+    (ppermute) with online-softmax accumulation for EVERY layer:
     per-layer peak memory drops from O(h * Vs * V) score rows +
     O(V * d) gathered features to O(h * Vs * Vs) per ring step — the
     multi-chip complement of the single-chip query-blocked Pallas kernel
     (ops/pallas/flash_attention.py; same (m, S_e, S_u) triple statistics,
-    see `ring_attention_core` below). Filtered layers keep the gathered
-    schedule because the FilterCoefficientHead consumes the whole
-    attention graph (its in-degree normalization needs global column
-    sums); under the canonical `last_layer_filter=True` config that is 1
-    layer of L, so the memory ceiling is set by the coefficient head, not
-    attention.
+    see `ring_attention_core` below). Filtered layers stream too: the
+    FilterCoefficientHead consumes only column reductions of the detached
+    attention, accumulated in two extra stop-gradient ring passes, so no
+    [h, Vs, V] tensor exists anywhere in the model at any V.
     """
     n_shards = mesh.shape[axis]
     h, dh = n_heads, d_model // n_heads
     ring = ring_spmm_local(axis, n_shards)
 
     def ring_attention_core(lp, x_local, pe_local, deg_all, mask_local,
-                            mask_all):
+                            mask_all, coeff_params=None, n_valid=None):
         """GraphiT modulated attention with K/V blocks rotating the ring.
 
         Online accumulation keeps a triple of row statistics per head —
@@ -125,6 +124,16 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
         Each ring step is jax.checkpoint'ed: the backward re-derives the
         [h, Vs, Vs] score block instead of storing one per step, so bwd
         memory matches fwd.
+
+        With coeff_params set (a FILTERED layer), the FilterCoefficientHead
+        statistics are accumulated in two more ring passes so the filtered
+        layer streams too: the head consumes only column reductions of the
+        (detached, nn/feta.py stop-gradient) attention — in-degree column
+        sums with the missing-diagonal fill, then dis-weighted column sums
+        — and both are [h, V] vectors a scan can build block by block and
+        psum. No gradient flows through them (the dense model detaches the
+        coefficient GCN's input), so the recompute passes run whole under
+        stop_gradient. Returns (attn_out, out_heads, coeff).
         """
         d = d_model
         vs = x_local.shape[0]
@@ -141,21 +150,21 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
         inv = 1.0 / jnp.sqrt(jnp.asarray(dh, x_local.dtype))
         my = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-        f32 = jnp.float32
+        # stat/accumulator dtype: f32 floor (bf16 io still accumulates in
+        # f32, like the flash kernel), widens with the io dtype (f64 runs)
+        f32 = jnp.promote_types(jnp.float32, x_local.dtype)
+        total = n_shards * vs
 
-        def body(carry, t):
-            x_blk, m, se, su, acc = carry
-            s = (my - t) % n_shards
+        def score_block(xa_, cq_, wk_, bq_, c0_, x_blk, s):
             kmask = jax.lax.dynamic_slice_in_dim(
                 mask_all, s * vs, vs)                         # [Vs]
-            scores = jnp.einsum("hng,mg->hnm", xa, x_blk)
-            c_k = jnp.einsum("md,dhe,he->mh", x_blk, wk, bq)
-            scores = (scores + c_q + c_k.T[:, None, :] + c_0) * inv
-            scores = jnp.where(kmask[None, None, :] > 0,
-                               scores.astype(f32), _NEG_INF)
-            m_new = jnp.maximum(m, scores.max(-1, keepdims=True))
-            scale = jnp.exp(m - m_new)
-            e = jnp.exp(scores - m_new)                       # [h, Vs, Vs]
+            scores = jnp.einsum("hng,mg->hnm", xa_, x_blk)
+            c_k = jnp.einsum("md,dhe,he->mh", x_blk, wk_, bq_)
+            scores = (scores + cq_ + c_k.T[:, None, :] + c0_) * inv
+            return jnp.where(kmask[None, None, :] > 0,
+                             scores.astype(f32), _NEG_INF), kmask
+
+        def pd_block(s):
             pd = None
             if pe_local is not None:
                 pd = jax.lax.dynamic_slice_in_dim(
@@ -164,6 +173,16 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
                 dblk = jax.lax.dynamic_slice_in_dim(
                     deg_all, s * vs, vs).astype(f32)[None, :]
                 pd = dblk if pd is None else pd * dblk
+            return pd
+
+        def body(carry, t):
+            x_blk, m, se, su, acc = carry
+            s = (my - t) % n_shards
+            scores, _ = score_block(xa, c_q, wk, bq, c_0, x_blk, s)
+            m_new = jnp.maximum(m, scores.max(-1, keepdims=True))
+            scale = jnp.exp(m - m_new)
+            e = jnp.exp(scores - m_new)                       # [h, Vs, Vs]
+            pd = pd_block(s)
             w_mod = e if pd is None else e * pd[None]
             v_blk = jnp.einsum("md,dhe->mhe", x_blk, wv) + bv
             se = se * scale + e.sum(-1, keepdims=True)
@@ -181,24 +200,109 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
                 vary(jnp.zeros((h, vs, 1), f32)),
                 vary(jnp.zeros((h, vs, 1), f32)),
                 vary(jnp.zeros((h, vs, dh), f32)))
-        (_, _, se, su, acc), _ = jax.lax.scan(
+        (_, m_fin, se, su, acc), _ = jax.lax.scan(
             jax.checkpoint(body), init, jnp.arange(n_shards))
         guard = jnp.abs(su / se) > 1e-9
         div = jnp.where(guard, su, se)
         heads = (acc / div).astype(x_local.dtype)             # [h, Vs, dh]
         out_heads = heads.transpose(1, 0, 2) \
             * mask_local[:, None, None]                       # [Vs, h, dh]
-        return out_heads.reshape(vs, d) @ lp["out_proj_kernel"] \
+        attn_out = out_heads.reshape(vs, d) @ lp["out_proj_kernel"] \
             + lp["out_proj_bias"]
+        if coeff_params is None:
+            return attn_out, out_heads, None
+
+        # ---- FilterCoefficientHead statistics (stop-gradient ring passes)
+        # EVERY score ingredient is detached — including wk/bq/c_0, which
+        # enter through the key-side rank-1 correction recomputed per
+        # block. (Detaching only xa/c_q/x once leaked a bq gradient
+        # through these passes: the dense head detaches the whole
+        # attention tensor, nn/feta.py stop_gradient.)
+        sg = jax.lax.stop_gradient
+        xa_s, cq_s, x_s = sg(xa), sg(c_q), sg(x_local)
+        wk_s, bq_s, c0_s = sg(wk), sg(bq), sg(c_0)
+        m_f, div_f = sg(m_fin), sg(div)
+        qmask = mask_local[None, :, None].astype(f32)
+
+        def attn_block(x_blk, s):
+            """Recompute one renormalized-attention block [h, Vs, Vs],
+            bit-matching the gathered coeff_head's double-masked input."""
+            scores, kmask = score_block(xa_s, cq_s, wk_s, bq_s, c0_s,
+                                        x_blk, s)
+            e = jnp.exp(scores - m_f)
+            pd = pd_block(s)
+            w_mod = e if pd is None else e * pd[None]
+            return (w_mod / div_f) * qmask * kmask[None, None, :]
+
+        def body_cols(carry, t):
+            x_blk, colsum, miss = carry
+            s = (my - t) % n_shards
+            a = attn_block(x_blk, s)
+            on_diag = jnp.where(s == my, 1.0, 0.0)
+            dg = jnp.diagonal(a, axis1=1, axis2=2)            # [h, Vs]
+            missing = ((dg == 0.0)
+                       & (mask_local[None, :] > 0)).astype(f32) * on_diag
+            csum = a.sum(axis=1) + missing      # filled diag adds 1 at col
+            colsum = jax.lax.dynamic_update_slice_in_dim(
+                colsum, csum, s * vs, axis=1)
+            x_blk = jax.lax.ppermute(x_blk, axis, perm)
+            return (x_blk, colsum, miss + missing), None
+
+        (_, colsum, missing), _ = jax.lax.scan(
+            body_cols, (x_s, vary(jnp.zeros((h, total), f32)),
+                        vary(jnp.zeros((h, vs), f32))),
+            jnp.arange(n_shards))
+        deg_in = jax.lax.psum(colsum, axis)                   # [h, V]
+        dis = jnp.where(deg_in > 0, jax.lax.rsqrt(deg_in), 0.0)
+        dis_src = jax.lax.dynamic_slice_in_dim(
+            dis, my * vs, vs, axis=1)                         # [h, Vs]
+
+        def body_wcols(carry, t):
+            x_blk, wcol = carry
+            s = (my - t) % n_shards
+            a = attn_block(x_blk, s)
+            wblk = jnp.einsum("hn,hnm->hm", dis_src, a)       # [h, Vs]
+            on_diag = jnp.where(s == my, 1.0, 0.0)
+            wblk = wblk + missing * dis_src * on_diag  # filled-diag weight
+            wcol = jax.lax.dynamic_update_slice_in_dim(
+                wcol, wblk, s * vs, axis=1)
+            x_blk = jax.lax.ppermute(x_blk, axis, perm)
+            return (x_blk, wcol), None
+
+        (_, wcol), _ = jax.lax.scan(
+            body_wcols, (x_s, vary(jnp.zeros((h, total), f32))),
+            jnp.arange(n_shards))
+        s_all = dis * jax.lax.psum(wcol, axis)                # [h, V]
+        s_local = jax.lax.dynamic_slice_in_dim(s_all, my * vs, vs, axis=1)
+        coeff = _coeff_tail(coeff_params, s_local, mask_local, n_valid)
+        return attn_out, out_heads, coeff
+
+    def _coeff_tail(cp, s_local, mask_local, n_valid):
+        """Shared FilterCoefficientHead tail (nn/feta.py:64-98): per-node
+        tanh GCN feature from the symmetric-normalized column sums, masked
+        global mean pool, linear head."""
+        hfeat = jnp.tanh(s_local[..., None] * cp["gcn_kernel"].sum(axis=0)
+                         + cp["gcn_bias"])                    # [h, Vs, C]
+        pooled = jax.lax.psum(
+            (hfeat * mask_local[None, :, None]).sum(axis=1), axis) \
+            / jnp.maximum(n_valid, 1.0)                       # [h, C]
+        return pooled @ cp["coeff_linear"]["kernel"] \
+            + cp["coeff_linear"]["bias"]
 
     def attention_layer(lp, x_local, x_all, pe_local, deg_all, mask_local,
-                        mask_all, need_heads):
+                        mask_all, need_heads, coeff_params=None,
+                        n_valid=None):
         """GraphiTEncoderLayer semantics (nn/layers.py:79-183), node-sharded
         queries; keys/values gathered, or streamed around the ring when
-        x_all is None (ring_attention mode, unfiltered layers only)."""
+        x_all is None (ring_attention mode). In ring mode the middle
+        return value is the READY coefficient vector for filtered layers
+        (accumulated ring-wise; attention itself is never materialized),
+        where the gathered mode returns the attention matrix instead."""
         if x_all is None:
-            attn_out = ring_attention_core(lp, x_local, pe_local, deg_all,
-                                           mask_local, mask_all)
+            attn_out, out_heads, ring_coeff = ring_attention_core(
+                lp, x_local, pe_local, deg_all, mask_local, mask_all,
+                coeff_params=coeff_params if need_heads else None,
+                n_valid=n_valid)
             mask_f = mask_local[:, None].astype(x_local.dtype)
             norm = ((lambda t, p: _masked_batch_norm(t, p, mask_f, (axis,)))
                     if batch_norm else _layer_norm)
@@ -207,7 +311,8 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
             ff = jax.nn.relu(ff)
             ff = ff @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
             x = norm(x + ff, lp["norm2"])
-            return x * mask_f, None, None
+            return x * mask_f, ring_coeff, (out_heads if need_heads
+                                            else None)
         d = d_model
         wqkv = lp["qkv"].reshape(d, 3, h, dh)
         bqkv = lp["qkv_bias"].reshape(3, h, dh)
@@ -283,14 +388,7 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
         a_norm = dis_src[:, :, None] * a * dis[:, None, :]
         s_all = jax.lax.psum(a_norm.sum(axis=1), axis)       # [h, V] col sums
         s_local = jax.lax.dynamic_slice_in_dim(s_all, my * vs, vs, axis=1)
-        c = cp["gcn_kernel"].shape[0]
-        hfeat = jnp.tanh(s_local[..., None] * cp["gcn_kernel"].sum(axis=0)
-                         + cp["gcn_bias"])                   # [h, Vs, C]
-        pooled = jax.lax.psum(
-            (hfeat * mask_local[None, :, None]).sum(axis=1), axis) \
-            / jnp.maximum(n_valid, 1.0)                      # [h, C]
-        return pooled @ cp["coeff_linear"]["kernel"] \
-            + cp["coeff_linear"]["bias"]
+        return _coeff_tail(cp, s_local, mask_local, n_valid)
 
     def cheb_filter(heads, coeff, cheb_bias, src, dst, w, m, mask_local):
         """cheb_filter_dynamic (ops/cheb.py:45-80) with the Lhat matvec on
@@ -333,15 +431,18 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
             # layer, or EVERY layer when last_layer_filter=False — shared
             # coefficient head, skip-summed filtered signal
             filtered = (not last_layer_filter) or (i + 1 == n_layers)
-            x_all = (None if (ring_attention and not filtered)
+            x_all = (None if ring_attention
                      else jax.lax.all_gather(x, axis).reshape(-1, d_model))
             x, attn, out_heads = attention_layer(
                 enc[f"layer_{i}"], x, x_all, pe_local, deg_all,
-                mask_local, mask_all, need_heads=filtered)
+                mask_local, mask_all, need_heads=filtered,
+                coeff_params=enc["coeff_head"], n_valid=n_valid)
             if not filtered:
                 continue
-            coeff = coeff_head(enc["coeff_head"], attn, mask_local,
-                               mask_all, n_valid)            # [h, C]
+            # ring mode accumulated the coefficients block-wise already
+            coeff = attn if ring_attention else coeff_head(
+                enc["coeff_head"], attn, mask_local,
+                mask_all, n_valid)                           # [h, C]
             filt = cheb_filter(out_heads, coeff, enc["cheb_bias"],
                                src[0], dst[0], w[0], m[0], mask_local)
             allout_filt = (filt if allout_filt is None

@@ -171,3 +171,34 @@ def test_ring_attention_grads_match_gathered():
     for a, b in zip(outs["ring"][0], outs["gathered"][0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_ring_attention_all_layers_filtered():
+    """last_layer_filter=False: EVERY layer runs the ring coefficient-
+    statistics passes (col sums + dis-weighted col sums + diag fill),
+    still matching the dense model."""
+    mesh = _mesh()
+    g = _graph(24, with_pe=True)
+    batch = collate_graphs([g], max_nodes=24, node_labels=False)
+    model = DiffGraphTransformerGenGCNSBM(
+        in_size=3, nb_class=2, d_model=CFG["d_model"],
+        nb_heads=CFG["nb_heads"], dim_feedforward=2 * CFG["d_model"],
+        dropout=0.0, nb_layers=CFG["nb_layers"], batch_norm=False,
+        lap_pos_enc=False, filter_order=CFG["filter_order"],
+        last_layer_filter=False)
+    variables = model.init(jax.random.key(0), batch)
+    logits_dense, _ = model.apply(variables, batch)
+    logits_dense = np.asarray(logits_dense[0])
+
+    x_sh, pe_sh, mask_sh, src, dst, w, m, _, _, deg_sh = \
+        prepare_feta_inputs(
+            g.edge_index, g.x.astype(np.float32), None, mesh,
+            pe=g.pe, degree=g.degree)
+    forward = make_feta_partitioned_forward(
+        mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+        CFG["filter_order"], last_layer_filter=False, ring_attention=True)
+    logits_ring = np.asarray(forward(
+        variables["params"], x_sh, pe_sh, mask_sh, src, dst, w, m,
+        deg_sh=deg_sh))
+    np.testing.assert_allclose(logits_ring[:24], logits_dense,
+                               rtol=2e-4, atol=2e-5)
