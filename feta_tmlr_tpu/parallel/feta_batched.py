@@ -216,31 +216,56 @@ def make_feta_batched_train_step(mesh: Mesh, d_model: int, n_heads: int,
                                  data_axis: str = "data",
                                  node_axis: str = "nodes",
                                  batch_norm: bool = False,
-                                 last_layer_filter: bool = True):
-    """SGD step: masked per-node CE over the sharded logits (loss and
-    grads composed by GSPMD outside the shard_map)."""
+                                 last_layer_filter: bool = True,
+                                 optimizer=None):
+    """Train step: masked per-node CE over the sharded logits (loss and
+    grads composed by GSPMD outside the shard_map).
+
+    optimizer=None keeps plain SGD(lr):
+        step(params, *inputs) -> (params, loss).
+    With an optax GradientTransformation (AdamW, schedules, chains —
+    what the reference's SBM protocol actually trains with), pair the
+    returned step with `optimizer.init(params)`:
+        step(params, opt_state, *inputs) -> (params, opt_state, loss).
+    """
     forward = make_feta_batched_forward(
         mesh, d_model, n_heads, n_layers, filter_order, data_axis,
         node_axis, batch_norm=batch_norm,
         last_layer_filter=last_layer_filter)
 
+    def loss_fn(p, x_sh, pe_sh, lhat_sh, mask_sh, labels, label_mask,
+                deg_sh):
+        logits = forward(p, x_sh, pe_sh, lhat_sh, mask_sh, deg_sh)
+        onehot = jax.nn.one_hot(jnp.maximum(labels, 0), logits.shape[-1])
+        ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
+        mk = label_mask.astype(ce.dtype)
+        return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
+
+    if optimizer is None:
+        @jax.jit
+        def step(params, x_sh, pe_sh, lhat_sh, mask_sh, labels,
+                 label_mask, deg_sh=None):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x_sh, pe_sh, lhat_sh, mask_sh, labels,
+                label_mask, deg_sh)
+            params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
+                                            params, grads)
+            return params, loss
+
+        return step
+
     @jax.jit
-    def step(params, x_sh, pe_sh, lhat_sh, mask_sh, labels, label_mask,
-             deg_sh=None):
-        def loss_fn(p):
-            logits = forward(p, x_sh, pe_sh, lhat_sh, mask_sh, deg_sh)
-            onehot = jax.nn.one_hot(jnp.maximum(labels, 0),
-                                    logits.shape[-1])
-            ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
-            mk = label_mask.astype(ce.dtype)
-            return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
+    def opt_step(params, opt_state, x_sh, pe_sh, lhat_sh, mask_sh,
+                 labels, label_mask, deg_sh=None):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x_sh, pe_sh, lhat_sh, mask_sh, labels, label_mask,
+            deg_sh)
+        import optax
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
-                                        params, grads)
-        return params, loss
-
-    return step
+    return opt_step
 
 
 def prepare_batched_inputs(batch, mesh: Mesh, data_axis: str = "data",

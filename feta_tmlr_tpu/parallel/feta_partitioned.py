@@ -474,32 +474,53 @@ def make_feta_train_step(mesh: Mesh, d_model: int, n_heads: int,
                          n_layers: int, filter_order: int, lr: float = 1e-3,
                          axis: str = "data", batch_norm: bool = False,
                          last_layer_filter: bool = True,
-                         ring_attention: bool = False):
-    """SGD step over the partitioned forward: masked per-node CE, grads
-    psum-reduced by shard_map autodiff, params replicated."""
+                         ring_attention: bool = False,
+                         optimizer=None):
+    """Train step over the partitioned forward: masked per-node CE, grads
+    psum-reduced by shard_map autodiff, params replicated.
+
+    optimizer=None keeps plain SGD(lr): step(params, *inputs) ->
+    (params, loss). With an optax GradientTransformation, pair with
+    `optimizer.init(params)`: step(params, opt_state, *inputs) ->
+    (params, opt_state, loss)."""
     forward = make_feta_partitioned_forward(
         mesh, d_model, n_heads, n_layers, filter_order, axis,
         batch_norm=batch_norm, last_layer_filter=last_layer_filter,
         ring_attention=ring_attention)
 
+    def loss_fn(p, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
+                label_mask, deg_sh):
+        logits = forward(p, x_sh, pe_sh, mask_sh, src, dst, w, m, deg_sh)
+        onehot = jax.nn.one_hot(jnp.maximum(labels, 0), logits.shape[-1])
+        ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
+        mk = label_mask.astype(ce.dtype)
+        return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
+
+    if optimizer is None:
+        @jax.jit
+        def step(params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
+                 label_mask, deg_sh=None):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
+                label_mask, deg_sh)
+            params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
+                                            params, grads)
+            return params, loss
+
+        return step
+
     @jax.jit
-    def step(params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
-             label_mask, deg_sh=None):
-        def loss_fn(p):
-            logits = forward(p, x_sh, pe_sh, mask_sh, src, dst, w, m,
-                             deg_sh)
-            onehot = jax.nn.one_hot(jnp.maximum(labels, 0),
-                                    logits.shape[-1])
-            ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
-            mk = label_mask.astype(ce.dtype)
-            return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
+    def opt_step(params, opt_state, x_sh, pe_sh, mask_sh, src, dst, w,
+                 m, labels, label_mask, deg_sh=None):
+        import optax
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
+            label_mask, deg_sh)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
-                                        params, grads)
-        return params, loss
-
-    return step
+    return opt_step
 
 
 def prepare_feta_inputs(edge_index: np.ndarray, x: np.ndarray,

@@ -151,3 +151,28 @@ def test_single_graph_partitioned_variants(batch_norm, llf):
     got = np.asarray(forward(variables["params"], x_sh, pe_sh, mask_sh,
                              src, dst, w, m, deg_sh=deg_sh))
     np.testing.assert_allclose(got[:24], dense, rtol=2e-4, atol=2e-5)
+
+
+def test_batched_optax_adamw_learns():
+    """The 2-D mesh step accepts an optax optimizer (AdamW — the
+    reference SBM protocol's optimizer) and learns."""
+    import optax
+    mesh = _mesh2d()
+    gs = _graphs(4, 16, seed=5)
+    batch = collate_graphs(gs, max_nodes=16, node_labels=True)
+    model = _dense_model(batch_norm=True)
+    params = model.init(jax.random.key(2), batch)["params"]
+    x_sh, pe_sh, lhat_sh, mask_sh, lab, lmask, deg_sh = \
+        prepare_batched_inputs(batch, mesh)
+    adamw = optax.adamw(2e-3, weight_decay=1e-5)
+    step = make_feta_batched_train_step(
+        mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+        CFG["filter_order"], batch_norm=True, optimizer=adamw)
+    state = adamw.init(params)
+    losses = []
+    for _ in range(20):
+        params, state, loss = step(params, state, x_sh, pe_sh, lhat_sh,
+                                   mask_sh, lab, lmask, deg_sh)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert np.isfinite(losses[-1])

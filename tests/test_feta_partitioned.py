@@ -202,3 +202,47 @@ def test_ring_attention_all_layers_filtered():
         deg_sh=deg_sh))
     np.testing.assert_allclose(logits_ring[:24], logits_dense,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_optax_optimizer_step():
+    """optimizer= accepts any optax transformation: optax.sgd reproduces
+    the built-in SGD step exactly, and AdamW learns through the ring
+    schedule."""
+    import optax
+    mesh = _mesh()
+    g = _graph(24, seed=3)
+    labels = np.asarray(g.y, np.int32)
+    model = _dense_model()
+    batch = collate_graphs([g], max_nodes=24, node_labels=False)
+    params = model.init(jax.random.key(1), batch)["params"]
+    xs = prepare_feta_inputs(
+        g.edge_index, g.x.astype(np.float32), labels, mesh, pe=g.pe,
+        degree=g.degree)
+    x_sh, pe_sh, mask_sh, src, dst, w, m, lab, lmask, deg_sh = xs
+    args = (x_sh, pe_sh, mask_sh, src, dst, w, m, lab, lmask, deg_sh)
+
+    plain = make_feta_train_step(mesh, CFG["d_model"], CFG["nb_heads"],
+                                 CFG["nb_layers"], CFG["filter_order"],
+                                 lr=3e-2)
+    opt = optax.sgd(3e-2)
+    via_optax = make_feta_train_step(
+        mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+        CFG["filter_order"], optimizer=opt)
+    p1, loss1 = plain(params, *args)
+    p2, _, loss2 = via_optax(params, opt.init(params), *args)
+    assert np.isclose(float(loss1), float(loss2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    adamw = optax.adamw(1e-3, weight_decay=1e-5)
+    step = make_feta_train_step(
+        mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+        CFG["filter_order"], ring_attention=True, optimizer=adamw)
+    state = adamw.init(params)
+    losses = []
+    for _ in range(20):
+        params, state, loss = step(params, state, *args)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
