@@ -246,3 +246,56 @@ def test_optax_optimizer_step():
         params, state, loss = step(params, state, *args)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_ring_fuzz_random_configs(seed):
+    """Randomized ring-vs-gathered forward parity: random shard count,
+    graph size (padded tails), pe/degree presence, norm, and filter
+    placement per seed."""
+    rng = np.random.default_rng(seed)
+    n_shards = int(rng.choice([2, 4, 8]))
+    if len(jax.devices()) < n_shards:
+        pytest.skip("not enough virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("data",))
+    n_nodes = int(rng.integers(10, 40))
+    with_pe = bool(rng.integers(0, 2))
+    with_deg = bool(rng.integers(0, 2))
+    batch_norm = bool(rng.integers(0, 2))
+    llf = bool(rng.integers(0, 2))
+    g = _graph(n_nodes, seed=seed, with_pe=with_pe)
+    n_nodes = g.num_nodes       # the generator varies the actual size
+    if not with_deg:
+        # keep the dense batch consistent: the dense model rescales
+        # attention by batch.degree whenever the batch carries it
+        g.degree = None
+
+    model = DiffGraphTransformerGenGCNSBM(
+        in_size=3, nb_class=2, d_model=CFG["d_model"],
+        nb_heads=CFG["nb_heads"], dim_feedforward=2 * CFG["d_model"],
+        dropout=0.0, nb_layers=CFG["nb_layers"], batch_norm=batch_norm,
+        lap_pos_enc=False, filter_order=CFG["filter_order"],
+        last_layer_filter=llf)
+    batch = collate_graphs([g], max_nodes=n_nodes, node_labels=False)
+    variables = model.init(jax.random.key(seed), batch)
+    if batch_norm:
+        (dense, _), _ = model.apply(variables, batch,
+                                    deterministic=False,
+                                    mutable=["batch_stats"])
+    else:
+        dense, _ = model.apply(variables, batch)
+    dense = np.asarray(dense[0])
+
+    xs = prepare_feta_inputs(
+        g.edge_index, g.x.astype(np.float32), None, mesh,
+        pe=g.pe if with_pe else None,
+        degree=g.degree if with_deg else None)
+    x_sh, pe_sh, mask_sh, src, dst, w, m, _, _, deg_sh = xs
+    fwd = make_feta_partitioned_forward(
+        mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+        CFG["filter_order"], batch_norm=batch_norm,
+        last_layer_filter=llf, ring_attention=True)
+    got = np.asarray(fwd(variables["params"], x_sh, pe_sh, mask_sh,
+                         src, dst, w, m, deg_sh=deg_sh))
+    np.testing.assert_allclose(got[:n_nodes], dense, rtol=3e-4,
+                               atol=3e-5)
