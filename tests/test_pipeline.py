@@ -162,3 +162,37 @@ def test_pipeline_2d_pp_data_mesh():
             losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_pipeline_remat_grads_bitexact():
+    """GPipe re-materialization (remat=True): checkpointing each stage
+    application changes memory, not math — one SGD step lands on
+    identical params; and the optax form (AdamW) learns."""
+    import optax
+    mesh = _mesh(4)
+    model, params, batch = _setup(n_layers=5)
+
+    outs = {}
+    for name, rm in (("plain", False), ("remat", True)):
+        step = make_pipeline_train_step(mesh, model, n_microbatches=4,
+                                        lr=1e-2, task="classification",
+                                        remat=rm)
+        with mesh:
+            p, loss = step(params, batch)
+        outs[name] = (jax.tree_util.tree_leaves(p), float(loss))
+    assert np.isclose(outs["plain"][1], outs["remat"][1], rtol=1e-6)
+    for a, b in zip(outs["plain"][0], outs["remat"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    adamw = optax.adamw(2e-3)
+    step = make_pipeline_train_step(mesh, model, n_microbatches=4,
+                                    task="classification", remat=True,
+                                    optimizer=adamw)
+    state = adamw.init(params)
+    losses = []
+    with mesh:
+        for _ in range(10):
+            params, state, loss = step(params, state, batch)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
