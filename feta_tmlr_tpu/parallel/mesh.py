@@ -69,3 +69,43 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             if "once" not in msg and "already" not in msg:
                 raise
     return len(jax.devices())
+
+
+def shard_dataset_for_host(items, num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Deterministic per-host slice of a dataset: host p takes
+    items[p::P] (interleaved — robust to sorted-by-size inputs).
+
+    The reference's nn.DataParallel splits a batch across GPUs inside
+    one process; on a multi-host slice each process must instead load
+    its own shard of the DATASET and contribute the local part of every
+    global batch (see `global_batch_from_local`).
+    """
+    num = (num_processes if num_processes is not None
+           else jax.process_count())
+    pid = process_id if process_id is not None else jax.process_index()
+    return items[pid::num]
+
+
+def global_batch_from_local(local_batch, mesh: Mesh,
+                            data_axis: str = "data"):
+    """Assemble the global on-device batch from THIS host's local batch.
+
+    Every array leaf of the (GraphBatch) pytree becomes a jax.Array
+    sharded `P(data_axis, None, ...)` over `mesh`, whose addressable
+    shards are this process's local data
+    (`jax.make_array_from_process_local_data` — no cross-host transfer;
+    the global batch dim is num_processes x local B when the mesh spans
+    hosts). Single-process: equivalent to `jax.device_put` with the same
+    sharding, so the jitted step's GSPMD partitioning is identical in CI
+    and on a pod.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def leaf(a):
+        arr = np.asarray(a)
+        spec = P(data_axis, *([None] * (arr.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), arr)
+
+    return jax.tree_util.tree_map(leaf, local_batch)
