@@ -590,6 +590,23 @@ def main():
                 if byt:
                     extras[f"{tag}_hbm_bw_util"] = round(
                         byt / sec / peaks[1], 4)
+    if degraded:
+        # the env-gated extras below all measure ON-CHIP behavior
+        # (tiers, dtype A/Bs, serving, Pallas, streaming); running them
+        # on the CPU fallback would take hours and emit numbers under
+        # the same keys as real device rows
+        skipped = [
+            k for k in ("TIERS", "ABLATE", "SERVE", "GCKN",
+                        "PALLAS_LARGEN", "STREAM")
+            if os.environ.get(f"FETA_BENCH_{k}") == "1"]
+        if skipped:
+            extras["skipped_extras"] = skipped
+        os.environ.pop("FETA_BENCH_TIERS", None)
+        os.environ.pop("FETA_BENCH_ABLATE", None)
+        os.environ.pop("FETA_BENCH_SERVE", None)
+        os.environ.pop("FETA_BENCH_GCKN", None)
+        os.environ.pop("FETA_BENCH_PALLAS_LARGEN", None)
+        os.environ.pop("FETA_BENCH_STREAM", None)
     if os.environ.get("FETA_BENCH_TIERS") == "1":
         # tier-2/3 model families on the chip (bench_tiers.py):
         # SAN_NodeSpectra (ZINC + PATTERN N=128), GATFeTA,

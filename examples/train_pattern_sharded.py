@@ -103,6 +103,7 @@ def main():
     val_batch = collate_graphs(val, max_nodes=args.nodes, node_labels=True)
     vx, vpe, vlh, vmask, _, _, vdeg = prepare_batched_inputs(val_batch, mesh)
 
+    losses = []
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         losses = []
@@ -118,7 +119,8 @@ def main():
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
               f"val_acc_sbm={acc:.4f} ({time.perf_counter() - t0:.1f}s, "
               f"mesh data={args.dp} x nodes={args.sp})")
-    assert np.isfinite(np.mean(losses))
+    if losses:
+        assert np.isfinite(np.mean(losses))
     print("SHARDED PATTERN TRAIN OK")
 
 

@@ -26,8 +26,8 @@ from feta_tmlr_tpu.data.batch import GraphBatch  # noqa: F401
 # jitted program costs minutes to compile (utils/profiling.py).
 import os as _os
 
-_cache = _os.environ.get("FETA_COMPILE_CACHE")
-if _cache:
+_cache = _os.environ.get("FETA_COMPILE_CACHE", "").strip()
+if _cache and _cache.lower() not in ("0", "off", "false", "no"):
     from feta_tmlr_tpu.utils.profiling import (
         enable_persistent_compile_cache as _epcc,
     )

@@ -37,7 +37,12 @@ _PPF = ctypes.POINTER(ctypes.c_void_p)
 def _load_lib():
     global _LIB
     if _LIB is None and os.path.isfile(_LIB_PATH):
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # committed binary built for another architecture —
+            # the Python twin takes over
+            return None
         lib.collate_dense.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _I32P, _I64P,

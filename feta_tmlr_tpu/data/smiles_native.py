@@ -33,7 +33,12 @@ CAP_EDGES = 1024
 def _load_lib():
     global _LIB
     if _LIB is None and os.path.isfile(_LIB_PATH):
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # committed binary built for another architecture —
+            # the Python twin takes over
+            return None
         lib.smiles_featurize_batch.argtypes = [
             ctypes.c_char_p, _I64P, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,

@@ -31,7 +31,12 @@ _I64P = ctypes.POINTER(ctypes.c_longlong)
 def _load_lib():
     global _LIB
     if _LIB is None and os.path.isfile(_LIB_PATH):
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # committed binary built for another architecture —
+            # the Python twin takes over
+            return None
         lib.tu_read_ints.argtypes = [ctypes.c_char_p, _I64P,
                                      ctypes.c_longlong]
         lib.tu_read_ints.restype = ctypes.c_longlong

@@ -23,7 +23,12 @@ _LIB_PATH = os.path.join(
 def _load_lib():
     global _LIB
     if _LIB is None and os.path.isfile(_LIB_PATH):
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # committed binary built for another architecture —
+            # the Python twin takes over
+            return None
         i32p = ctypes.POINTER(ctypes.c_int32)
         for count_name, fill_name in (("count_paths", "fill_paths"),
                                       ("count_walks", "fill_walks")):

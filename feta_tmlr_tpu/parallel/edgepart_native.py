@@ -31,7 +31,12 @@ _U8P = ctypes.POINTER(ctypes.c_uint8)
 def _load_lib():
     global _LIB
     if _LIB is None and os.path.isfile(_LIB_PATH):
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # committed binary built for another architecture — the
+            # Python twin in edge_partition.py takes over
+            return None
         lib.edgepart_count.argtypes = [
             ctypes.c_int64, _I32P, _I32P, ctypes.c_int32, ctypes.c_int32,
             _I64P]

@@ -233,39 +233,17 @@ def make_feta_batched_train_step(mesh: Mesh, d_model: int, n_heads: int,
         node_axis, batch_norm=batch_norm,
         last_layer_filter=last_layer_filter)
 
+    from feta_tmlr_tpu.parallel._step_util import build_step
+
     def loss_fn(p, x_sh, pe_sh, lhat_sh, mask_sh, labels, label_mask,
-                deg_sh):
+                deg_sh=None):
         logits = forward(p, x_sh, pe_sh, lhat_sh, mask_sh, deg_sh)
         onehot = jax.nn.one_hot(jnp.maximum(labels, 0), logits.shape[-1])
         ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
         mk = label_mask.astype(ce.dtype)
         return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
 
-    if optimizer is None:
-        @jax.jit
-        def step(params, x_sh, pe_sh, lhat_sh, mask_sh, labels,
-                 label_mask, deg_sh=None):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, x_sh, pe_sh, lhat_sh, mask_sh, labels,
-                label_mask, deg_sh)
-            params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
-                                            params, grads)
-            return params, loss
-
-        return step
-
-    @jax.jit
-    def opt_step(params, opt_state, x_sh, pe_sh, lhat_sh, mask_sh,
-                 labels, label_mask, deg_sh=None):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, x_sh, pe_sh, lhat_sh, mask_sh, labels, label_mask,
-            deg_sh)
-        import optax
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return opt_step
+    return build_step(loss_fn, lr, optimizer)
 
 
 def prepare_batched_inputs(batch, mesh: Mesh, data_axis: str = "data",

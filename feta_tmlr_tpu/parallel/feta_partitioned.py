@@ -175,9 +175,30 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
                 pd = dblk if pd is None else pd * dblk
             return pd
 
-        def body(carry, t):
-            x_blk, m, se, su, acc = carry
-            s = (my - t) % n_shards
+        def ring_fold(process, stats0, x0, grad=False):
+            """Fold process(stats, x_blk, s) over the ring-rotated K/V
+            blocks: the LOCAL block first, then S-1 permute-then-process
+            steps — no trailing rotation of a block nobody consumes.
+            grad=True checkpoints `process` only (not the ppermute), so
+            the backward recomputes score blocks without replaying any
+            collective."""
+            fn = jax.checkpoint(process) if grad else process
+            stats = fn(stats0, x0, my)
+            if n_shards == 1:
+                return stats
+
+            def body(carry, t):
+                x_blk, st = carry
+                x_blk = jax.lax.ppermute(x_blk, axis, perm)
+                st = fn(st, x_blk, (my - t) % n_shards)
+                return (x_blk, st), None
+
+            (_, stats), _ = jax.lax.scan(body, (x0, stats),
+                                         jnp.arange(1, n_shards))
+            return stats
+
+        def pass_online(stats, x_blk, s):
+            m, se, su, acc = stats
             scores, _ = score_block(xa, c_q, wk, bq, c_0, x_blk, s)
             m_new = jnp.maximum(m, scores.max(-1, keepdims=True))
             scale = jnp.exp(m - m_new)
@@ -189,19 +210,18 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
             su = su * scale + w_mod.sum(-1, keepdims=True)
             acc = acc * scale + jnp.einsum(
                 "hnm,mhe->hne", w_mod.astype(x_blk.dtype), v_blk)
-            x_blk = jax.lax.ppermute(x_blk, axis, perm)
-            return (x_blk, m_new, se, su, acc), None
+            return (m_new, se, su, acc)
 
         # the stat carries become device-varying after step 1 — mark the
         # replicated zero inits as varying up front (shard_map + scan)
         vary = lambda t: jax.lax.pcast(t, (axis,), to="varying")
-        init = (x_local,
-                vary(jnp.full((h, vs, 1), -jnp.inf, f32)),
-                vary(jnp.zeros((h, vs, 1), f32)),
-                vary(jnp.zeros((h, vs, 1), f32)),
-                vary(jnp.zeros((h, vs, dh), f32)))
-        (_, m_fin, se, su, acc), _ = jax.lax.scan(
-            jax.checkpoint(body), init, jnp.arange(n_shards))
+        m_fin, se, su, acc = ring_fold(
+            pass_online,
+            (vary(jnp.full((h, vs, 1), -jnp.inf, f32)),
+             vary(jnp.zeros((h, vs, 1), f32)),
+             vary(jnp.zeros((h, vs, 1), f32)),
+             vary(jnp.zeros((h, vs, dh), f32))),
+            x_local, grad=True)
         guard = jnp.abs(su / se) > 1e-9
         div = jnp.where(guard, su, se)
         heads = (acc / div).astype(x_local.dtype)             # [h, Vs, dh]
@@ -234,9 +254,8 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
             w_mod = e if pd is None else e * pd[None]
             return (w_mod / div_f) * qmask * kmask[None, None, :]
 
-        def body_cols(carry, t):
-            x_blk, colsum, miss = carry
-            s = (my - t) % n_shards
+        def pass_cols(stats, x_blk, s):
+            colsum, miss = stats
             a = attn_block(x_blk, s)
             on_diag = jnp.where(s == my, 1.0, 0.0)
             dg = jnp.diagonal(a, axis1=1, axis2=2)            # [h, Vs]
@@ -245,33 +264,26 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
             csum = a.sum(axis=1) + missing      # filled diag adds 1 at col
             colsum = jax.lax.dynamic_update_slice_in_dim(
                 colsum, csum, s * vs, axis=1)
-            x_blk = jax.lax.ppermute(x_blk, axis, perm)
-            return (x_blk, colsum, miss + missing), None
+            return colsum, miss + missing
 
-        (_, colsum, missing), _ = jax.lax.scan(
-            body_cols, (x_s, vary(jnp.zeros((h, total), f32)),
-                        vary(jnp.zeros((h, vs), f32))),
-            jnp.arange(n_shards))
+        colsum, missing = ring_fold(
+            pass_cols, (vary(jnp.zeros((h, total), f32)),
+                        vary(jnp.zeros((h, vs), f32))), x_s)
         deg_in = jax.lax.psum(colsum, axis)                   # [h, V]
         dis = jnp.where(deg_in > 0, jax.lax.rsqrt(deg_in), 0.0)
         dis_src = jax.lax.dynamic_slice_in_dim(
             dis, my * vs, vs, axis=1)                         # [h, Vs]
 
-        def body_wcols(carry, t):
-            x_blk, wcol = carry
-            s = (my - t) % n_shards
+        def pass_wcols(wcol, x_blk, s):
             a = attn_block(x_blk, s)
             wblk = jnp.einsum("hn,hnm->hm", dis_src, a)       # [h, Vs]
             on_diag = jnp.where(s == my, 1.0, 0.0)
             wblk = wblk + missing * dis_src * on_diag  # filled-diag weight
-            wcol = jax.lax.dynamic_update_slice_in_dim(
+            return jax.lax.dynamic_update_slice_in_dim(
                 wcol, wblk, s * vs, axis=1)
-            x_blk = jax.lax.ppermute(x_blk, axis, perm)
-            return (x_blk, wcol), None
 
-        (_, wcol), _ = jax.lax.scan(
-            body_wcols, (x_s, vary(jnp.zeros((h, total), f32))),
-            jnp.arange(n_shards))
+        wcol = ring_fold(pass_wcols, vary(jnp.zeros((h, total), f32)),
+                         x_s)
         s_all = dis * jax.lax.psum(wcol, axis)                # [h, V]
         s_local = jax.lax.dynamic_slice_in_dim(s_all, my * vs, vs, axis=1)
         coeff = _coeff_tail(coeff_params, s_local, mask_local, n_valid)
@@ -488,39 +500,17 @@ def make_feta_train_step(mesh: Mesh, d_model: int, n_heads: int,
         batch_norm=batch_norm, last_layer_filter=last_layer_filter,
         ring_attention=ring_attention)
 
+    from feta_tmlr_tpu.parallel._step_util import build_step
+
     def loss_fn(p, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
-                label_mask, deg_sh):
+                label_mask, deg_sh=None):
         logits = forward(p, x_sh, pe_sh, mask_sh, src, dst, w, m, deg_sh)
         onehot = jax.nn.one_hot(jnp.maximum(labels, 0), logits.shape[-1])
         ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
         mk = label_mask.astype(ce.dtype)
         return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
 
-    if optimizer is None:
-        @jax.jit
-        def step(params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
-                 label_mask, deg_sh=None):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
-                label_mask, deg_sh)
-            params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
-                                            params, grads)
-            return params, loss
-
-        return step
-
-    @jax.jit
-    def opt_step(params, opt_state, x_sh, pe_sh, mask_sh, src, dst, w,
-                 m, labels, label_mask, deg_sh=None):
-        import optax
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, x_sh, pe_sh, mask_sh, src, dst, w, m, labels,
-            label_mask, deg_sh)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return opt_step
+    return build_step(loss_fn, lr, optimizer)
 
 
 def prepare_feta_inputs(edge_index: np.ndarray, x: np.ndarray,

@@ -252,6 +252,8 @@ def make_pipeline_train_step(mesh: Mesh, model, n_microbatches: int,
     forward = make_pipelined_forward(mesh, model, n_microbatches, axis,
                                      data_axis=data_axis, remat=remat)
 
+    from feta_tmlr_tpu.parallel._step_util import build_step
+
     def loss_fn(p, batch):
         logits, _ = forward(p, batch)
         if task == "graph_reg":
@@ -260,21 +262,4 @@ def make_pipeline_train_step(mesh: Mesh, model, n_microbatches: int,
         onehot = jax.nn.one_hot(batch.y, logits.shape[-1])
         return -(jax.nn.log_softmax(logits) * onehot).sum(-1).mean()
 
-    if optimizer is None:
-        @jax.jit
-        def step(params, batch: GraphBatch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-            new = jax.tree.map(lambda p_, g: p_ - lr * g, params, grads)
-            return new, loss
-
-        return step
-
-    @jax.jit
-    def opt_step(params, opt_state, batch: GraphBatch):
-        import optax
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return opt_step
+    return build_step(loss_fn, lr, optimizer)

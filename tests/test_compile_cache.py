@@ -14,6 +14,8 @@ from feta_tmlr_tpu.utils.profiling import enable_persistent_compile_cache
 
 def test_cache_enable_and_populate(tmp_path):
     cache_dir = str(tmp_path / "xla_cache")
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_on = jax.config.jax_enable_compilation_cache
     assert enable_persistent_compile_cache(cache_dir, min_compile_secs=0.0)
     try:
         assert jax.config.jax_compilation_cache_dir == cache_dir
@@ -30,3 +32,6 @@ def test_cache_enable_and_populate(tmp_path):
         assert entries, "no cache entry written"
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
+        jax.config.update("jax_enable_compilation_cache", prev_on)
