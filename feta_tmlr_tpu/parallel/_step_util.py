@@ -4,10 +4,12 @@ donation, clipping or loss scaling later)."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 
 
-def build_step(loss_fn, lr: float, optimizer=None):
+def build_step(loss_fn, lr: float, optimizer=None, donate: bool = False):
     """jit'd step from `loss_fn(params, *inputs) -> scalar loss`.
 
     optimizer=None — plain SGD(lr):
@@ -17,9 +19,17 @@ def build_step(loss_fn, lr: float, optimizer=None):
 
     Inputs are positional; optional operands (e.g. a degree vector) are
     passed explicitly as None.
+
+    donate=True donates the param (and optimizer-state) buffers to the
+    step so XLA updates them in place instead of reallocating every
+    call — measured ~1.4x on the flagship single-chip step (BASELINE.md
+    donated-vs-not row). The caller must then treat the passed-in
+    arrays as consumed (thread the returned state, never reuse the old
+    reference — the training-loop pattern every test and example here
+    already follows). No-op on CPU.
     """
     if optimizer is None:
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
         def step(params, *inputs):
             loss, grads = jax.value_and_grad(loss_fn)(params, *inputs)
             params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
@@ -28,7 +38,7 @@ def build_step(loss_fn, lr: float, optimizer=None):
 
         return step
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def opt_step(params, opt_state, *inputs):
         import optax
         loss, grads = jax.value_and_grad(loss_fn)(params, *inputs)

@@ -217,7 +217,7 @@ def make_feta_batched_train_step(mesh: Mesh, d_model: int, n_heads: int,
                                  node_axis: str = "nodes",
                                  batch_norm: bool = False,
                                  last_layer_filter: bool = True,
-                                 optimizer=None):
+                                 optimizer=None, donate: bool = False):
     """Train step: masked per-node CE over the sharded logits (loss and
     grads composed by GSPMD outside the shard_map).
 
@@ -243,7 +243,7 @@ def make_feta_batched_train_step(mesh: Mesh, d_model: int, n_heads: int,
         mk = label_mask.astype(ce.dtype)
         return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
 
-    return build_step(loss_fn, lr, optimizer)
+    return build_step(loss_fn, lr, optimizer, donate=donate)
 
 
 def prepare_batched_inputs(batch, mesh: Mesh, data_axis: str = "data",

@@ -487,7 +487,7 @@ def make_feta_train_step(mesh: Mesh, d_model: int, n_heads: int,
                          axis: str = "data", batch_norm: bool = False,
                          last_layer_filter: bool = True,
                          ring_attention: bool = False,
-                         optimizer=None):
+                         optimizer=None, donate: bool = False):
     """Train step over the partitioned forward: masked per-node CE, grads
     psum-reduced by shard_map autodiff, params replicated.
 
@@ -510,7 +510,7 @@ def make_feta_train_step(mesh: Mesh, d_model: int, n_heads: int,
         mk = label_mask.astype(ce.dtype)
         return jnp.sum(ce * mk) / jnp.maximum(mk.sum(), 1.0)
 
-    return build_step(loss_fn, lr, optimizer)
+    return build_step(loss_fn, lr, optimizer, donate=donate)
 
 
 def prepare_feta_inputs(edge_index: np.ndarray, x: np.ndarray,

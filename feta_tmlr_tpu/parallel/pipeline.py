@@ -242,7 +242,7 @@ def make_pipeline_train_step(mesh: Mesh, model, n_microbatches: int,
                              task: str = "graph_reg",
                              data_axis: Optional[str] = None,
                              remat: bool = False,
-                             optimizer=None):
+                             optimizer=None, donate: bool = False):
     """jit'd train step over the pipelined forward (L1 or CE loss).
 
     optimizer=None keeps plain SGD(lr): step(params, batch) ->
@@ -262,4 +262,4 @@ def make_pipeline_train_step(mesh: Mesh, model, n_microbatches: int,
         onehot = jax.nn.one_hot(batch.y, logits.shape[-1])
         return -(jax.nn.log_softmax(logits) * onehot).sum(-1).mean()
 
-    return build_step(loss_fn, lr, optimizer)
+    return build_step(loss_fn, lr, optimizer, donate=donate)
