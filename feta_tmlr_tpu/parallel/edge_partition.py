@@ -121,8 +121,11 @@ def make_allgather_spmm(mesh: Mesh, axis: str = "data"):
         def body(s, acc):
             return acc + _local_agg(x_all[s], src[0, s], dst[0, s],
                                     w[0, s], m[0, s], n_local)
+        # accumulate in the promoted dtype (bf16 blocks x f32 edge
+        # weights aggregate in f32), so the loop carry type is stable
+        acc_dtype = jnp.promote_types(x_local.dtype, w.dtype)
         acc = jax.lax.fori_loop(
-            0, s_count, body, jnp.zeros_like(x_local))
+            0, s_count, body, jnp.zeros_like(x_local, dtype=acc_dtype))
         return acc
 
     return shard_map(
@@ -152,8 +155,10 @@ def ring_spmm_local(axis: str, n_shards: int):
             block = jax.lax.ppermute(block, axis, perm)
             return block, acc
 
+        acc_dtype = jnp.promote_types(block0.dtype, w.dtype)
         _, acc = jax.lax.fori_loop(
-            0, n_shards, body, (block0, jnp.zeros_like(block0)))
+            0, n_shards, body,
+            (block0, jnp.zeros_like(block0, dtype=acc_dtype)))
         return acc
 
     return apply

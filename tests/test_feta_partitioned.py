@@ -299,3 +299,33 @@ def test_ring_fuzz_random_configs(seed):
                          src, dst, w, m, deg_sh=deg_sh))
     np.testing.assert_allclose(got[:n_nodes], dense, rtol=3e-4,
                                atol=3e-5)
+
+
+def test_ring_attention_bf16_io():
+    """bf16 node features/PE through the ring schedule: stats stay f32
+    (accumulator floor), output agrees with the gathered schedule on the
+    same bf16 inputs within bf16 tolerance."""
+    mesh = _mesh()
+    g = _graph(24, seed=4)
+    batch = collate_graphs([g], max_nodes=24, node_labels=False)
+    model = _dense_model()
+    variables = model.init(jax.random.key(0), batch)
+    params16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), variables["params"])
+
+    xs = prepare_feta_inputs(g.edge_index, g.x.astype(np.float32), None,
+                             mesh, pe=g.pe, degree=g.degree)
+    x_sh, pe_sh, mask_sh, src, dst, w, m, _, _, deg_sh = xs
+    x16 = x_sh.astype(jnp.bfloat16)
+    outs = {}
+    for name, ring in (("gathered", False), ("ring", True)):
+        fwd = make_feta_partitioned_forward(
+            mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+            CFG["filter_order"], ring_attention=ring)
+        outs[name] = np.asarray(fwd(params16, x16, pe_sh, mask_sh, src,
+                                    dst, w, m, deg_sh=deg_sh),
+                                np.float32)
+    assert outs["ring"].dtype == np.float32
+    np.testing.assert_allclose(outs["ring"], outs["gathered"],
+                               rtol=5e-2, atol=5e-2)
+    assert np.isfinite(outs["ring"]).all()
