@@ -44,6 +44,12 @@ import os
 # plumbing (trainer, serving chain, twins, MFU extraction) can be
 # validated on CPU in minutes; canonical numbers use the defaults.
 _SMOKE = os.environ.get("FETA_BENCH_SMOKE") == "1"
+if _SMOKE:
+    # the smoke check is a CPU plumbing gate — pin the platform so it
+    # cannot hang on remote-backend init when the relay is down
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 BATCH = 8 if _SMOKE else 128   # flagship bench's canonical ZINC batch
 MAX_NODES = 32       # zinc_categorical graphs pad to 32 (tests' layout)
 _N1, _N2 = (1, 3) if _SMOKE else (5, 20)
@@ -310,5 +316,11 @@ def run_tiers(names=None):
 
 if __name__ == "__main__":
     import sys
+    from bench import _accelerator_available
+    if not (_SMOKE or _accelerator_available()):
+        # in-process backend init blocks 20+ min when the device relay
+        # is down — these are on-chip measurements, bail with a record
+        print(json.dumps({"error": "accelerator backend unavailable"}))
+        sys.exit(0)
     names = sys.argv[1].split(",") if len(sys.argv) > 1 else None
     print(json.dumps(run_tiers(names)))

@@ -72,6 +72,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scales", default="128,1024,4096")
     args = p.parse_args()
+    from bench import _accelerator_available
+    if not _accelerator_available():
+        print(json.dumps({"error": "accelerator backend unavailable"}),
+              flush=True)
+        return
     for n in (int(s) for s in args.scales.split(",")):
         print(json.dumps(measure(n)), flush=True)
 

@@ -19,6 +19,11 @@ SHAPES = ((256, 16), (512, 4), (1024, 2), (2048, 1))
 
 
 def main():
+    from bench import _accelerator_available
+    if not _accelerator_available():
+        print(json.dumps({"error": "accelerator backend unavailable"}),
+              flush=True)
+        return
     shapes = SHAPES
     if len(sys.argv) > 1:                       # e.g. "1024:2,2048:1"
         shapes = tuple(tuple(int(v) for v in s.split(":"))
