@@ -427,7 +427,7 @@ def bench_gckn(n_graphs=128, k=3, hidden=32):
             "gckn_encode_nodes_per_s": round(n_nodes / t_encode, 1)}
 
 
-def bench_serving(graphs, n_calls=30, wire=False):
+def bench_serving(graphs, n_calls=30, wire=False, quantize=False):
     """Serving-path latency/throughput (feta_tmlr_tpu/serve.py): a jitted
     bucketed Predictor at the canonical config, batch-of-128 calls.
     Per-call wall time behind the axon relay includes one ~25 ms host
@@ -439,7 +439,7 @@ def bench_serving(graphs, n_calls=30, wire=False):
     batch0 = collate_graphs(graphs, max_nodes=MAX_NODES)
     variables = jax.jit(model.init)(jax.random.key(0), batch0)
     pred = Predictor(model, variables=variables, max_batch=BATCH,
-                     wire=wire)
+                     wire=wire, quantize=quantize)
     pred.predict(graphs)                          # compile + warm
     t0 = time.perf_counter()
     for _ in range(n_calls):
@@ -631,6 +631,9 @@ def main():
         sec_call_w = bench_serving(graphs, wire=True)
         extras["serve_sec_per_batch128_call_wire"] = round(sec_call_w, 5)
         extras["serve_graphs_per_s_wire"] = round(BATCH / sec_call_w, 1)
+        sec_call_q = bench_serving(graphs, wire=True, quantize=True)
+        extras["serve_sec_per_batch128_call_int8"] = round(sec_call_q, 5)
+        extras["serve_graphs_per_s_int8"] = round(BATCH / sec_call_q, 1)
         rps_n, rps_b = bench_serving_concurrent(graphs)
         extras["serve_concurrent_rps_naive"] = round(rps_n, 1)
         extras["serve_concurrent_rps_batched"] = round(rps_b, 1)

@@ -72,6 +72,8 @@ def main(argv=None):
     p.add_argument("--max_freqs", type=int, default=10)
     p.add_argument("--wire", action="store_true",
                    help="compact wire format for device upload")
+    p.add_argument("--quantize", action="store_true",
+                   help="weight-only int8 parameters (quantize.py)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile the serving shape before listening")
     args = p.parse_args(argv)
@@ -90,13 +92,13 @@ def main(argv=None):
                          state_like=state_like,
                          max_batch=args.max_batch,
                          collate_kwargs={"max_nodes": args.max_nodes},
-                         wire=args.wire)
+                         wire=args.wire, quantize=args.quantize)
     else:
         variables = jax.jit(model.init)(jax.random.key(0), sample_batch)
         pred = Predictor(model, variables=variables,
                          max_batch=args.max_batch,
                          collate_kwargs={"max_nodes": args.max_nodes},
-                         wire=args.wire)
+                         wire=args.wire, quantize=args.quantize)
     if args.warmup:
         n = pred.warmup(sample[0])
         print(f"warmed up {n} serving shape(s)")

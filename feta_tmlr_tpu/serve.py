@@ -13,7 +13,9 @@ the production-inference counterpart the framework is deployed with:
     configured max batch and streamed through the device;
   - data-parallel serving: pass `mesh=` to shard each micro-batch's
     graph axis over the mesh's data axis (params replicated) — logits
-    identical to single-device serving (tests/test_serve.py).
+    identical to single-device serving (tests/test_serve.py);
+  - weight-only int8 (`quantize=True`, quantize.py): kernels held as
+    per-channel int8 + scales, dequant fused into the jitted forward.
 
 Measured (TPU v5e behind the axon relay, canonical ZINC config, bf16,
 B=128 per call, host collation + upload + fetch included): 118 ms/call
@@ -48,6 +50,8 @@ class Predictor:
       max_batch: micro-batch size per device dispatch.
       node_buckets: padding buckets (defaults to the training buckets).
       postprocess: 'logits' | 'probs' | 'label'.
+      quantize: store weight matrices as per-channel int8 (quantize.py) —
+        4x smaller parameter footprint, dequant fused into the forward.
     """
 
     def __init__(self, model, variables=None, ckpt_dir: Optional[str] = None,
@@ -55,7 +59,8 @@ class Predictor:
                  node_buckets: Optional[Sequence[int]] = None,
                  collate_kwargs: Optional[dict] = None,
                  node_level: bool = False, mesh=None,
-                 data_axis: str = "data", wire: bool = False):
+                 data_axis: str = "data", wire: bool = False,
+                 quantize: bool = False):
         if variables is None:
             if ckpt_dir is None or state_like is None:
                 raise ValueError(
@@ -71,6 +76,13 @@ class Predictor:
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
         self.model = model
+        # weight-only int8 (quantize.py): kernels live on device as
+        # int8 + per-channel scales (4x less HBM / transfer), dequant
+        # fused into the jitted forward
+        self.quantize = quantize
+        if quantize:
+            from feta_tmlr_tpu.quantize import quantize_variables
+            variables = quantize_variables(variables)
         # data-parallel serving: shard each micro-batch's leading (graph)
         # axis over `mesh`'s data_axis, replicate the params; XLA/GSPMD
         # runs every chip on its slice with no code changes below
@@ -103,9 +115,12 @@ class Predictor:
         self._compiled = {}
 
     def _apply_fn(self):
+        from feta_tmlr_tpu.quantize import dequantize_variables
+
         @partial(jax.jit)
         def fn(variables, batch):
             batch = from_wire(batch)       # no-op for full-precision input
+            variables = dequantize_variables(variables)  # no-op if unquantized
             out = self.model.apply(variables, batch, deterministic=True)
             logits = out[0] if isinstance(out, tuple) else out
             return logits
