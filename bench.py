@@ -634,6 +634,9 @@ def main():
         sec_call_q = bench_serving(graphs, wire=True, quantize=True)
         extras["serve_sec_per_batch128_call_int8"] = round(sec_call_q, 5)
         extras["serve_graphs_per_s_int8"] = round(BATCH / sec_call_q, 1)
+        sec_call_a8 = bench_serving(graphs, wire=True, quantize="w8a8")
+        extras["serve_sec_per_batch128_call_w8a8"] = round(sec_call_a8, 5)
+        extras["serve_graphs_per_s_w8a8"] = round(BATCH / sec_call_a8, 1)
         rps_n, rps_b = bench_serving_concurrent(graphs)
         extras["serve_concurrent_rps_naive"] = round(rps_n, 1)
         extras["serve_concurrent_rps_batched"] = round(rps_b, 1)

@@ -10,18 +10,26 @@ happens INSIDE the jitted forward (`dequantize_variables`), so XLA
 fuses `q.astype(f32) * scale` into the consuming matmul and no
 full-precision copy of the weights ever lives in HBM between calls.
 
-This is W8A16-style weight-only quantization (activations stay in the
-configured compute dtype): numerically it perturbs each weight column
-by at most scale/2 = max|w|/254, and the end-to-end logit error is
-bounded by the tests. True int8xint8 MXU matmuls (which on TPU v5e
-double bf16 throughput) additionally need dynamic activation
-quantization; the per-channel scales stored here are the required
-weight half of that scheme.
+Two serving modes build on it:
+
+  - **w8** (weight-only, `Predictor(quantize=True)`): activations stay
+    in the configured compute dtype; each weight column is perturbed by
+    at most scale/2 = max|w|/254 and the end-to-end logit error is
+    bounded by the tests.
+  - **w8a8** (`Predictor(quantize="w8a8")`): every `nn.Dense` call is
+    intercepted (`int8_dense_interceptor`) and executed as an
+    int8 x int8 -> int32 `dot_general` — the dot the TPU v5e MXU runs at
+    2x its bf16 rate (394.7 vs 196.9 TOPS) — with dynamic per-token
+    activation scales and per-output-channel weight scales folded back
+    in f32 afterwards. Non-Dense consumers (Chebyshev contractions,
+    attention score einsums, embedding gathers) keep full precision, so
+    the numerics risk is confined to the projection/FFN matmuls where
+    the FLOPs are.
 
 Usage:
     qvars = quantize_variables(variables)          # host or device
     logits = model.apply(dequantize_variables(qvars), batch, ...)
-or simply `Predictor(model, variables, quantize=True)`.
+or simply `Predictor(model, variables, quantize=True)` / `"w8a8"`.
 """
 
 from __future__ import annotations
@@ -100,6 +108,50 @@ def dequantize_variables(variables: Any, dtype=jnp.float32) -> Any:
         lambda w: dequantize_tensor(w, dtype) if isinstance(w, QTensor)
         else w,
         variables, is_leaf=lambda w: isinstance(w, QTensor))
+
+
+def dynamic_quantize(x, axis: int = -1):
+    """Symmetric dynamic int8 quantization along `axis` (per token for
+    the default last-axis contraction)."""
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    scale = (jnp.where(amax > 0, amax, 1.0) / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_dense_interceptor(next_fun, args, kwargs, context):
+    """Flax method interceptor: run every big-enough `nn.Dense` as an
+    int8 x int8 -> int32 MXU dot with dynamic activation scales.
+
+    Use inside apply:
+        with nn.intercept_methods(int8_dense_interceptor):
+            out = model.apply(variables, batch, deterministic=True)
+    Weights are (re-)quantized per call — O(in*out) against the dot's
+    O(tokens*in*out), fused by XLA, and exactly idempotent for weights
+    that came through `quantize_variables` (q * scale requantizes to
+    the same q).
+    """
+    import flax.linen as nn
+
+    m = context.module
+    if not (isinstance(m, nn.Dense)
+            and context.method_name == "__call__"):
+        return next_fun(*args, **kwargs)
+    x = jnp.asarray(args[0])
+    kernel = m.variables["params"]["kernel"]
+    if (kernel.ndim != 2 or kernel.size < 256
+            or x.shape[-1] != kernel.shape[0]):
+        return next_fun(*args, **kwargs)
+    xq, sx = dynamic_quantize(x)
+    wt = quantize_tensor(kernel)
+    acc = jax.lax.dot_general(
+        xq, wt.q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * wt.scale
+    if m.use_bias:
+        y = y + m.variables["params"]["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def tree_nbytes(variables: Any) -> int:

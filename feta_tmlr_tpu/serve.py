@@ -76,9 +76,14 @@ class Predictor:
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
         self.model = model
-        # weight-only int8 (quantize.py): kernels live on device as
-        # int8 + per-channel scales (4x less HBM / transfer), dequant
-        # fused into the jitted forward
+        # int8 (quantize.py): kernels live on device as int8 +
+        # per-channel scales (4x less HBM / transfer). quantize=True/"w8"
+        # dequants into the forward (weight-only); "w8a8" additionally
+        # runs every Dense as an int8 x int8 MXU dot with dynamic
+        # activation scales (2x bf16 matmul throughput on v5e).
+        if quantize not in (False, True, "w8", "w8a8"):
+            raise ValueError(f"quantize={quantize!r}: use True, 'w8' "
+                             "or 'w8a8'")
         self.quantize = quantize
         if quantize:
             from feta_tmlr_tpu.quantize import quantize_variables
@@ -115,13 +120,22 @@ class Predictor:
         self._compiled = {}
 
     def _apply_fn(self):
-        from feta_tmlr_tpu.quantize import dequantize_variables
+        from feta_tmlr_tpu.quantize import (
+            dequantize_variables, int8_dense_interceptor)
+        import flax.linen as nn
+        a8 = self.quantize == "w8a8"
 
         @partial(jax.jit)
         def fn(variables, batch):
             batch = from_wire(batch)       # no-op for full-precision input
             variables = dequantize_variables(variables)  # no-op if unquantized
-            out = self.model.apply(variables, batch, deterministic=True)
+            if a8:
+                with nn.intercept_methods(int8_dense_interceptor):
+                    out = self.model.apply(variables, batch,
+                                           deterministic=True)
+            else:
+                out = self.model.apply(variables, batch,
+                                       deterministic=True)
             logits = out[0] if isinstance(out, tuple) else out
             return logits
 

@@ -71,6 +71,59 @@ def test_predictor_quantized_logits_close():
     assert np.array_equal(got.argmax(-1), want.argmax(-1))
 
 
+def test_w8a8_interceptor_matches_dense():
+    """A lone Dense under the interceptor == manual int8 reference."""
+    import flax.linen as nn
+    from feta_tmlr_tpu.quantize import (
+        dynamic_quantize, int8_dense_interceptor)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 10, 32)).astype(np.float32))
+    layer = nn.Dense(64)
+    variables = layer.init(jax.random.key(0), x)
+    with nn.intercept_methods(int8_dense_interceptor):
+        got = layer.apply(variables, x)
+
+    w = variables["params"]["kernel"]
+    xq, sx = dynamic_quantize(x)
+    wt = quantize_tensor(w)
+    want = (np.einsum("bti,io->bto", np.asarray(xq, np.int32),
+                      np.asarray(wt.q, np.int32)).astype(np.float32)
+            * np.asarray(sx) * np.asarray(wt.scale)
+            + np.asarray(variables["params"]["bias"]))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    # relative error vs the f32 dense stays at int8 scale
+    exact = np.asarray(layer.apply(variables, x))
+    assert np.abs(got - exact).max() <= 0.03 * np.abs(exact).max()
+
+
+def test_w8a8_small_dense_passthrough():
+    """Kernels under the size floor run the normal f32 path exactly."""
+    import flax.linen as nn
+    from feta_tmlr_tpu.quantize import int8_dense_interceptor
+
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(5, 8)),
+                    dtype=jnp.float32)
+    layer = nn.Dense(4)                       # 8*4 = 32 < 256 params
+    variables = layer.init(jax.random.key(0), x)
+    with nn.intercept_methods(int8_dense_interceptor):
+        got = layer.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(layer.apply(variables, x)))
+
+
+def test_predictor_w8a8_logits_close():
+    graphs, model, batch, variables = _setup()
+    want = np.asarray(model.apply(variables, batch)[0])
+    pred = Predictor(model, variables=variables, max_batch=5,
+                     collate_kwargs={"max_nodes": 16}, quantize="w8a8")
+    got = pred.predict(graphs)
+    # dynamic-activation int8 on every Dense: looser than w8 but bounded
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 0.15 * scale
+    assert (got.argmax(-1) == want.argmax(-1)).mean() >= 0.8
+
+
 def test_quantized_train_restore_path(tmp_path):
     """ckpt-dir restore + quantize compose (the deploy recipe)."""
     from feta_tmlr_tpu.train import Trainer, TrainConfig
