@@ -155,6 +155,52 @@ def run_feta_scale(n_shards, nodes_per_shard, devices, iters=4,
     return n_nodes / dt                # nodes/s (graph grows with mesh)
 
 
+def run_batched_scale(n_shards, devices, nodes_per_shard=12,
+                      graphs_per_data_shard=2, iters=4,
+                      ring_attention=False):
+    """Weak scaling of the 2-D data x nodes batched FeTA step
+    (parallel/feta_batched.py): dp=2 data shards (dp=1 at n_shards=1),
+    the rest of the mesh on the node axis, per-shard node count and
+    per-data-shard graph count constant. Throughput = total node-rows/s.
+    ring_attention=True vmaps the ring K/V schedule over local graphs."""
+    from jax.sharding import Mesh
+    from feta_tmlr_tpu.data.synthetic import sbm_like_dataset
+    from feta_tmlr_tpu.data import collate_graphs
+    from feta_tmlr_tpu.nn import DiffGraphTransformerGenGCNSBM
+    from feta_tmlr_tpu.parallel.feta_batched import (
+        make_feta_batched_train_step, prepare_batched_inputs)
+    import jax as _jax
+
+    dp = 2 if n_shards > 1 else 1
+    sp = n_shards // dp
+    n_nodes = sp * nodes_per_shard
+    n_graphs = dp * graphs_per_data_shard
+    gs = sbm_like_dataset(seed=0, n_graphs=n_graphs, n_nodes=n_nodes + 1,
+                          n_classes=2)
+    mesh = Mesh(np.array(devices[:n_shards]).reshape(dp, sp),
+                ("data", "nodes"))
+    cfg = dict(d_model=32, n_heads=4, n_layers=2, filter_order=3)
+    model = DiffGraphTransformerGenGCNSBM(
+        in_size=3, nb_class=2, d_model=cfg["d_model"],
+        nb_heads=cfg["n_heads"], dim_feedforward=64, dropout=0.0,
+        nb_layers=cfg["n_layers"], batch_norm=True,
+        filter_order=cfg["filter_order"])
+    batch = collate_graphs(gs, max_nodes=n_nodes, node_labels=True)
+    variables = _jax.jit(model.init)(_jax.random.key(0), batch)
+    xs = prepare_batched_inputs(batch, mesh)
+    step = make_feta_batched_train_step(
+        mesh, batch_norm=True, ring_attention=ring_attention, **cfg)
+    params = variables["params"]
+    params, _ = step(params, *xs)
+    _jax.block_until_ready(_jax.tree_util.tree_leaves(params)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, loss = step(params, *xs)
+    float(loss)                        # forced fetch
+    dt = (time.perf_counter() - t0) / iters
+    return n_graphs * n_nodes / dt     # node-rows/s
+
+
 def run_pipeline_scale(n_stages, devices, layers_per_stage=2,
                        batch_per_micro=8, iters=4):
     """Weak scaling of GPipe pipeline parallelism (parallel/pipeline.py):
@@ -320,6 +366,22 @@ def main():
             "nodes_per_s_ring_attention": round(nps_ring, 1),
             "ring_attention_eff": round(nps_ring / (base_r * s_), 4),
         }
+    batched = {}
+    base_b = None
+    for s_ in (1, 2, 4, 8):
+        if s_ > len(devices):
+            break
+        nps = run_batched_scale(s_, devices)
+        nps_ring = run_batched_scale(s_, devices, ring_attention=True)
+        if base_b is None:
+            base_b = nps
+            base_br = nps_ring
+        batched[f"{s_}x"] = {
+            "node_rows_per_s": round(nps, 1),
+            "weak_scaling_eff": round(nps / (base_b * s_), 4),
+            "node_rows_per_s_ring": round(nps_ring, 1),
+            "ring_eff": round(nps_ring / (base_br * s_), 4),
+        }
     pipe = {}
     base_p = None
     for s_ in (1, 2, 4, 8):
@@ -356,6 +418,7 @@ def main():
                       "platform": devices[0].platform,
                       "results": results,
                       "feta_partitioned_full_model": feta,
+                      "feta_batched_2d": batched,
                       "pipeline_gpipe": pipe,
                       "serving_dp_batched_wire": serving}))
 

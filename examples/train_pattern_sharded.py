@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--dp", type=int, default=4, help="data-axis shards")
     ap.add_argument("--sp", type=int, default=2, help="node-axis shards")
     ap.add_argument("--lr", type=float, default=3e-2)
+    ap.add_argument("--ring", action="store_true",
+                    help="ring-streamed K/V attention (no gathered "
+                         "[Bl,h,Vs,V] scores at any N)")
     args = ap.parse_args()
 
     n_dev = args.dp * args.sp
@@ -90,11 +93,13 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0), init_batch)["params"]
 
     step = make_feta_batched_train_step(mesh, lr=args.lr, batch_norm=True,
+                                        ring_attention=args.ring,
                                         d_model=cfg["d_model"],
                                         n_heads=cfg["n_heads"],
                                         n_layers=cfg["n_layers"],
                                         filter_order=cfg["filter_order"])
     fwd = make_feta_batched_forward(mesh, batch_norm=True,
+                                    ring_attention=args.ring,
                                     d_model=cfg["d_model"],
                                     n_heads=cfg["n_heads"],
                                     n_layers=cfg["n_layers"],

@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from feta_tmlr_tpu.parallel.feta_partitioned import (
     _layer_norm,
     _masked_batch_norm,
+    make_ring_attention_core,
 )
 
 _NEG_INF = -1e30
@@ -49,17 +50,53 @@ def make_feta_batched_forward(mesh: Mesh, d_model: int, n_heads: int,
                               data_axis: str = "data",
                               node_axis: str = "nodes",
                               batch_norm: bool = False,
-                              last_layer_filter: bool = True):
+                              last_layer_filter: bool = True,
+                              ring_attention: bool = False):
     """forward(params, x, pe, lhat, mask, deg) -> logits [B, N, C], all
-    arrays sharded P(data, nodes, ...). pe/deg may be None."""
+    arrays sharded P(data, nodes, ...). pe/deg may be None.
+
+    ring_attention=True streams every graph's K/V blocks around the
+    'nodes' ring instead of gathering them: the shared single-graph core
+    (`feta_partitioned.make_ring_attention_core`) is vmapped over the
+    local graph-batch axis — collectives batch transparently, so one
+    ppermute per ring step rotates ALL local graphs' blocks at once. No
+    [Bl, h, Vs, V] score tensor exists at any N; filtered layers stream
+    their coefficient statistics too (two stop-gradient ring passes per
+    graph, vmapped the same way)."""
     h, dh = n_heads, d_model // n_heads
     na = node_axis
+    n_shards = mesh.shape[na]
     gather = lambda t: jax.lax.all_gather(t, na, axis=1, tiled=True)
+    ring_core = (make_ring_attention_core(na, n_shards, d_model, n_heads)
+                 if ring_attention else None)
 
     def attention_layer(lp, x, x_all, pe_local, deg_all, mask_local,
-                        mask_all, need_heads):
+                        mask_all, need_heads, coeff_params=None,
+                        n_valid=None):
         """GraphiTEncoderLayer semantics (nn/layers.py:79-183); queries
-        [Bl, Vs, d], keys/values gathered [Bl, V, d]."""
+        [Bl, Vs, d], keys/values gathered [Bl, V, d] — or streamed around
+        the ring when x_all is None (ring_attention mode; the middle
+        return value is then the READY per-graph coefficient tensor for
+        filtered layers instead of the attention matrix)."""
+        if x_all is None:
+            ax = lambda t: None if t is None else 0
+            attn_out, out_heads, ring_coeff = jax.vmap(
+                ring_core,
+                in_axes=(None, 0, ax(pe_local), ax(deg_all), 0, 0,
+                         None, 0))(
+                lp, x, pe_local, deg_all, mask_local, mask_all,
+                coeff_params if need_heads else None, n_valid)
+            mask_f = mask_local[..., None].astype(x.dtype)
+            norm = ((lambda t, p: _masked_batch_norm(t, p, mask_f,
+                                                     (data_axis, na)))
+                    if batch_norm else _layer_norm)
+            x = norm(x + attn_out, lp["norm1"])
+            ff = x @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
+            ff = jax.nn.relu(ff)
+            ff = ff @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
+            x = norm(x + ff, lp["norm2"])
+            return x * mask_f, ring_coeff, (out_heads if need_heads
+                                            else None)
         d = d_model
         wqkv = lp["qkv"].reshape(d, 3, h, dh)
         bqkv = lp["qkv_bias"].reshape(3, h, dh)
@@ -177,14 +214,22 @@ def make_feta_batched_forward(mesh: Mesh, d_model: int, n_heads: int,
         allout_filt = None
         for i in range(n_layers):
             filtered = (not last_layer_filter) or (i + 1 == n_layers)
-            x_all = gather(x)
-            x, attn, out_heads = attention_layer(
-                enc[f"layer_{i}"], x, x_all, pe_local, deg_all,
-                mask_local, mask_all, need_heads=filtered)
+            if ring_attention:
+                x, coeff, out_heads = attention_layer(
+                    enc[f"layer_{i}"], x, None, pe_local, deg_all,
+                    mask_local, mask_all, need_heads=filtered,
+                    coeff_params=enc["coeff_head"] if filtered else None,
+                    n_valid=n_valid)
+            else:
+                x_all = gather(x)
+                x, attn, out_heads = attention_layer(
+                    enc[f"layer_{i}"], x, x_all, pe_local, deg_all,
+                    mask_local, mask_all, need_heads=filtered)
             if not filtered:
                 continue
-            coeff = coeff_head(enc["coeff_head"], attn, mask_local,
-                               mask_all, n_valid)         # [Bl, h, C]
+            if not ring_attention:
+                coeff = coeff_head(enc["coeff_head"], attn, mask_local,
+                                   mask_all, n_valid)     # [Bl, h, C]
             filt = cheb_filter(out_heads, coeff, enc["cheb_bias"],
                                lhat_sh, mask_local)
             allout_filt = (filt if allout_filt is None
@@ -217,7 +262,8 @@ def make_feta_batched_train_step(mesh: Mesh, d_model: int, n_heads: int,
                                  node_axis: str = "nodes",
                                  batch_norm: bool = False,
                                  last_layer_filter: bool = True,
-                                 optimizer=None, donate: bool = False):
+                                 optimizer=None, donate: bool = False,
+                                 ring_attention: bool = False):
     """Train step: masked per-node CE over the sharded logits (loss and
     grads composed by GSPMD outside the shard_map).
 
@@ -231,7 +277,8 @@ def make_feta_batched_train_step(mesh: Mesh, d_model: int, n_heads: int,
     forward = make_feta_batched_forward(
         mesh, d_model, n_heads, n_layers, filter_order, data_axis,
         node_axis, batch_norm=batch_norm,
-        last_layer_filter=last_layer_filter)
+        last_layer_filter=last_layer_filter,
+        ring_attention=ring_attention)
 
     from feta_tmlr_tpu.parallel._step_util import build_step
 

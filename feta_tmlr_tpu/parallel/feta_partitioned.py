@@ -82,32 +82,33 @@ def _masked_batch_norm(x, p, mask_f, axes, eps=1e-5):
     return y * p["scale"] + p["bias"]
 
 
-def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
-                                  n_layers: int, filter_order: int,
-                                  axis: str = "data",
-                                  batch_norm: bool = False,
-                                  last_layer_filter: bool = True,
-                                  ring_attention: bool = False):
-    """Builds forward(params, x_sh, pe_sh, mask_sh, src, dst, w, m)
-    -> per-node logits (sharded [V/D, nb_class]).
+def _coeff_tail(cp, s_local, mask_local, n_valid, axis):
+    """Shared FilterCoefficientHead tail (nn/feta.py:64-98): per-node
+    tanh GCN feature from the symmetric-normalized column sums, masked
+    global mean pool (psum over the node `axis`), linear head."""
+    hfeat = jnp.tanh(s_local[..., None] * cp["gcn_kernel"].sum(axis=0)
+                     + cp["gcn_bias"])                    # [h, Vs, C]
+    pooled = jax.lax.psum(
+        (hfeat * mask_local[None, :, None]).sum(axis=1), axis) \
+        / jnp.maximum(n_valid, 1.0)                       # [h, C]
+    return pooled @ cp["coeff_linear"]["kernel"] \
+        + cp["coeff_linear"]["bias"]
 
-    params is flax's `variables["params"]` for DiffGraphTransformerGenGCNSBM
-    (replicated). pe_sh may be None (no relative PE kernel).
 
-    ring_attention=True streams key/value blocks around the mesh ring
-    (ppermute) with online-softmax accumulation for EVERY layer:
-    per-layer peak memory drops from O(h * Vs * V) score rows +
-    O(V * d) gathered features to O(h * Vs * Vs) per ring step — the
-    multi-chip complement of the single-chip query-blocked Pallas kernel
-    (ops/pallas/flash_attention.py; same (m, S_e, S_u) triple statistics,
-    see `ring_attention_core` below). Filtered layers stream too: the
-    FilterCoefficientHead consumes only column reductions of the detached
-    attention, accumulated in two extra stop-gradient ring passes, so no
-    [h, Vs, V] tensor exists anywhere in the model at any V.
+def make_ring_attention_core(axis: str, n_shards: int, d_model: int,
+                             n_heads: int):
+    """Factory for the ring-streamed GraphiT attention core.
+
+    Module-level so both distributed FeTA paths share one
+    implementation: `make_feta_partitioned_forward` (single graph,
+    1-D node mesh) calls it directly; `feta_batched.py` vmaps it over
+    the local graph-batch axis (collectives batch transparently, the
+    ring rotates every graph's K/V blocks at once). Returns
+    ring_attention_core(lp, x_local, pe_local, deg_all, mask_local,
+    mask_all, coeff_params=None, n_valid=None) ->
+    (attn_out, out_heads, coeff-or-None).
     """
-    n_shards = mesh.shape[axis]
     h, dh = n_heads, d_model // n_heads
-    ring = ring_spmm_local(axis, n_shards)
 
     def ring_attention_core(lp, x_local, pe_local, deg_all, mask_local,
                             mask_all, coeff_params=None, n_valid=None):
@@ -286,20 +287,41 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
                          x_s)
         s_all = dis * jax.lax.psum(wcol, axis)                # [h, V]
         s_local = jax.lax.dynamic_slice_in_dim(s_all, my * vs, vs, axis=1)
-        coeff = _coeff_tail(coeff_params, s_local, mask_local, n_valid)
+        coeff = _coeff_tail(coeff_params, s_local, mask_local,
+                            n_valid, axis)
         return attn_out, out_heads, coeff
 
-    def _coeff_tail(cp, s_local, mask_local, n_valid):
-        """Shared FilterCoefficientHead tail (nn/feta.py:64-98): per-node
-        tanh GCN feature from the symmetric-normalized column sums, masked
-        global mean pool, linear head."""
-        hfeat = jnp.tanh(s_local[..., None] * cp["gcn_kernel"].sum(axis=0)
-                         + cp["gcn_bias"])                    # [h, Vs, C]
-        pooled = jax.lax.psum(
-            (hfeat * mask_local[None, :, None]).sum(axis=1), axis) \
-            / jnp.maximum(n_valid, 1.0)                       # [h, C]
-        return pooled @ cp["coeff_linear"]["kernel"] \
-            + cp["coeff_linear"]["bias"]
+    return ring_attention_core
+
+
+def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
+                                  n_layers: int, filter_order: int,
+                                  axis: str = "data",
+                                  batch_norm: bool = False,
+                                  last_layer_filter: bool = True,
+                                  ring_attention: bool = False):
+    """Builds forward(params, x_sh, pe_sh, mask_sh, src, dst, w, m)
+    -> per-node logits (sharded [V/D, nb_class]).
+
+    params is flax's `variables["params"]` for DiffGraphTransformerGenGCNSBM
+    (replicated). pe_sh may be None (no relative PE kernel).
+
+    ring_attention=True streams key/value blocks around the mesh ring
+    (ppermute) with online-softmax accumulation for EVERY layer:
+    per-layer peak memory drops from O(h * Vs * V) score rows +
+    O(V * d) gathered features to O(h * Vs * Vs) per ring step — the
+    multi-chip complement of the single-chip query-blocked Pallas kernel
+    (ops/pallas/flash_attention.py; same (m, S_e, S_u) triple statistics,
+    see `ring_attention_core` below). Filtered layers stream too: the
+    FilterCoefficientHead consumes only column reductions of the detached
+    attention, accumulated in two extra stop-gradient ring passes, so no
+    [h, Vs, V] tensor exists anywhere in the model at any V.
+    """
+    n_shards = mesh.shape[axis]
+    h, dh = n_heads, d_model // n_heads
+    ring = ring_spmm_local(axis, n_shards)
+    ring_attention_core = make_ring_attention_core(
+        axis, n_shards, d_model, n_heads)
 
     def attention_layer(lp, x_local, x_all, pe_local, deg_all, mask_local,
                         mask_all, need_heads, coeff_params=None,
@@ -400,7 +422,7 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
         a_norm = dis_src[:, :, None] * a * dis[:, None, :]
         s_all = jax.lax.psum(a_norm.sum(axis=1), axis)       # [h, V] col sums
         s_local = jax.lax.dynamic_slice_in_dim(s_all, my * vs, vs, axis=1)
-        return _coeff_tail(cp, s_local, mask_local, n_valid)
+        return _coeff_tail(cp, s_local, mask_local, n_valid, axis)
 
     def cheb_filter(heads, coeff, cheb_bias, src, dst, w, m, mask_local):
         """cheb_filter_dynamic (ops/cheb.py:45-80) with the Lhat matvec on

@@ -106,6 +106,55 @@ def test_batched_ragged_valid_counts():
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("batch_norm,llf", [(False, True), (True, False)])
+def test_batched_ring_attention_matches_dense(batch_norm, llf):
+    """ring_attention=True on the 2-D mesh: the vmapped single-graph ring
+    core streams every local graph's K/V blocks at once; logits match the
+    dense model on the unmodified param tree."""
+    mesh = _mesh2d()
+    gs = _graphs(4, 16, seed=7)
+    batch = collate_graphs(gs, max_nodes=16, node_labels=True)
+    model = _dense_model(batch_norm, llf)
+    variables = model.init(jax.random.key(3), batch)
+    dense = _dense_logits(model, variables, batch, batch_norm)
+
+    x_sh, pe_sh, lhat_sh, mask_sh, _, _, deg_sh = \
+        prepare_batched_inputs(batch, mesh)
+    forward = make_feta_batched_forward(
+        mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+        CFG["filter_order"], batch_norm=batch_norm, last_layer_filter=llf,
+        ring_attention=True)
+    got = np.asarray(forward(variables["params"], x_sh, pe_sh, lhat_sh,
+                             mask_sh, deg_sh))
+    np.testing.assert_allclose(got, dense, rtol=3e-4, atol=3e-5)
+
+
+def test_batched_ring_grads_match_gathered():
+    """One SGD step through the vmapped ring schedule lands on the same
+    params as the gathered schedule (the leaf-exact check that caught
+    the single-graph path's stop-gradient leak)."""
+    mesh = _mesh2d()
+    gs = _graphs(4, 16, seed=8)
+    batch = collate_graphs(gs, max_nodes=16, node_labels=True)
+    model = _dense_model()
+    params = model.init(jax.random.key(4), batch)["params"]
+
+    x_sh, pe_sh, lhat_sh, mask_sh, lab, lmask, deg_sh = \
+        prepare_batched_inputs(batch, mesh)
+    outs = {}
+    for name, ring in (("gathered", False), ("ring", True)):
+        step = make_feta_batched_train_step(
+            mesh, CFG["d_model"], CFG["nb_heads"], CFG["nb_layers"],
+            CFG["filter_order"], lr=3e-2, ring_attention=ring)
+        p, loss = step(params, x_sh, pe_sh, lhat_sh, mask_sh, lab,
+                       lmask, deg_sh)
+        outs[name] = (jax.tree_util.tree_leaves(p), float(loss))
+    assert np.isclose(outs["ring"][1], outs["gathered"][1], rtol=1e-5)
+    for a, b in zip(outs["ring"][0], outs["gathered"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
 def test_batched_train_step_learns():
     mesh = _mesh2d()
     gs = _graphs(4, 16, seed=5)
