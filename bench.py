@@ -300,7 +300,8 @@ def bench_pallas_xla_pair(n_nodes, n_graphs, dtype_name="bfloat16",
                 os.environ[name] = prev
 
 
-def bench_batch_sweep(sizes=(128, 256, 512, 1024), repeats=2):
+def bench_batch_sweep(sizes=(128, 256, 512, 1024), repeats=2,
+                      cost_out=None):
     """Interleaved in-process batch-size throughput sweep (bf16 policy,
     donated steps, batches pre-uploaded so only step time is measured).
 
@@ -310,7 +311,14 @@ def bench_batch_sweep(sizes=(128, 256, 512, 1024), repeats=2):
     B=128 and B=512 numbers came from different processes under +-30%
     relay session noise. Here every size is measured twice, interleaved
     in ONE process, and the per-size result is the max of the two (relay
-    stalls only ever add time). Returns {batch_size: edges/s}."""
+    stalls only ever add time). Returns {batch_size: edges/s}.
+
+    `cost_out` (dict) additionally receives per-size XLA cost-model
+    numbers {bsz: {"bytes_per_edge", "flops_per_edge", "achieved_tflops"}}
+    from the COMPILED per-size executables — if per-edge bytes grow with
+    B, the compiler materialized more of the [B,H,N,N] attention chain to
+    HBM at the larger shape, which is the mechanism behind a declining
+    per-edge curve (not a harness artifact)."""
     prev = os.environ.get("FETA_COMPUTE_DTYPE")
     os.environ["FETA_COMPUTE_DTYPE"] = "bfloat16"
     try:
@@ -338,6 +346,22 @@ def bench_batch_sweep(sizes=(128, 256, 512, 1024), repeats=2):
                 sec = _measure_steps(trainer._jit_step_donated, state,
                                      batch, n1=5, n2=20)
                 results[bsz].append(n_edges / sec)
+        if cost_out is not None:
+            from feta_tmlr_tpu.utils.profiling import mfu_fields
+            for bsz in sizes:
+                batch, n_edges = setups[bsz]
+                state = trainer.init(jax.random.key(0), batch)
+                sec = n_edges / max(results[bsz])
+                m = mfu_fields(trainer._jit_step_donated, state, batch,
+                               sec_per_step=sec)
+                if m.get("flops_per_step"):
+                    cost_out[bsz] = {
+                        "bytes_per_edge": round(
+                            m.get("hbm_bytes_per_step", 0.0) / n_edges, 1),
+                        "flops_per_edge": round(
+                            m["flops_per_step"] / n_edges, 1),
+                        "achieved_tflops": m.get("achieved_tflops"),
+                    }
         return {bsz: max(v) for bsz, v in results.items()}
     finally:
         if prev is None:
@@ -564,14 +588,18 @@ def main():
             sec_torch = bench_torch_baseline(graphs)
         except Exception:
             sec_torch = None
+        sweep_cost = {}
         try:
-            sweep = bench_batch_sweep()
+            sweep = bench_batch_sweep(cost_out=sweep_cost)
         except Exception:
             sweep = None
     extras = {}
     if sweep:
         for bsz, eps in sweep.items():
             extras[f"edges_per_s_b{bsz}"] = round(eps, 1)
+        for bsz, c in sweep_cost.items():
+            extras[f"b{bsz}_bytes_per_edge"] = c["bytes_per_edge"]
+            extras[f"b{bsz}_achieved_tflops"] = c["achieved_tflops"]
     # mechanized speed-of-light accounting (XLA cost model): achieved
     # TFLOP/s, model-FLOPs utilization vs bf16 peak, HBM BW utilization
     from feta_tmlr_tpu.utils.profiling import device_peaks
