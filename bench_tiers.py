@@ -294,23 +294,34 @@ TIERS = {
 
 
 def run_tiers(names=None):
-    """Extras dict for bench.py's JSON line (and BASELINE.md tables)."""
+    """Extras dict for bench.py's JSON line (and BASELINE.md tables).
+
+    Each tier's fields are also streamed to stderr as it completes, so a
+    run cut off by a timeout (compiles behind the relay are minutes each)
+    still leaves the finished tiers' numbers on record."""
+    import sys
+
     out = {}
     for name, fn in TIERS.items():
         if names and name not in names:
             continue
+        row = {}
         try:
             sec_train, sec_serve, sec_twin, mfu = fn()
         except Exception as e:
-            out[f"tier_{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            row[f"tier_{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            out.update(row)
+            print(json.dumps(row), file=sys.stderr, flush=True)
             continue
-        out[f"tier_{name}_sec_per_step"] = round(sec_train, 5)
-        out[f"tier_{name}_serve_sec_per_call"] = round(sec_serve, 5)
+        row[f"tier_{name}_sec_per_step"] = round(sec_train, 5)
+        row[f"tier_{name}_serve_sec_per_call"] = round(sec_serve, 5)
         if sec_twin is not None:
-            out[f"tier_{name}_twin_sec_per_step"] = round(sec_twin, 5)
-            out[f"tier_{name}_vs_twin"] = round(sec_twin / sec_train, 2)
+            row[f"tier_{name}_twin_sec_per_step"] = round(sec_twin, 5)
+            row[f"tier_{name}_vs_twin"] = round(sec_twin / sec_train, 2)
         for k, v in mfu.items():
-            out[f"tier_{name}_{k}"] = v
+            row[f"tier_{name}_{k}"] = v
+        out.update(row)
+        print(json.dumps(row), file=sys.stderr, flush=True)
     return out
 
 
