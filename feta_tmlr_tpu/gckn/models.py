@@ -31,19 +31,27 @@ def _total_paths(batch) -> int:
     return int(sum(p.shape[0] for p in batch.path_indices))
 
 
-def _auto_device(n_paths: int, device=None):
+def _auto_device(n_paths: int, device=None, op: str = "encode"):
     """Data-driven GCKN device policy (VERDICT r2 item 6).
 
     Round-2 pinned the whole tier to the host CPU from ONE small
     measurement (22x at 128 ZINC graphs); the crossover study
-    (examples/gckn_crossover.py, table in BASELINE.md) shows the remote
-    accelerator's dispatch latency is amortized once the path batch is
-    large enough, so the policy keys on total enumerated paths:
+    (examples/gckn_crossover.py, on-chip table in BASELINE.md,
+    2026-08-18) measured the two operations separately and they
+    diverge:
 
-      - FETA_GCKN_DEVICE=cpu|accel forces a side;
-      - otherwise the accelerator is used when n_paths >=
-        FETA_GCKN_TPU_MIN_PATHS (default from the measured crossover)
-        and a non-CPU backend exists; else host CPU.
+      - `encode` (one batched jitted forward per call) crosses over
+        early: accelerator 2.9x at 385k paths (1024 ZINC graphs), 1.6x
+        at 1.56M paths; parity at 50k. Default threshold 200k paths.
+      - `unsup` (spherical k-means: hundreds of small sequential ops,
+        each paying the relay dispatch RTT) NEVER crossed over on the
+        measured range — accelerator runs 5-12x SLOWER up to 1.56M
+        paths — so its default threshold is effectively infinite until
+        a measurement says otherwise.
+
+    Overrides: FETA_GCKN_DEVICE=cpu|accel forces a side for both ops;
+    FETA_GCKN_TPU_MIN_PATHS / FETA_GCKN_TPU_MIN_PATHS_UNSUP tune the
+    per-op thresholds.
     """
     if device is not None:
         return device
@@ -54,7 +62,11 @@ def _auto_device(n_paths: int, device=None):
     if forced in ("accel", "tpu"):
         return jax.devices()[0]
     accel = jax.devices()[0]
-    thresh = int(os.environ.get("FETA_GCKN_TPU_MIN_PATHS", "3000000"))
+    if op == "unsup":
+        thresh = int(os.environ.get("FETA_GCKN_TPU_MIN_PATHS_UNSUP",
+                                    str(1 << 62)))
+    else:
+        thresh = int(os.environ.get("FETA_GCKN_TPU_MIN_PATHS", "200000"))
     if accel.platform != "cpu" and n_paths >= thresh:
         return accel
     return _host_cpu()
@@ -107,16 +119,16 @@ class GCKNFeature:
         (gckn/models.py:72-122).
 
         GCKN pretraining/encoding is the PE-PRECOMPUTE tier (its output
-        is cached and fed as a training-time-constant input), so it runs
-        on the host CPU backend for SMALL path batches: the pipeline is a
-        chain of small sequential ops whose per-dispatch latency to a
-        remote accelerator dominates — measured 180 s on the
-        TPU-behind-relay vs 4.7 s on host CPU at 128 ZINC graphs. Above
-        the measured crossover the accelerator takes over automatically
-        (`_auto_device`; examples/gckn_crossover.py). Pass `device` to
-        override, or FETA_GCKN_DEVICE=cpu|accel."""
+        is cached and fed as a training-time-constant input), and the
+        k-means pipeline is a chain of small sequential ops whose
+        per-dispatch latency to a remote accelerator dominates at every
+        measured scale (5-12x slower on-accel up to 1.56M paths,
+        on-chip crossover study 2026-08-18) — so unsup stays on host
+        CPU by default regardless of size (`_auto_device(op="unsup")`;
+        examples/gckn_crossover.py). Pass `device` to override, or
+        FETA_GCKN_DEVICE=cpu|accel."""
         batch = build_path_batch(graphs, self.max_path_size)
-        dev = _auto_device(_total_paths(batch), device)
+        dev = _auto_device(_total_paths(batch), device, op="unsup")
         with jax.default_device(dev):
             features = jnp.asarray(batch.features)
             for i, layer in enumerate(self.layers):
