@@ -277,7 +277,10 @@ def bench_pna_lspe():
     batch = collate_graphs(graphs, max_nodes=MAX_NODES)
     model = PNALSPENet(num_atom_type=28, num_bond_type=4, hidden_dim=55,
                        out_dim=55, n_layers=16, pos_enc_dim=16, towers=5,
-                       avg_d_log=avg_log, n_out=1)
+                       avg_d_log=avg_log, n_out=1,
+                       # canonical net_params: bond features embedded at
+                       # edge_dim=40, sum readout (PNA_ZINC_LSPE.json)
+                       edge_feat=True, edge_dim=40, readout="sum")
     sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
                                           sign_flip=False)
     return sec_train, sec_serve, None, mfu

@@ -11,6 +11,7 @@ fields; degree bucketing becomes the per-node in-degree.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -87,6 +88,59 @@ class _MLP(nn.Module):
         return nn.Dense(self.out, name="fc_out")(x)
 
 
+class _EdgeDense(nn.Module):
+    """First pretransform Dense over cat(src, dst[, ef]), decomposed.
+
+    The reference applies one Linear to the per-edge concatenation
+    (pna_lspe_layer.py:30-33,44-51), which dense-batched would mean
+    materializing a [B, N, N, 2d+de] field and a matmul over B*N^2 rows.
+    Because the src/dst blocks of that input are rank-1 broadcasts along
+    the dst/src axes, the kernel splits exactly: the src and dst blocks
+    each multiply the [B, N, d] node tensor once (B*N rows) and
+    broadcast-add into the [B, dst, src, F] message field; only the
+    edge-feature block (if present) needs an N^2-row matmul. Parameter
+    name/shape/init are identical to the nn.Dense it replaces, so
+    checkpoints, twins and the param tree are unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, ef):
+        dx = x.shape[-1]
+        de = 0 if ef is None else ef.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2 * dx + de, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        src = x @ kernel[:dx]                      # varies along axis 2
+        dst = x @ kernel[dx:2 * dx]                # varies along axis 1
+        out = src[:, None, :, :] + dst[:, :, None, :] + bias
+        if ef is not None:
+            # ef arrives in [B, src, dst, de] layout; project then swap
+            out = out + jnp.swapaxes(ef @ kernel[2 * dx:], 1, 2)
+        return out
+
+
+class _EdgeMLP(nn.Module):
+    """Pretransform MLP whose first layer is the decomposed _EdgeDense;
+    later layers (pretrans_layers > 1) run on the [B, N, N, hidden]
+    field like the reference's MLP. Param naming mirrors _MLP exactly."""
+
+    hidden: int
+    out: int
+    layers: int = 1
+    mid_activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, ef):
+        act = {"relu": nn.relu, "tanh": jnp.tanh}[self.mid_activation]
+        if self.layers == 1:
+            return _EdgeDense(self.out, name="fc_out")(x, ef)
+        y = act(_EdgeDense(self.hidden, name="fc_0")(x, ef))
+        for i in range(1, self.layers - 1):
+            y = act(nn.Dense(self.hidden, name=f"fc_{i}")(y))
+        return nn.Dense(self.out, name="fc_out")(y)
+
+
 class PNATower(nn.Module):
     out_dim: int
     aggregators: Tuple[str, ...]
@@ -107,17 +161,26 @@ class PNATower(nn.Module):
         deg = real.astype(h.dtype).sum(2)              # in-degree per dst
 
         # pretransformation per edge (src j -> dst i): cat(src, dst, ef)
-        def edge_cat(x):
-            return jnp.concatenate([
-                jnp.broadcast_to(x[:, None, :, :], (b, n, n, x.shape[-1])),
-                jnp.broadcast_to(x[:, :, None, :], (b, n, n, x.shape[-1])),
-            ] + ([jnp.swapaxes(e_field, 1, 2)] if e_field is not None
-                 else []), axis=-1)
+        if os.environ.get("FETA_PNA_EDGECAT", "0") == "1":
+            # legacy materialized-concat path, kept for on-chip A/Bs
+            def edge_cat(x):
+                return jnp.concatenate([
+                    jnp.broadcast_to(x[:, None, :, :],
+                                     (b, n, n, x.shape[-1])),
+                    jnp.broadcast_to(x[:, :, None, :],
+                                     (b, n, n, x.shape[-1])),
+                ] + ([jnp.swapaxes(e_field, 1, 2)] if e_field is not None
+                     else []), axis=-1)
 
-        msg_h = _MLP(d, d, self.pretrans_layers, "relu",
-                     name="pretrans_h")(edge_cat(h))
-        msg_p = _MLP(d, d, self.pretrans_layers, "tanh",
-                     name="pretrans_p")(edge_cat(p))
+            msg_h = _MLP(d, d, self.pretrans_layers, "relu",
+                         name="pretrans_h")(edge_cat(h))
+            msg_p = _MLP(d, d, self.pretrans_layers, "tanh",
+                         name="pretrans_p")(edge_cat(p))
+        else:
+            msg_h = _EdgeMLP(d, d, self.pretrans_layers, "relu",
+                             name="pretrans_h")(h, e_field)
+            msg_p = _EdgeMLP(d, d, self.pretrans_layers, "tanh",
+                             name="pretrans_p")(p, e_field)
 
         agg_h = _scale(_aggregate(msg_h, real, deg, self.aggregators),
                        deg, self.scalers, self.avg_d_log)
@@ -211,6 +274,11 @@ class PNALSPENet(nn.Module):
     batch_norm: bool = True
     residual: bool = True
     edge_feat: bool = False
+    # bond-embedding width (pna_net.py:39,61 embeds at edge_dim, not
+    # hidden_dim); 0 keeps the old hidden_dim behavior
+    edge_dim: int = 0
+    pretrans_layers: int = 1
+    posttrans_layers: int = 1
     readout: str = "mean"
     n_out: int = 1
     # optional between-layer GRU (pna_net.py:95-96,118-119: h_t =
@@ -230,7 +298,8 @@ class PNALSPENet(nn.Module):
         h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
         e_field = None
         if self.edge_feat and batch.edge_type is not None:
-            e_field = nn.Embed(self.num_bond_type, self.hidden_dim,
+            e_field = nn.Embed(self.num_bond_type,
+                               self.edge_dim or self.hidden_dim,
                                name="embedding_e")(
                 batch.edge_type.astype(jnp.int32))
         if self.pe_init == "rand_walk":
@@ -252,6 +321,8 @@ class PNALSPENet(nn.Module):
                 avg_d_log=self.avg_d_log, towers=self.towers,
                 dropout=self.dropout, graph_norm=self.graph_norm,
                 batch_norm=self.batch_norm, residual=self.residual,
+                pretrans_layers=self.pretrans_layers,
+                posttrans_layers=self.posttrans_layers,
                 name=f"layer_{i}")(h, p, e_field, batch.adj,
                                    batch.node_mask, snorm_n, deterministic)
             if gru_cell is not None and not is_last:
