@@ -28,11 +28,12 @@ _EPS = 1e-9
 
 
 def _fwd_kernel(scores_ref, pe_ref, deg_ref, qmask_ref, kmask_ref, out_ref):
-    # one grid cell per (batch row, head block). At small N the block is
-    # ALL heads — a (B, H) grid of [N, N] programs measured
-    # grid-overhead-bound (~8 us x B*H); at large N the block shrinks so
-    # the [hb, N, N] tensors fit VMEM (the all-heads variant overflowed
-    # the compile at N=512/H=8 — BASELINE.md). `_head_block` picks hb.
+    # one grid cell per (batch row, head block, query-row block). At
+    # small N the block is ALL heads and ALL rows; at large N `_tile`
+    # shrinks heads, then query rows, so the block plus temporaries fits
+    # the scoped-VMEM stack (all-heads overflowed at N=512/H=8, all-rows
+    # at N=1024/H=8 — BASELINE.md). The chain is row-local, so query
+    # tiling is exact.
     kmask = kmask_ref[0]                          # [1, N] broadcast row
     qmask = qmask_ref[0]                          # [N, 1]
     pd = pe_ref[0] * deg_ref[0]                   # [N, N] modulation
@@ -78,31 +79,46 @@ def _bwd_kernel(scores_ref, pe_ref, deg_ref, qmask_ref, kmask_ref, g_ref,
         ds_ref[0, hi] = ds
 
 
-def _head_block(h: int, n: int, itemsize: int) -> int:
-    """Largest divisor of h whose [hb, N, N] score block (plus ~6x
-    working temporaries) stays within a conservative VMEM budget."""
-    budget = 10 * 1024 * 1024                     # bytes, of ~16 MB VMEM
-    per_head = n * n * itemsize * 6               # block + temps, rough
-    hb = max(1, min(h, budget // max(per_head, 1)))
-    while h % hb:
+def _tile(h: int, n: int, itemsize: int):
+    """(head block, query-row block): the whole modulation chain is
+    row-local (softmax over keys, rowsum renorm), so programs can tile
+    the query axis freely. Shrink heads first (keeps full [N] rows per
+    VPU op), then rows, until the score block plus ~6 working
+    temporaries fits a conservative slice of the 16 MB scoped-VMEM
+    stack (the all-rows variant overflowed the compile at N=1024/H=8 —
+    `Scoped allocation ... 25.02M and limit 16.00M`)."""
+    budget = 6 * 1024 * 1024
+    cost = lambda hb, bq: hb * bq * n * itemsize * 6
+    hb, bq = h, n
+    while cost(hb, bq) > budget and hb > 1:
         hb -= 1
-    return hb
+        while h % hb:
+            hb -= 1
+    while cost(hb, bq) > budget and bq > 128:
+        nb = bq // 2
+        while n % nb and nb > 1:
+            nb -= 1
+        if n % nb:
+            break
+        bq = nb
+    return hb, bq
 
 
 def _pallas_call(kernel, scores, pe, deg, qmask, kmask, extra=()):
     b, h, n, _ = scores.shape
-    hb = _head_block(h, n, scores.dtype.itemsize)
-    hspec = lambda: pl.BlockSpec((1, hb, n, n), lambda i, j: (i, j, 0, 0),
+    hb, bq = _tile(h, n, scores.dtype.itemsize)
+    hspec = lambda: pl.BlockSpec((1, hb, bq, n),
+                                 lambda i, j, q: (i, j, q, 0),
                                  memory_space=pltpu.VMEM)
     specs = [
-        hspec(),                                         # scores (head blk)
-        pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),           # pe
-        pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+        hspec(),                                         # scores block
+        pl.BlockSpec((1, bq, n), lambda i, j, q: (i, q, 0),
+                     memory_space=pltpu.VMEM),           # pe (query rows)
+        pl.BlockSpec((1, 1, n), lambda i, j, q: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # degree row
-        pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, bq, 1), lambda i, j, q: (i, q, 0),
                      memory_space=pltpu.VMEM),           # query mask col
-        pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, 1, n), lambda i, j, q: (i, 0, 0),
                      memory_space=pltpu.VMEM),           # key mask row
     ]
     args = [scores, pe, deg, qmask, kmask]
@@ -111,7 +127,7 @@ def _pallas_call(kernel, scores, pe, deg, qmask, kmask, extra=()):
         args.append(arr)
     return pl.pallas_call(
         kernel,
-        grid=(b, h // hb),
+        grid=(b, h // hb, n // bq),
         in_specs=specs,
         out_specs=hspec(),
         out_shape=jax.ShapeDtypeStruct(scores.shape, scores.dtype),
