@@ -21,14 +21,18 @@ import os
 # FETA_COMPUTE_DTYPE=bfloat16 the kernels take bf16 xa/x/vw (MXU dots in
 # bf16, f32 accumulators/softmax; aux operands stay f32 — Mosaic cannot
 # lower 1x1 bf16 scalar extracts).
-# Auto threshold: with FETA_PALLAS unset, the flash-style fused kernel
-# turns itself on for padded node counts >= this (only where the layer
-# runs need_heads=False, i.e. the unfiltered layers). Measured crossover
-# search (BASELINE.md, FETA_BENCH_PALLAS_LARGEN=1, 2026-08-17): XLA
-# 4.04/3.76/3.58 ms vs Pallas 4.33/3.67/compile-fail at N=256/512/1024 —
-# parity at every runnable shape, no crossover found, so the default
-# stays OFF (sentinel). FETA_PALLAS=1/0 force-overrides either way.
-PALLAS_AUTO_N = int(os.environ.get("FETA_PALLAS_AUTO_N", str(1 << 30)))
+# Auto threshold: with FETA_PALLAS unset, the Pallas kernels (the
+# query/key-blocked flash kernel on need_heads=False layers, the
+# query-row-tiled modulation kernel on need_heads=True layers) turn on
+# for padded node counts >= this. Measured on-chip crossover
+# (2026-08-18, examples/pallas_largen_ab.py, both kernels on, SBM train
+# step, bf16, interleaved): XLA 3.70/4.59/9.98/13.49 ms vs Pallas
+# 7.78/4.51/7.01/12.51 at N=256/512/1024/2048 — Pallas loses 2x at 256,
+# ties at 512, wins 1.42x at 1024 and 1.08x at 2048 (the round-2
+# N>=1024 compile failure was the untiled modulation kernel's scoped
+# VMEM, fixed 2026-08-18). Crossover = 1024. FETA_PALLAS=1/0
+# force-overrides either way.
+PALLAS_AUTO_N = int(os.environ.get("FETA_PALLAS_AUTO_N", "1024"))
 
 
 def _on_accelerator() -> bool:

@@ -37,35 +37,53 @@ class GatedGCNLSPELayer(nn.Module):
     dropout: float = 0.0
     batch_norm: bool = True
     residual: bool = True
+    # None -> FETA_COMPUTE_DTYPE env (default f32). Under bf16 the
+    # [B, N, N, D] edge fields — this layer's HBM traffic — are computed
+    # and carried in bf16; params, BatchNorm statistics, the gate
+    # denominator and the eta@x accumulations stay f32.
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, h, p, e, adj, node_mask, snorm_n, deterministic=True):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        cdt = self.compute_dtype or default_compute_dtype()
         b, n, _ = h.shape
-        real = in_edge_mask(adj, node_mask).astype(h.dtype)
+        real = in_edge_mask(adj, node_mask).astype(cdt)
         residual = self.residual and h.shape[-1] == self.output_dim
         h_in, p_in, e_in = h, p, e
+        h, p, e = h.astype(cdt), p.astype(cdt), e.astype(cdt)
 
-        a1 = nn.Dense(self.output_dim, name="A1")(
-            jnp.concatenate([h, p], -1))
-        a2 = nn.Dense(self.output_dim, name="A2")(
-            jnp.concatenate([h, p], -1))
-        b1 = nn.Dense(self.output_dim, name="B1")(h)
-        b2 = nn.Dense(self.output_dim, name="B2")(h)
-        b3 = nn.Dense(self.output_dim, name="B3")(e)
-        c1 = nn.Dense(self.output_dim, name="C1")(p)
-        c2 = nn.Dense(self.output_dim, name="C2")(p)
+        dense = lambda name: nn.Dense(self.output_dim, dtype=cdt, name=name)
+        a1 = dense("A1")(jnp.concatenate([h, p], -1))
+        a2 = dense("A2")(jnp.concatenate([h, p], -1))
+        b1 = dense("B1")(h)
+        b2 = dense("B2")(h)
+        b3 = dense("B3")(e)
+        c1 = dense("C1")(p)
+        c2 = dense("C2")(p)
 
         # hat_eta[b, i(dst), j(src)] = B1 h_j + B2 h_i + B3 e_ij
         hat_eta = (b1[:, None, :, :] + b2[:, :, None, :]
                    + jnp.swapaxes(b3, 1, 2))
         sigma = nn.sigmoid(hat_eta) * real[..., None]
-        denom = sigma.sum(axis=2, keepdims=True) + 1e-6
-        eta = sigma / denom
-        h_new = a1 + jnp.einsum("bijd,bjd->bid", eta, a2)
-        p_new = c1 + jnp.einsum("bijd,bjd->bid", eta, c2)
+        # f32 accumulation of the gate denominator (sum over N bf16 terms)
+        denom = sigma.sum(axis=2, keepdims=True,
+                          dtype=jnp.float32) + 1e-6
+        eta = (sigma / denom.astype(cdt)).astype(cdt)
+        agg = lambda x2: jnp.einsum(
+            "bijd,bjd->bid", eta, x2,
+            preferred_element_type=jnp.float32).astype(cdt)
+        h_new = a1 + agg(a2)
+        p_new = c1 + agg(c2)
         e_new = jnp.swapaxes(hat_eta, 1, 2)        # back to [b, src, dst, d]
 
-        h_new = h_new * snorm_n[..., None]
+        # norms and residuals in f32 (BatchNorm statistics especially);
+        # outputs re-cast to cdt so the carried [B,N,N,D] edge field
+        # stays half-width between layers
+        f32 = jnp.float32
+        h_new = h_new.astype(f32) * snorm_n.astype(f32)[..., None]
+        e_new = e_new.astype(f32)
+        p_new = p_new.astype(f32)
         if self.batch_norm:
             h_new = MaskedBatchNorm(name="bn_node_h")(
                 h_new, node_mask, use_running_average=deterministic)
@@ -79,14 +97,15 @@ class GatedGCNLSPELayer(nn.Module):
         e_new = nn.relu(e_new)
         p_new = jnp.tanh(p_new)
         if residual:
-            h_new = h_in + h_new
-            p_new = p_in + p_new
-            e_new = e_in + e_new
+            h_new = h_in.astype(f32) + h_new
+            p_new = p_in.astype(f32) + p_new
+            e_new = e_in.astype(f32) + e_new
         drop = lambda t: nn.Dropout(self.dropout)(
             t, deterministic=deterministic)
-        mask_f = node_mask.astype(h.dtype)[..., None]
-        return (drop(h_new) * mask_f, drop(p_new) * mask_f,
-                drop(e_new) * real[..., None])
+        mask_f = node_mask.astype(cdt)[..., None]
+        return (drop(h_new).astype(cdt) * mask_f,
+                drop(p_new).astype(cdt) * mask_f,
+                drop(e_new).astype(cdt) * real[..., None])
 
 
 def lapeig_loss(p, adj, node_mask, pos_enc_dim: int, lambda_loss: float):
@@ -193,7 +212,8 @@ class GatedGCNLSPENet(nn.Module):
                            jnp.finfo(h.dtype).min).max(1)
         else:
             hg = masked_mean(h, batch.node_mask, axis=1)
-        out = MLPReadout(self.n_out, name="mlp_readout")(hg)
+        out = MLPReadout(self.n_out, name="mlp_readout")(
+            hg.astype(jnp.float32))
         if self.use_lapeig_loss:
             # reference adds alpha * lapeig_loss to the task loss in its
             # train loop (LSPE train_ZINC_graph_regression.py via
@@ -201,7 +221,7 @@ class GatedGCNLSPENet(nn.Module):
             # as the scalar aux term the Trainer adds with
             # regularization=1.0
             aux = self.alpha_loss * lapeig_loss(
-                p_final, batch.adj, batch.node_mask,
+                p_final.astype(jnp.float32), batch.adj, batch.node_mask,
                 self.pos_enc_dim, self.lambda_loss)
             return out, aux
         return out

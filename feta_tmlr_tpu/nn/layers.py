@@ -121,12 +121,13 @@ class GraphiTEncoderLayer(nn.Module):
         b_out = self.param("out_proj_bias", nn.initializers.zeros, (d,))
 
         from feta_tmlr_tpu.config import use_pallas_modulation
-        # the shape-based auto gate applies only to the fully fused
-        # need_heads=False path (the measured large-N win); the
-        # modulation-kernel fallback for need_heads=True layers stays
-        # explicit-opt-in (FETA_PALLAS=1)
-        use_pallas = pair_mask is None and use_pallas_modulation(
-            0 if need_heads else n)
+        # shape-based auto gate (config.PALLAS_AUTO_N): the measured
+        # large-N win (1.42x at N=1024, examples/pallas_largen_ab.py)
+        # was taken with BOTH kernels on — the flash path here for
+        # need_heads=False layers and the row-tiled modulation kernel
+        # for need_heads=True (FILTERED) layers — so the gate applies
+        # to both
+        use_pallas = pair_mask is None and use_pallas_modulation(n)
 
         if not need_heads and use_pallas:
             # fully fused flash path: the [H, N, N] score/attention tensors
