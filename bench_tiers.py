@@ -267,17 +267,17 @@ def bench_gatedgcn_lspe():
     return sec_train, sec_serve, None, mfu
 
 
-def bench_pna_lspe():
+def bench_pna_lspe(edgecat: bool = False):
     """PNALSPENet at configs/LSPE/PNA_ZINC_LSPE.json shape (L=16, hidden
-    55, 5 towers, rand_walk PE dim 16). No full torch twin (numpy
-    scaler/aggregator twins only, tests/test_pna.py)."""
+    55, 5 towers, rand_walk PE dim 16). edgecat=True selects the legacy
+    materialized-concat pretransform for A/Bs (examples/pna_ab.py)."""
     from feta_tmlr_tpu.nn.pna import PNALSPENet, average_log_degree
     graphs = _zinc_graphs(seed=5, rw_dim=16)
     avg_log = average_log_degree(graphs)
     batch = collate_graphs(graphs, max_nodes=MAX_NODES)
     model = PNALSPENet(num_atom_type=28, num_bond_type=4, hidden_dim=55,
                        out_dim=55, n_layers=16, pos_enc_dim=16, towers=5,
-                       avg_d_log=avg_log, n_out=1,
+                       avg_d_log=avg_log, n_out=1, edgecat=edgecat,
                        # canonical net_params: bond features embedded at
                        # edge_dim=40, sum readout (PNA_ZINC_LSPE.json)
                        edge_feat=True, edge_dim=40, readout="sum")

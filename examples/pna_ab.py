@@ -3,8 +3,8 @@
 Measures bench_tiers.bench_pna_lspe (canonical PNA_ZINC_LSPE.json config,
 edge_feat=True/edge_dim=40) under the two pretransform implementations:
 the default decomposed _EdgeDense path vs the legacy broadcast-concat
-path (FETA_PNA_EDGECAT=1). Both are traced in this process; the env knob
-is read at trace time inside PNATower. One JSON line per impl per round.
+path (edgecat=True, a module attribute). One JSON line per impl per
+round.
 """
 
 import json
@@ -23,9 +23,9 @@ def main():
         return
     import bench_tiers
     for rnd in range(2):
-        for impl, flag in (("edgecat", "1"), ("decomposed", "0")):
-            os.environ["FETA_PNA_EDGECAT"] = flag
-            sec_train, sec_serve, _, mfu = bench_tiers.bench_pna_lspe()
+        for impl, edgecat in (("edgecat", True), ("decomposed", False)):
+            sec_train, sec_serve, _, mfu = bench_tiers.bench_pna_lspe(
+                edgecat=edgecat)
             row = {"round": rnd, "impl": impl,
                    "train_ms": round(sec_train * 1e3, 2),
                    "serve_ms": round(sec_serve * 1e3, 2)}

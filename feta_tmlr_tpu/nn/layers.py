@@ -157,7 +157,9 @@ class GraphiTEncoderLayer(nn.Module):
                       + c_k.transpose(0, 2, 1)[:, :, None, :]
                       + c_0[None, :, None, None])
             scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-            if use_pallas:
+            from feta_tmlr_tpu.ops.pallas.modulation import \
+                modulation_tile_feasible
+            if use_pallas and modulation_tile_feasible(h, n, 4):
                 from feta_tmlr_tpu.ops.pallas import \
                     fused_modulated_attention
                 attn = fused_modulated_attention(scores, node_mask, pe=pe,

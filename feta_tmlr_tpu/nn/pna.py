@@ -11,7 +11,6 @@ fields; degree bucketing becomes the per-node in-degree.
 
 from __future__ import annotations
 
-import os
 from typing import Sequence, Tuple
 
 import jax
@@ -100,7 +99,10 @@ class _EdgeDense(nn.Module):
     broadcast-add into the [B, dst, src, F] message field; only the
     edge-feature block (if present) needs an N^2-row matmul. Parameter
     name/shape/init are identical to the nn.Dense it replaces, so
-    checkpoints, twins and the param tree are unchanged."""
+    checkpoints, twins and the param tree are unchanged. Outputs agree
+    with the fused concat matmul to allclose (NOT bitwise — the split
+    groups accumulations differently); equivalence is pinned for ef
+    present/absent and pretrans_layers 1/2 by tests/test_pna.py."""
 
     features: int
 
@@ -151,6 +153,12 @@ class PNATower(nn.Module):
     batch_norm: bool = True
     pretrans_layers: int = 1
     posttrans_layers: int = 1
+    # True selects the legacy materialized-concat pretransform (kept for
+    # on-chip A/Bs); a module attribute so the choice is visible in the
+    # module config and stable per instance (advisor round-3 finding:
+    # the former trace-time os.environ read could silently diverge
+    # across processes)
+    edgecat: bool = False
 
     @nn.compact
     def __call__(self, h, p, e_field, real, node_mask, snorm_n,
@@ -161,7 +169,7 @@ class PNATower(nn.Module):
         deg = real.astype(h.dtype).sum(2)              # in-degree per dst
 
         # pretransformation per edge (src j -> dst i): cat(src, dst, ef)
-        if os.environ.get("FETA_PNA_EDGECAT", "0") == "1":
+        if self.edgecat:
             # legacy materialized-concat path, kept for on-chip A/Bs
             def edge_cat(x):
                 return jnp.concatenate([
@@ -217,6 +225,7 @@ class PNALSPELayer(nn.Module):
     divide_input: bool = True
     pretrans_layers: int = 1
     posttrans_layers: int = 1
+    edgecat: bool = False
 
     @nn.compact
     def __call__(self, h, p, e_field, adj, node_mask, snorm_n,
@@ -239,6 +248,7 @@ class PNALSPELayer(nn.Module):
                 t_out, self.aggregators, self.scalers, self.avg_d_log,
                 self.dropout, self.graph_norm, self.batch_norm,
                 self.pretrans_layers, self.posttrans_layers,
+                edgecat=self.edgecat,
                 name=f"tower_{t}")(h_slice, p_slice, e_field, real,
                                    node_mask, snorm_n, deterministic)
             h_outs.append(ho)
@@ -279,6 +289,7 @@ class PNALSPENet(nn.Module):
     edge_dim: int = 0
     pretrans_layers: int = 1
     posttrans_layers: int = 1
+    edgecat: bool = False
     readout: str = "mean"
     n_out: int = 1
     # optional between-layer GRU (pna_net.py:95-96,118-119: h_t =
@@ -323,6 +334,7 @@ class PNALSPENet(nn.Module):
                 batch_norm=self.batch_norm, residual=self.residual,
                 pretrans_layers=self.pretrans_layers,
                 posttrans_layers=self.posttrans_layers,
+                edgecat=self.edgecat,
                 name=f"layer_{i}")(h, p, e_field, batch.adj,
                                    batch.node_mask, snorm_n, deterministic)
             if gru_cell is not None and not is_last:

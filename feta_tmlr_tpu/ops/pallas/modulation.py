@@ -94,14 +94,26 @@ def _tile(h: int, n: int, itemsize: int):
         hb -= 1
         while h % hb:
             hb -= 1
-    while cost(hb, bq) > budget and bq > 128:
+    # query rows shrink all the way to 1 if needed (row blocks prefer
+    # multiples of 8 sublanes but correctness only needs a divisor of n):
+    # at hb=1, bq=1 the cost is n*itemsize*6, feasible for any realistic N
+    # — the earlier floor of 128 made N>=~4096 f32 bust the budget
+    while cost(hb, bq) > budget and bq > 1:
         nb = bq // 2
         while n % nb and nb > 1:
             nb -= 1
-        if n % nb:
+        if nb == bq:
             break
         bq = nb
     return hb, bq
+
+
+def modulation_tile_feasible(h: int, n: int, itemsize: int = 4) -> bool:
+    """True if `_tile` can find a block assignment within the VMEM
+    budget — consulted by the auto gate so enormous N falls back to the
+    XLA chain instead of failing to compile."""
+    hb, bq = _tile(h, n, itemsize)
+    return hb * bq * n * itemsize * 6 <= 6 * 1024 * 1024
 
 
 def _pallas_call(kernel, scores, pe, deg, qmask, kmask, extra=()):

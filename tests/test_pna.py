@@ -47,6 +47,63 @@ def test_scalers():
     np.testing.assert_allclose(out[0, 1, 2:], np.log(4.0) / 2.0, rtol=1e-5)
 
 
+def _edge_mlp_inputs(seed, de):
+    rng = np.random.default_rng(seed)
+    b, n, dx = 2, 7, 5
+    x = jnp.asarray(rng.standard_normal((b, n, dx)).astype(np.float32))
+    ef = (jnp.asarray(rng.standard_normal((b, n, n, de))
+                      .astype(np.float32)) if de else None)
+    return x, ef
+
+
+def _legacy_edge_cat(x, ef):
+    b, n, dx = x.shape
+    parts = [jnp.broadcast_to(x[:, None, :, :], (b, n, n, dx)),
+             jnp.broadcast_to(x[:, :, None, :], (b, n, n, dx))]
+    if ef is not None:
+        parts.append(jnp.swapaxes(ef, 1, 2))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def test_edge_mlp_matches_materialized_concat():
+    """_EdgeMLP(x, ef) == _MLP(edge_cat(x, ef)) on one shared param tree,
+    for ef present/absent x pretrans_layers 1/2 (advisor round-3
+    finding: the decomposed default had no equivalence test for the ef
+    branch or the multi-layer MLP). allclose, not bit-identical — the
+    split matmul groups its accumulations differently."""
+    from feta_tmlr_tpu.nn.pna import _MLP, _EdgeMLP
+    for de in (0, 3):
+        for layers in (1, 2):
+            x, ef = _edge_mlp_inputs(seed=10 * layers + de, de=de)
+            dec = _EdgeMLP(hidden=6, out=4, layers=layers)
+            params = dec.init(jax.random.key(layers + de), x, ef)
+            ref = _MLP(hidden=6, out=4, layers=layers)
+            out_dec = dec.apply(params, x, ef)
+            out_ref = ref.apply(params, _legacy_edge_cat(x, ef))
+            np.testing.assert_allclose(
+                np.asarray(out_dec), np.asarray(out_ref),
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"de={de} layers={layers}")
+
+
+def test_edgecat_attribute_matches_decomposed():
+    """The legacy edgecat=True net and the decomposed default produce
+    the same outputs on one param tree (edge_feat on)."""
+    graphs = zinc_categorical_dataset(seed=11, n_graphs=4)
+    for g in graphs:
+        g.lap_pe = rwpe(g, 6)
+    gb = collate_graphs(graphs, max_nodes=32)
+    mk = lambda edgecat: PNALSPENet(
+        num_atom_type=28, num_bond_type=4, hidden_dim=16, out_dim=16,
+        n_layers=2, pos_enc_dim=6, towers=2, avg_d_log=1.0,
+        edge_feat=True, edge_dim=8, edgecat=edgecat)
+    v = mk(False).init(jax.random.key(2), gb)
+    out_dec = mk(False).apply(v, gb)
+    out_leg = mk(True).apply(v, gb)
+    np.testing.assert_allclose(np.asarray(out_dec), np.asarray(out_leg),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pna_net_trains():
     from feta_tmlr_tpu.train import Trainer, TrainConfig
     graphs = zinc_categorical_dataset(seed=7, n_graphs=8)
