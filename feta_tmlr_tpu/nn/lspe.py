@@ -55,37 +55,59 @@ class LSPEAttention(nn.Module):
     use_bias: bool = False
     edge_features: bool = True
     adaptive_edge_pe: bool = False
+    compute_dtype: object = None   # see nn/san.SANAttention
 
     @nn.compact
-    def __call__(self, x, e_emb, adj, node_mask, k_rw=None):
+    def __call__(self, x, e_emb, adj, node_mask, k_rw=None,
+                 e_table=None, edge_ids=None):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        from feta_tmlr_tpu.nn.san import typed_edge_scores
+        cdt = self.compute_dtype or default_compute_dtype()
         b, n, _ = x.shape
         hh, dh = self.num_heads, self.out_dim
         dense = lambda name: nn.Dense(hh * dh, use_bias=self.use_bias,
-                                      name=name)
+                                      dtype=cdt, name=name)
         split = lambda t: t.reshape(b, n, hh, dh).transpose(0, 2, 1, 3)
-        q, k, v = (split(dense(nm)(x)) for nm in ("Q", "K", "V"))
+        xc = x.astype(cdt)
+        q, k, v = (split(dense(nm)(xc)) for nm in ("Q", "K", "V"))
 
         # full graph = complete graph without self loops; edge j -> i
         pm = pair_mask_no_diag(node_mask)
         real = in_edge_mask(adj, node_mask)
+        typed = (self.edge_features and e_table is not None
+                 and edge_ids is not None)
+        use_field = (self.edge_features and e_emb is not None
+                     and not typed)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        et = jnp.swapaxes(edge_ids, 1, 2) if typed else None
 
         def scores_of(qm, km, em):
+            if em is None:
+                return jnp.einsum(
+                    "bhid,bhjd->bhij", qm, km,
+                    preferred_element_type=jnp.float32) * scale
             prod = jnp.einsum("bhid,bhjd->bhijd", qm, km)
-            if em is not None:
-                prod = prod * em.reshape(
-                    b, n, n, hh, dh).transpose(0, 3, 1, 2, 4)
-            return prod.sum(-1) / jnp.sqrt(jnp.asarray(dh, x.dtype))
+            prod = prod * em.reshape(
+                b, n, n, hh, dh).transpose(0, 3, 1, 2, 4)
+            return prod.sum(-1).astype(jnp.float32) * scale
 
-        e_r = dense("E")(e_emb) if (self.edge_features and e_emb is not None) \
-            else None
-        s = scores_of(q, k, jnp.swapaxes(e_r, 1, 2)
-                      if e_r is not None else None)
+        if typed:
+            tbl_r = dense("E")(e_table.astype(cdt)).reshape(-1, hh, dh)
+            s = typed_edge_scores(q, k, tbl_r, et, scale)
+        else:
+            e_r = dense("E")(e_emb.astype(cdt)) if use_field else None
+            s = scores_of(q, k, jnp.swapaxes(e_r, 1, 2)
+                          if e_r is not None else None)
         if self.full_graph:
-            q2, k2 = split(dense("Q_2")(x)), split(dense("K_2")(x))
-            e_f = dense("E_2")(e_emb) if (self.edge_features and
-                                          e_emb is not None) else None
-            s2 = scores_of(q2, k2, jnp.swapaxes(e_f, 1, 2)
-                           if e_f is not None else None)
+            q2, k2 = split(dense("Q_2")(xc)), split(dense("K_2")(xc))
+            if typed:
+                tbl_f = dense("E_2")(e_table.astype(cdt)).reshape(
+                    -1, hh, dh)
+                s2 = typed_edge_scores(q2, k2, tbl_f, et, scale)
+            else:
+                e_f = dense("E_2")(e_emb.astype(cdt)) if use_field else None
+                s2 = scores_of(q2, k2, jnp.swapaxes(e_f, 1, 2)
+                               if e_f is not None else None)
             score = jnp.where(real[:, None], s, s2)
             attn = jnp.where(pm[:, None],
                              jnp.exp(jnp.clip(score, -5.0, 5.0)), 0.0)
@@ -96,9 +118,12 @@ class LSPEAttention(nn.Module):
         if self.adaptive_edge_pe and self.full_graph and k_rw is not None:
             attn = attn * k_rw[:, None]            # (:268-274, :377-380)
 
-        wv = jnp.einsum("bhij,bhjd->bhid", attn, v)
-        z = attn.sum(-1, keepdims=True)
-        out = (wv / (z + 1e-6)).transpose(0, 2, 1, 3).reshape(b, n, hh * dh)
+        attn = attn.astype(cdt)
+        wv = jnp.einsum("bhij,bhjd->bhid", attn, v,
+                        preferred_element_type=jnp.float32)
+        z = attn.sum(-1, keepdims=True, dtype=jnp.float32)
+        out = (wv / (z + 1e-6)).transpose(0, 2, 1, 3).reshape(
+            b, n, hh * dh).astype(x.dtype)
         struct = pm.astype(x.dtype) if self.full_graph \
             else real.astype(x.dtype)
         return out * node_mask.astype(x.dtype)[..., None], attn, struct
@@ -119,10 +144,13 @@ class GraphiTSpectraLSPELayer(nn.Module):
     filter_order: int = 4
     edge_features: bool = True
     spectra: bool = True           # False -> plain GraphiT_GT_LSPE layer
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, h, p, e_emb, adj, node_mask, k_rw=None,
-                 deterministic=True):
+                 deterministic=True, e_table=None, edge_ids=None):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        cdt = self.compute_dtype or default_compute_dtype()
         b, n, _ = h.shape
         dh = self.out_dim // self.num_heads
         drop = lambda t: nn.Dropout(self.dropout)(
@@ -132,8 +160,10 @@ class GraphiTSpectraLSPELayer(nn.Module):
         # ---- h channel: attention over concat(h, p) + FeTA filter -------
         h_attn, attn, struct = LSPEAttention(
             dh, self.num_heads, self.full_graph, self.use_bias,
-            self.edge_features, self.adaptive_edge_pe, name="attention_h")(
-                jnp.concatenate([h, p], -1), e_emb, adj, node_mask, k_rw)
+            self.edge_features, self.adaptive_edge_pe,
+            compute_dtype=self.compute_dtype, name="attention_h")(
+                jnp.concatenate([h, p], -1), e_emb, adj, node_mask, k_rw,
+                e_table=e_table, edge_ids=edge_ids)
         if self.spectra:
             coeff = SANCoeffHead(self.filter_order, name="coeff_head")(
                 attn, node_mask)
@@ -143,9 +173,13 @@ class GraphiTSpectraLSPELayer(nn.Module):
             w = self.param("cheb_weight", nn.initializers.glorot_uniform(),
                            (self.filter_order, dh, dh))
             cb = self.param("cheb_bias", nn.initializers.zeros, (dh,))
-            filt = cheb_filter_scalar_coeff(heads, lhat, coeff, w, cb)
-            filt = nn.Dense(dh, name="filt_linear")(jnp.tanh(filt))
-            filt = filt.transpose(0, 2, 1, 3).reshape(b, n, self.out_dim)
+            filt = cheb_filter_scalar_coeff(
+                heads.astype(cdt), lhat.astype(cdt), coeff.astype(cdt),
+                w.astype(cdt), cb.astype(cdt))
+            filt = nn.Dense(dh, dtype=cdt,
+                            name="filt_linear")(jnp.tanh(filt))
+            filt = filt.transpose(0, 2, 1, 3).reshape(
+                b, n, self.out_dim).astype(h_attn.dtype)
             h = h_attn + filt
         else:
             h = h_attn
@@ -165,8 +199,10 @@ class GraphiTSpectraLSPELayer(nn.Module):
         # docstring) ------------------------------------------------------
         p_attn, _, _ = LSPEAttention(
             dh, self.num_heads, self.full_graph, self.use_bias,
-            self.edge_features, self.adaptive_edge_pe, name="attention_p")(
-                p, e_emb, adj, node_mask, k_rw)
+            self.edge_features, self.adaptive_edge_pe,
+            compute_dtype=self.compute_dtype, name="attention_p")(
+                p, e_emb, adj, node_mask, k_rw,
+                e_table=e_table, edge_ids=edge_ids)
         p = drop(p_attn)
         p = jnp.tanh(nn.Dense(self.out_dim, name="O_p")(p))
         if self.residual and p_in1.shape[-1] == self.out_dim:
@@ -209,6 +245,8 @@ class GraphiTSpectraNet(nn.Module):
     n_out: int = 1
     spectra: bool = True           # False -> plain GraphiT-LSPE net
     node_level: bool = False       # per-node logits (LSPE SBM tier)
+    typed_edges: Optional[bool] = None   # see nn/san.SANNet
+    compute_dtype: object = None
 
     categorical_input: bool = True
     @nn.compact
@@ -225,10 +263,18 @@ class GraphiTSpectraNet(nn.Module):
             # (reference nets/TU_graph_classification/*_net.py use
             # nn.Linear(in_dim, hidden) instead of nn.Embedding)
             h = nn.Dense(self.hidden_dim, name="embedding_h")(batch.x)
-        e_emb = nn.Embed(self.num_bond_type, self.hidden_dim,
-                         name="embedding_e")(
-            batch.edge_type.astype(jnp.int32)) \
-            if batch.edge_type is not None else None
+        typed = self.typed_edges
+        if typed is None:
+            typed = self.num_bond_type <= 16
+        e_emb = e_table = e_ids = None
+        if batch.edge_type is not None:
+            embed_e = nn.Embed(self.num_bond_type, self.hidden_dim,
+                               name="embedding_e")
+            if typed:
+                e_table = embed_e(jnp.arange(self.num_bond_type))
+                e_ids = batch.edge_type.astype(jnp.int32)
+            else:
+                e_emb = embed_e(batch.edge_type.astype(jnp.int32))
         h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
 
         if self.pe_init == "rand_walk":
@@ -246,9 +292,11 @@ class GraphiTSpectraNet(nn.Module):
                 batch_norm=self.batch_norm, residual=self.residual,
                 adaptive_edge_pe=self.adaptive_edge_pe,
                 filter_order=self.filter_order,
-                edge_features=e_emb is not None, spectra=self.spectra,
+                edge_features=(e_emb is not None or e_table is not None),
+                spectra=self.spectra, compute_dtype=self.compute_dtype,
                 name=f"layer_{i}")(h, p, e_emb, batch.adj, batch.node_mask,
-                                   k_rw, deterministic)
+                                   k_rw, deterministic, e_table=e_table,
+                                   edge_ids=e_ids)
 
         if self.pe_init == "rand_walk":
             p = nn.Dense(self.pos_enc_dim, name="p_out")(p)

@@ -53,6 +53,32 @@ def san_structure_laplacian(struct_adj, node_mask):
     return -(dis[..., :, None] * a * dis[..., None, :]) * pm
 
 
+def typed_edge_scores(q, k, table_hd, edge_ids, scale):
+    """score[b,h,i,j] = sum_d q[b,h,i,d] * k[b,h,j,d] * table[et[b,i,j],h,d].
+
+    The edge-feature-modulated SDDMM of SAN/GraphiT attention
+    (graph_transformer_spectra_layer.py:299-306) when edge features are an
+    embedding lookup: instead of materializing the [B, N, N, H*dh]
+    projected edge field and a [B, H, N, N, dh] outer-product chain (all
+    VPU work + an HBM round trip per op), run one MXU matmul per edge-type
+    with the type's modulation folded into K, and select per pair. Exact
+    up to float reassociation (T is the bond vocabulary, 4 for ZINC).
+
+    Args:
+      q, k: [B, H, N, dh]; table_hd: [T, H, dh] projected type table;
+      edge_ids: [B, N, N] int types in (dst i, src j) layout; scale: 1/sqrt(dh).
+    Returns [B, H, N, N] f32 scores.
+    """
+    b, hh, n, dh = q.shape
+    s = jnp.zeros((b, hh, n, n), jnp.float32)
+    for t in range(table_hd.shape[0]):
+        kt = k * table_hd[t][None, :, None, :]
+        st = jnp.einsum("bhid,bhjd->bhij", q, kt,
+                        preferred_element_type=jnp.float32)
+        s = jnp.where((edge_ids == t)[:, None], st, s)
+    return s * scale
+
+
 class SANAttention(nn.Module):
     """Dense twin of MultiHeadAttentionLayer (:250-367)."""
 
@@ -62,51 +88,85 @@ class SANAttention(nn.Module):
     full_graph: bool = True
     use_bias: bool = False
     edge_features: bool = True
+    # None -> FETA_COMPUTE_DTYPE env (default f32). Under bf16 the QKV/E
+    # projections, the score matmuls and the [B, H, N, N] attention field
+    # run in bf16 with f32 accumulation; exp/clip, the wV/z normalization
+    # and the outputs stay f32.
+    compute_dtype: object = None
 
     @nn.compact
-    def __call__(self, h, e_emb, adj, node_mask, gamma_value=None):
+    def __call__(self, h, e_emb, adj, node_mask, gamma_value=None,
+                 e_table=None, edge_ids=None):
         """h: [B,N,D]; e_emb: [B,N,N,D] dense edge-feature embeddings or
         None; adj: [B,N,N] real-edge adjacency. Returns (h_out [B,N,H*dh],
         attn [B,H,N,N], struct_adj [B,N,N]).
 
         gamma_value: optional traced override of the static `gamma` field —
         the SAN-LSPE net learns gamma as a parameter (san_gt_lspe_layer
-        clamps a shared nn.Parameter to [0, 1])."""
+        clamps a shared nn.Parameter to [0, 1]).
+
+        e_table/edge_ids: typed-edge fast path — when edge features are an
+        embedding of a small type vocabulary, pass the [V, D] embedding
+        table and the dense [B, N, N] int type ids (in adj's (src, dst)
+        layout) instead of the materialized e_emb field; the E/E_2
+        projections then run on V rows instead of B*N^2 and the score is
+        a per-type MXU matmul (see `typed_edge_scores`)."""
+        from feta_tmlr_tpu.config import default_compute_dtype
+        cdt = self.compute_dtype or default_compute_dtype()
         b, n, _ = h.shape
         hh, dh = self.num_heads, self.out_dim
         dense = lambda name: nn.Dense(hh * dh, use_bias=self.use_bias,
-                                      name=name)
+                                      dtype=cdt, name=name)
         split = lambda t: t.reshape(b, n, hh, dh).transpose(0, 2, 1, 3)
-        q = split(dense("Q")(h))
-        k = split(dense("K")(h))
-        v = split(dense("V")(h))
+        hc = h.astype(cdt)
+        q = split(dense("Q")(hc))
+        k = split(dense("K")(hc))
+        v = split(dense("V")(hc))
 
         # admissible pairs exclude (i, i): the reference full graph is
         # nx.complete_graph — no self loops (LSPE/data/molecules.py:202)
         pm = pair_mask_no_diag(node_mask)
         real = in_edge_mask(adj, node_mask)
+        typed = (self.edge_features and e_table is not None
+                 and edge_ids is not None)
+        use_field = (self.edge_features and e_emb is not None
+                     and not typed)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        # edge (j -> i) carries ids/e_emb[b, j, i]; transpose to (i, j)
+        et = jnp.swapaxes(edge_ids, 1, 2) if typed else None
+
         # score[b,h,i,j]: dst/query i, src/key j (DGL edge j->i convention)
         def scores_of(qm, km, em):
+            if em is None:
+                return jnp.einsum(
+                    "bhid,bhjd->bhij", qm, km,
+                    preferred_element_type=jnp.float32) * scale
+            # generic dense-field path (e.g. learned edge LPE):
+            # em is [B, i(dst), j(src), H*dh] -> [B, H, i, j, dh]
             prod = jnp.einsum("bhid,bhjd->bhijd", qm, km)
-            if em is not None:
-                # em is [B, i(dst), j(src), H*dh] -> [B, H, i, j, dh]
-                prod = prod * em.reshape(
-                    b, n, n, hh, dh).transpose(0, 3, 1, 2, 4)
-            return prod.sum(-1) / jnp.sqrt(jnp.asarray(dh, h.dtype))
+            prod = prod * em.reshape(
+                b, n, n, hh, dh).transpose(0, 3, 1, 2, 4)
+            return prod.sum(-1).astype(jnp.float32) * scale
 
-        e_r = dense("E")(e_emb) if (self.edge_features and e_emb is not None) \
-            else None
-        # edge (j -> i) carries e_emb[b, j, i]; transpose to [b, i, j, :]
-        e_r_t = jnp.swapaxes(e_r, 1, 2) if e_r is not None else None
-        s_real = scores_of(q, k, e_r_t)
+        if typed:
+            tbl_r = dense("E")(e_table.astype(cdt)).reshape(-1, hh, dh)
+            s_real = typed_edge_scores(q, k, tbl_r, et, scale)
+        else:
+            e_r = dense("E")(e_emb.astype(cdt)) if use_field else None
+            e_r_t = jnp.swapaxes(e_r, 1, 2) if e_r is not None else None
+            s_real = scores_of(q, k, e_r_t)
 
         if self.full_graph:
-            q2 = split(dense("Q_2")(h))
-            k2 = split(dense("K_2")(h))
-            e_f = dense("E_2")(e_emb) if (self.edge_features and
-                                          e_emb is not None) else None
-            e_f_t = jnp.swapaxes(e_f, 1, 2) if e_f is not None else None
-            s_fake = scores_of(q2, k2, e_f_t)
+            q2 = split(dense("Q_2")(hc))
+            k2 = split(dense("K_2")(hc))
+            if typed:
+                tbl_f = dense("E_2")(e_table.astype(cdt)).reshape(
+                    -1, hh, dh)
+                s_fake = typed_edge_scores(q2, k2, tbl_f, et, scale)
+            else:
+                e_f = dense("E_2")(e_emb.astype(cdt)) if use_field else None
+                e_f_t = jnp.swapaxes(e_f, 1, 2) if e_f is not None else None
+                s_fake = scores_of(q2, k2, e_f_t)
             g = self.gamma if gamma_value is None else gamma_value
             w_real = jnp.exp(jnp.clip(s_real, -5.0, 5.0)) / (g + 1.0)
             w_fake = g * jnp.exp(jnp.clip(s_fake, -5.0, 5.0)) / (g + 1.0)
@@ -116,10 +176,14 @@ class SANAttention(nn.Module):
             w_real = jnp.exp(jnp.clip(s_real, -5.0, 5.0))
             attn = jnp.where(real[:, None], w_real, 0.0)
 
-        wv = jnp.einsum("bhij,bhjd->bhid", attn, v)
-        z = attn.sum(-1, keepdims=True)
+        # carry the [B, H, N, N] field at compute dtype; normalize in f32
+        attn = attn.astype(cdt)
+        wv = jnp.einsum("bhij,bhjd->bhid", attn, v,
+                        preferred_element_type=jnp.float32)
+        z = attn.sum(-1, keepdims=True, dtype=jnp.float32)
         h_out = wv / (z + 1e-6)
         h_out = h_out.transpose(0, 2, 1, 3).reshape(b, n, hh * dh)
+        h_out = h_out.astype(h.dtype)
         struct = pm.astype(h.dtype) if self.full_graph \
             else real.astype(h.dtype)
         mask_f = node_mask.astype(h.dtype)[..., None]
@@ -136,8 +200,12 @@ class SANCoeffHead(nn.Module):
     def __call__(self, attn, node_mask):
         a = jax.lax.stop_gradient(attn)            # [B,H,N,N] detached
         k = self.filter_order
-        ones = jnp.ones(a.shape[:3] + (k,), a.dtype)
-        agg = jnp.einsum("bhij,bhjk->bhik", a, ones)
+        # the coefficient GCN's node features are ones((N, K)) (reference
+        # get_filter_coeff :510), so the edge-weighted aggregation
+        # A @ ones is just the attention row-sum broadcast over K — one
+        # reduction pass instead of an einsum against a ones tensor
+        rowsum = a.sum(-1, dtype=jnp.float32)      # [B,H,N]
+        agg = jnp.broadcast_to(rowsum[..., None], rowsum.shape + (k,))
         hgc = jnp.tanh(nn.Dense(k, name="gcn_linear")(agg))
         pooled = masked_mean(hgc, node_mask[:, None, :], axis=2)
         return nn.Dense(k, name="ffn_filter_coeff")(pooled)  # [B,H,K]
@@ -158,15 +226,21 @@ class SANSpectraLayer(nn.Module):
     filter_order: int = 4
     edge_features: bool = True
     spectra: bool = True           # False -> plain SAN layer (:no filter)
+    compute_dtype: object = None   # see SANAttention
 
     @nn.compact
-    def __call__(self, h, e_emb, adj, node_mask, deterministic=True):
+    def __call__(self, h, e_emb, adj, node_mask, deterministic=True,
+                 e_table=None, edge_ids=None):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        cdt = self.compute_dtype or default_compute_dtype()
         b, n, _ = h.shape
         dh = self.out_dim // self.num_heads
         h_in1 = h
         h_attn, attn, struct = SANAttention(
             dh, self.num_heads, self.gamma, self.full_graph, self.use_bias,
-            self.edge_features, name="attention")(h, e_emb, adj, node_mask)
+            self.edge_features, compute_dtype=self.compute_dtype,
+            name="attention")(h, e_emb, adj, node_mask,
+                              e_table=e_table, edge_ids=edge_ids)
 
         if self.spectra:
             coeff = SANCoeffHead(self.filter_order, name="coeff_head")(
@@ -177,9 +251,13 @@ class SANSpectraLayer(nn.Module):
             w = self.param("cheb_weight", nn.initializers.glorot_uniform(),
                            (self.filter_order, dh, dh))
             cb = self.param("cheb_bias", nn.initializers.zeros, (dh,))
-            filt = cheb_filter_scalar_coeff(heads, lhat, coeff, w, cb)
-            filt = nn.Dense(dh, name="filt_linear")(jnp.tanh(filt))
-            filt = filt.transpose(0, 2, 1, 3).reshape(b, n, self.out_dim)
+            filt = cheb_filter_scalar_coeff(
+                heads.astype(cdt), lhat.astype(cdt),
+                coeff.astype(cdt), w.astype(cdt), cb.astype(cdt))
+            filt = nn.Dense(dh, dtype=cdt,
+                            name="filt_linear")(jnp.tanh(filt))
+            filt = filt.transpose(0, 2, 1, 3).reshape(
+                b, n, self.out_dim).astype(h_attn.dtype)
             h = h_attn + filt
         else:
             h = h_attn
@@ -225,6 +303,11 @@ class FreqTransformer(nn.Module):
     lpe_layers: int
     ff_dim: int = 2048
     dropout: float = 0.1
+    # None -> FETA_COMPUTE_DTYPE env. The [B*N, m, ff_dim=2048] FFN field
+    # is this head's dominant HBM stream (the reference keeps torch's
+    # dim_feedforward default); under bf16 the matmuls and that field run
+    # half-width, softmax and LayerNorms stay f32.
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, tokens, freq_mask, deterministic=True):
@@ -238,27 +321,33 @@ class FreqTransformer(nn.Module):
     def _encoder_layer(self, x, mask, idx, deterministic):
         # torch nn.TransformerEncoderLayer semantics over the frequency axis
         # (helper of the compact __call__, shares its param scope)
+        from feta_tmlr_tpu.config import default_compute_dtype
+        cdt = self.compute_dtype or default_compute_dtype()
         s, m, d = x.shape
         hn = self.lpe_heads
         dh = d // hn
-        qkv = nn.Dense(3 * d, name=f"qkv_{idx}")(x)
+        qkv = nn.Dense(3 * d, dtype=cdt, name=f"qkv_{idx}")(x.astype(cdt))
         q, k, v = jnp.split(qkv, 3, -1)
         shape = (s, m, hn, dh)
         q, k, v = (t.reshape(shape).transpose(0, 2, 1, 3) for t in (q, k, v))
-        sc = jnp.einsum("shmd,shnd->shmn", q, k) / jnp.sqrt(
-            jnp.asarray(dh, x.dtype))
+        sc = jnp.einsum("shmd,shnd->shmn", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(
+            jnp.asarray(dh, jnp.float32))
         sc = jnp.where(mask[:, None, None, :], sc, -1e30)
         p = jax.nn.softmax(sc, axis=-1)
         p = jnp.where(mask[:, None, :, None], p, 0.0)
-        out = jnp.einsum("shmn,shnd->shmd", p, v)
-        out = out.transpose(0, 2, 1, 3).reshape(s, m, d)
+        out = jnp.einsum("shmn,shnd->shmd", p.astype(cdt), v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(s, m, d).astype(x.dtype)
         drop = lambda t: nn.Dropout(self.dropout)(
             t, deterministic=deterministic)
         x = x + drop(nn.Dense(d, name=f"proj_{idx}")(out))
         x = nn.LayerNorm(epsilon=1e-5, name=f"n1_{idx}")(x)
-        ff = nn.Dense(self.ff_dim, name=f"ff1_{idx}")(x)
-        ff = nn.Dense(d, name=f"ff2_{idx}")(drop(nn.relu(ff)))
-        x = nn.LayerNorm(epsilon=1e-5, name=f"n2_{idx}")(x + drop(ff))
+        ff = nn.Dense(self.ff_dim, dtype=cdt,
+                      name=f"ff1_{idx}")(x.astype(cdt))
+        ff = nn.Dense(d, dtype=cdt, name=f"ff2_{idx}")(drop(nn.relu(ff)))
+        x = nn.LayerNorm(epsilon=1e-5,
+                         name=f"n2_{idx}")(x + drop(ff).astype(x.dtype))
         return x
 
 
@@ -269,6 +358,7 @@ class LPETransformer(nn.Module):
     lpe_dim: int
     lpe_heads: int
     lpe_layers: int
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, eigvecs, eigvals, node_mask, deterministic=True):
@@ -278,6 +368,7 @@ class LPETransformer(nn.Module):
         freq_mask = ~jnp.isnan(tokens[..., 0])
         tokens = jnp.where(jnp.isnan(tokens), 0.0, tokens)
         pos = FreqTransformer(self.lpe_dim, self.lpe_heads, self.lpe_layers,
+                              compute_dtype=self.compute_dtype,
                               name="freq_transformer")(
             tokens.reshape(b * n, m, 2), freq_mask.reshape(b * n, m),
             deterministic)
@@ -355,6 +446,10 @@ class SANNet(nn.Module):
     n_out: int = 1
     node_level: bool = False       # per-node logits (SBM tier)
     categorical_input: bool = True  # False: float features (TU tier)
+    # None = auto: use the typed-edge score path (see SANAttention) when
+    # the bond vocabulary is small and no learned edge-PE is concatenated
+    typed_edges: Optional[bool] = None
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
@@ -367,11 +462,18 @@ class SANNet(nn.Module):
                          name="embedding_h")(batch.x.astype(jnp.int32))
         else:
             h = nn.Dense(h_dim, name="embedding_h")(batch.x)
-        e_emb = None
+        typed = self.typed_edges
+        if typed is None:
+            typed = self.num_bond_type <= 16 and self.lpe != "edge"
+        e_emb = e_table = e_ids = None
         if batch.edge_type is not None:
-            e_emb = nn.Embed(self.num_bond_type, e_dim,
-                             name="embedding_e")(
-                batch.edge_type.astype(jnp.int32))
+            embed_e = nn.Embed(self.num_bond_type, e_dim,
+                               name="embedding_e")
+            if typed:
+                e_table = embed_e(jnp.arange(self.num_bond_type))
+                e_ids = batch.edge_type.astype(jnp.int32)
+            else:
+                e_emb = embed_e(batch.edge_type.astype(jnp.int32))
         if self.lpe == "node":
             pos = LPETransformer(self.lpe_dim, self.lpe_heads,
                                  self.lpe_layers, name="pe_transformer")(
@@ -395,9 +497,12 @@ class SANNet(nn.Module):
                 num_heads=self.n_heads, gamma=self.gamma,
                 full_graph=self.full_graph, dropout=self.dropout,
                 layer_norm=self.layer_norm, batch_norm=self.batch_norm,
-                residual=self.residual, edge_features=e_emb is not None,
-                spectra=False, name=f"layer_{i}")(
-                    h, e_emb, batch.adj, batch.node_mask, deterministic)
+                residual=self.residual,
+                edge_features=(e_emb is not None or e_table is not None),
+                spectra=False, compute_dtype=self.compute_dtype,
+                name=f"layer_{i}")(
+                    h, e_emb, batch.adj, batch.node_mask, deterministic,
+                    e_table=e_table, edge_ids=e_ids)
 
         if self.node_level:
             return MLPReadout(self.n_out, name="mlp_readout")(h)
@@ -440,6 +545,8 @@ class SANNodeSpectra(nn.Module):
     n_out: int = 1
     node_level: bool = False
     categorical_input: bool = True
+    typed_edges: Optional[bool] = None   # see SANNet
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
@@ -449,12 +556,21 @@ class SANNodeSpectra(nn.Module):
         else:
             h = nn.Dense(self.hidden_dim - self.lpe_dim,
                          name="embedding_h")(batch.x)
-        e_emb = nn.Embed(self.num_bond_type, self.hidden_dim,
-                         name="embedding_e")(
-            batch.edge_type.astype(jnp.int32)) \
-            if batch.edge_type is not None else None
+        typed = self.typed_edges
+        if typed is None:
+            typed = self.num_bond_type <= 16
+        e_emb = e_table = e_ids = None
+        if batch.edge_type is not None:
+            embed_e = nn.Embed(self.num_bond_type, self.hidden_dim,
+                               name="embedding_e")
+            if typed:
+                e_table = embed_e(jnp.arange(self.num_bond_type))
+                e_ids = batch.edge_type.astype(jnp.int32)
+            else:
+                e_emb = embed_e(batch.edge_type.astype(jnp.int32))
 
         pos = LPETransformer(self.lpe_dim, self.lpe_heads, self.lpe_layers,
+                             compute_dtype=self.compute_dtype,
                              name="pe_transformer")(
             batch.eigvecs, batch.eigvals, batch.node_mask, deterministic)
         h = jnp.concatenate([h, pos], axis=-1)
@@ -469,9 +585,11 @@ class SANNodeSpectra(nn.Module):
                 full_graph=self.full_graph, dropout=self.dropout,
                 layer_norm=self.layer_norm, batch_norm=self.batch_norm,
                 residual=self.residual, filter_order=self.filter_order,
-                edge_features=e_emb is not None, spectra=spectra,
+                edge_features=(e_emb is not None or e_table is not None),
+                spectra=spectra, compute_dtype=self.compute_dtype,
                 name=f"layer_{i}")(h, e_emb, batch.adj, batch.node_mask,
-                                   deterministic)
+                                   deterministic, e_table=e_table,
+                                   edge_ids=e_ids)
 
         if self.node_level:
             return MLPReadout(self.n_out, name="mlp_readout")(h)
