@@ -89,6 +89,8 @@ class GraphBatch(flax.struct.PyTreeNode):
     edge_index: Any = None      # [B, 2, E] int32 COO (padded, self-loop pad)
     edge_mask: Any = None       # [B, E] bool
     edge_attr: Any = None       # [B, E, Fe]
+    in_edges: Any = None        # [B, N, K] int32 in-edge ids per dst node
+    in_edge_mask: Any = None    # [B, N, K] bool (K = max in-degree bucket)
     edge_type: Any = None       # [B, N, N] int32 dense edge types (SAN tier)
     eigvecs: Any = None         # [B, N, M] Laplacian eigvecs, NaN-padded
     eigvals: Any = None         # [B, M] eigenvalues, NaN-padded
@@ -177,15 +179,18 @@ def collate_graphs(
         x, node_mask, adj, pe, lap_pe, degree, edge_type = native
         ys = [np.asarray(g.y) for g in graphs if g.y is not None]
         edge_index = edge_mask = edge_attr = None
+        in_edges = in_edge_mask = None
         if with_coo:
             edge_index, edge_mask, edge_attr = _collate_coo(
                 graphs, edge_buckets or _DEFAULT_NODE_BUCKETS, dtype)
+            in_edges, in_edge_mask = _collate_incidence(
+                graphs, edge_index, edge_mask, n)
         y = _pack_labels(ys, graphs, node_labels, bsz, n)
         return GraphBatch(
             x=x, node_mask=node_mask, adj=adj, y=y, pe=pe, lap_pe=lap_pe,
             degree=degree, edge_index=edge_index, edge_mask=edge_mask,
             edge_attr=edge_attr, edge_type=edge_type, eigvecs=eigvecs,
-            eigvals=eigvals,
+            eigvals=eigvals, in_edges=in_edges, in_edge_mask=in_edge_mask,
         )
 
     if squeeze_x:
@@ -231,15 +236,18 @@ def collate_graphs(
     y = _pack_labels(ys, graphs, node_labels, bsz, n)
 
     edge_index = edge_mask = edge_attr = None
+    in_edges = in_edge_mask = None
     if with_coo:
         edge_index, edge_mask, edge_attr = _collate_coo(
             graphs, edge_buckets or _DEFAULT_NODE_BUCKETS, dtype)
+        in_edges, in_edge_mask = _collate_incidence(
+            graphs, edge_index, edge_mask, n)
 
     return GraphBatch(
         x=x, node_mask=node_mask, adj=adj, y=y, pe=pe, lap_pe=lap_pe,
         degree=degree, edge_index=edge_index, edge_mask=edge_mask,
         edge_attr=edge_attr, edge_type=edge_type, eigvecs=eigvecs,
-        eigvals=eigvals,
+        eigvals=eigvals, in_edges=in_edges, in_edge_mask=in_edge_mask,
     )
 
 
@@ -287,6 +295,32 @@ def _collate_coo(graphs, edge_buckets, dtype):
         if use_eattr and ne:
             edge_attr[i, :ne] = g.edge_attr
     return edge_index, edge_mask, edge_attr
+
+
+_INCIDENCE_BUCKETS = (2, 4, 8, 16, 32, 64, 128)
+
+
+def _collate_incidence(graphs, edge_index, edge_mask, n):
+    """Host-built per-destination in-edge table: in_edges[b, i, k] is the
+    k-th edge id (into the padded E axis) whose dst == i. Enables
+    scatter-free segment max/min on device (ops/sparse_agg.py); K is the
+    batch's max in-degree rounded to a bucket to bound recompiles."""
+    bsz, _, e = edge_index.shape
+    deg = np.zeros((bsz, n), dtype=np.int64)
+    for i in range(bsz):
+        dst = edge_index[i, 1][edge_mask[i]]
+        np.add.at(deg[i], dst, 1)
+    k = pad_bucket(max(int(deg.max()), 1), _INCIDENCE_BUCKETS)
+    in_edges = np.zeros((bsz, n, k), dtype=np.int32)
+    in_mask = np.zeros((bsz, n, k), dtype=bool)
+    fill = np.zeros((bsz, n), dtype=np.int64)
+    for i in range(bsz):
+        for eid in np.nonzero(edge_mask[i])[0]:
+            d = edge_index[i, 1, eid]
+            in_edges[i, d, fill[i, d]] = eid
+            in_mask[i, d, fill[i, d]] = True
+            fill[i, d] += 1
+    return in_edges, in_mask
 
 
 def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:

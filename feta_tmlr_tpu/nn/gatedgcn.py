@@ -44,11 +44,21 @@ class GatedGCNLSPELayer(nn.Module):
     compute_dtype: object = None
 
     @nn.compact
-    def __call__(self, h, p, e, adj, node_mask, snorm_n, deterministic=True):
+    def __call__(self, h, p, e, adj, node_mask, snorm_n, deterministic=True,
+                 edges=None):
+        """Dense mode (edges=None): e is the [B, N, N, D] edge field.
+
+        Sparse mode: `edges = (src, dst, edge_mask, oh_dst)` from the
+        batch COO (oh_dst built once per step by the net, see
+        ops/sparse_agg.dst_onehot) and e is the [B, E, D] per-edge field —
+        same parameters, same math restricted to the real edges the dense
+        path masks to (~15x less HBM traffic at molecular densities)."""
         from feta_tmlr_tpu.config import default_compute_dtype
+        from feta_tmlr_tpu.ops.sparse_agg import edge_gather, \
+            edge_segment_sum
         cdt = self.compute_dtype or default_compute_dtype()
         b, n, _ = h.shape
-        real = in_edge_mask(adj, node_mask).astype(cdt)
+        sparse = edges is not None
         residual = self.residual and h.shape[-1] == self.output_dim
         h_in, p_in, e_in = h, p, e
         h, p, e = h.astype(cdt), p.astype(cdt), e.astype(cdt)
@@ -62,24 +72,41 @@ class GatedGCNLSPELayer(nn.Module):
         c1 = dense("C1")(p)
         c2 = dense("C2")(p)
 
-        # hat_eta[b, i(dst), j(src)] = B1 h_j + B2 h_i + B3 e_ij
-        hat_eta = (b1[:, None, :, :] + b2[:, :, None, :]
-                   + jnp.swapaxes(b3, 1, 2))
-        sigma = nn.sigmoid(hat_eta) * real[..., None]
-        # f32 accumulation of the gate denominator (sum over N bf16 terms)
-        denom = sigma.sum(axis=2, keepdims=True,
-                          dtype=jnp.float32) + 1e-6
-        eta = (sigma / denom.astype(cdt)).astype(cdt)
-        agg = lambda x2: jnp.einsum(
-            "bijd,bjd->bid", eta, x2,
-            preferred_element_type=jnp.float32).astype(cdt)
-        h_new = a1 + agg(a2)
-        p_new = c1 + agg(c2)
-        e_new = jnp.swapaxes(hat_eta, 1, 2)        # back to [b, src, dst, d]
+        if sparse:
+            src, dst, emask, oh = edges
+            emf = emask.astype(cdt)[..., None]
+            # hat_eta_k = B1 h_src + B2 h_dst + B3 e_k  (edge k: src->dst)
+            hat_eta = (edge_gather(b1, src) + edge_gather(b2, dst) + b3)
+            sigma = nn.sigmoid(hat_eta) * emf
+            denom = edge_segment_sum(sigma, oh) + 1e-6       # [B,N,D] f32
+            eta = sigma / edge_gather(denom, dst).astype(cdt)
+            msg = jnp.concatenate(
+                [eta * edge_gather(a2, src), eta * edge_gather(c2, src)],
+                axis=-1)
+            agg2 = edge_segment_sum(msg, oh).astype(cdt)     # [B,N,2D]
+            h_new = a1 + agg2[..., :self.output_dim]
+            p_new = c1 + agg2[..., self.output_dim:]
+            e_new = hat_eta                                  # [B,E,D]
+        else:
+            real = in_edge_mask(adj, node_mask).astype(cdt)
+            # hat_eta[b, i(dst), j(src)] = B1 h_j + B2 h_i + B3 e_ij
+            hat_eta = (b1[:, None, :, :] + b2[:, :, None, :]
+                       + jnp.swapaxes(b3, 1, 2))
+            sigma = nn.sigmoid(hat_eta) * real[..., None]
+            # f32 accumulation of the gate denominator (N bf16 terms)
+            denom = sigma.sum(axis=2, keepdims=True,
+                              dtype=jnp.float32) + 1e-6
+            eta = (sigma / denom.astype(cdt)).astype(cdt)
+            agg = lambda x2: jnp.einsum(
+                "bijd,bjd->bid", eta, x2,
+                preferred_element_type=jnp.float32).astype(cdt)
+            h_new = a1 + agg(a2)
+            p_new = c1 + agg(c2)
+            e_new = jnp.swapaxes(hat_eta, 1, 2)    # back to [b, src, dst, d]
 
         # norms and residuals in f32 (BatchNorm statistics especially);
-        # outputs re-cast to cdt so the carried [B,N,N,D] edge field
-        # stays half-width between layers
+        # outputs re-cast to cdt so the carried edge field stays
+        # half-width between layers
         f32 = jnp.float32
         h_new = h_new.astype(f32) * snorm_n.astype(f32)[..., None]
         e_new = e_new.astype(f32)
@@ -88,11 +115,15 @@ class GatedGCNLSPELayer(nn.Module):
             h_new = MaskedBatchNorm(name="bn_node_h")(
                 h_new, node_mask, use_running_average=deterministic)
             # edge BN over real edges: flatten pair mask as 'nodes'
-            e_flat = e_new.reshape(b, n * n, -1)
-            e_mask = (real > 0).reshape(b, n * n)
-            e_flat = MaskedBatchNorm(name="bn_node_e")(
-                e_flat, e_mask, use_running_average=deterministic)
-            e_new = e_flat.reshape(b, n, n, -1)
+            if sparse:
+                e_new = MaskedBatchNorm(name="bn_node_e")(
+                    e_new, emask, use_running_average=deterministic)
+            else:
+                e_flat = e_new.reshape(b, n * n, -1)
+                e_mask = (real > 0).reshape(b, n * n)
+                e_flat = MaskedBatchNorm(name="bn_node_e")(
+                    e_flat, e_mask, use_running_average=deterministic)
+                e_new = e_flat.reshape(b, n, n, -1)
         h_new = nn.relu(h_new)
         e_new = nn.relu(e_new)
         p_new = jnp.tanh(p_new)
@@ -103,9 +134,10 @@ class GatedGCNLSPELayer(nn.Module):
         drop = lambda t: nn.Dropout(self.dropout)(
             t, deterministic=deterministic)
         mask_f = node_mask.astype(cdt)[..., None]
+        e_out_mask = emf if sparse else real[..., None]
         return (drop(h_new).astype(cdt) * mask_f,
                 drop(p_new).astype(cdt) * mask_f,
-                drop(e_new).astype(cdt) * real[..., None])
+                drop(e_new).astype(cdt) * e_out_mask)
 
 
 def lapeig_loss(p, adj, node_mask, pos_enc_dim: int, lambda_loss: float):
@@ -149,10 +181,23 @@ class GatedGCNLSPENet(nn.Module):
     alpha_loss: float = 1e-4
     readout: str = "mean"
     n_out: int = 1
+    # None = auto: run the layers over the batch's padded COO edge list
+    # when it is present (collate_graphs(with_coo=True)) instead of the
+    # dense [B, N, N, D] mailbox — same parameters and math (see layer
+    # docstring), ~15x less HBM traffic at molecular edge densities
+    sparse_edges: Optional[bool] = None
+    compute_dtype: object = None
 
     categorical_input: bool = True
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        from feta_tmlr_tpu.ops.sparse_agg import dst_onehot, \
+            edge_ids_from_dense
+        cdt = self.compute_dtype or default_compute_dtype()
+        sparse = self.sparse_edges
+        if sparse is None:
+            sparse = batch.edge_index is not None
         if self.categorical_input:
             h = nn.Embed(self.num_atom_type, self.hidden_dim,
                          name="embedding_h")(batch.x.astype(jnp.int32))
@@ -161,11 +206,24 @@ class GatedGCNLSPENet(nn.Module):
             # (reference nets/TU_graph_classification/*_net.py use
             # nn.Linear(in_dim, hidden) instead of nn.Embedding)
             h = nn.Dense(self.hidden_dim, name="embedding_h")(batch.x)
-        e = (nn.Embed(self.num_bond_type, self.hidden_dim,
-                      name="embedding_e")(
-            batch.edge_type.astype(jnp.int32))
-            if batch.edge_type is not None
-            else jnp.zeros(batch.adj.shape + (self.hidden_dim,)))
+        edges = None
+        if sparse:
+            src, dst = batch.edge_index[:, 0], batch.edge_index[:, 1]
+            edges = (src, dst, batch.edge_mask,
+                     dst_onehot(dst, batch.edge_mask, batch.max_nodes, cdt))
+            if batch.edge_type is not None:
+                et_e = edge_ids_from_dense(
+                    batch.edge_type.astype(jnp.int32), src, dst)
+                e = nn.Embed(self.num_bond_type, self.hidden_dim,
+                             name="embedding_e")(et_e)
+            else:
+                e = jnp.zeros(src.shape + (self.hidden_dim,))
+        else:
+            e = (nn.Embed(self.num_bond_type, self.hidden_dim,
+                          name="embedding_e")(
+                batch.edge_type.astype(jnp.int32))
+                if batch.edge_type is not None
+                else jnp.zeros(batch.adj.shape + (self.hidden_dim,)))
         h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
         if self.pe_init == "rand_walk":
             p = nn.Dense(self.hidden_dim, name="embedding_p")(batch.lap_pe)
@@ -188,9 +246,10 @@ class GatedGCNLSPENet(nn.Module):
             h, p, e = GatedGCNLSPELayer(
                 output_dim=(self.out_dim if is_last else self.hidden_dim),
                 dropout=self.dropout, batch_norm=self.batch_norm,
-                residual=self.residual, name=f"layer_{i}")(
+                residual=self.residual, compute_dtype=self.compute_dtype,
+                name=f"layer_{i}")(
                     h, p, e, batch.adj, batch.node_mask, snorm_n,
-                    deterministic)
+                    deterministic, edges=edges)
 
         p_final = None
         if self.pe_init == "rand_walk":
