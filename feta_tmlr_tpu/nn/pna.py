@@ -21,8 +21,64 @@ from feta_tmlr_tpu.data.batch import GraphBatch
 from feta_tmlr_tpu.nn.layers import MaskedBatchNorm
 from feta_tmlr_tpu.nn.san import MLPReadout
 from feta_tmlr_tpu.ops.masking import in_edge_mask, masked_mean, pair_mask
+from feta_tmlr_tpu.ops.sparse_agg import (
+    edge_gather,
+    edge_ids_from_dense,
+    edge_segment_sum,
+    incidence_max,
+    incidence_min,
+)
 
 EPS = 1e-5
+
+
+class SparseEdges:
+    """Per-step COO context shared by every PNA tower/layer: indices,
+    one-hot destination matrix for scatter-free sums, and the in-edge
+    incidence table for scatter-free max/min (see ops/sparse_agg.py)."""
+
+    def __init__(self, src, dst, edge_mask, oh_dst, in_edges, in_edge_mask):
+        self.src = src
+        self.dst = dst
+        self.edge_mask = edge_mask
+        self.oh_dst = oh_dst
+        self.in_edges = in_edges
+        self.in_edge_mask = in_edge_mask
+        self.deg = oh_dst.astype(jnp.float32).sum(1)       # [B, N] in-deg
+
+
+def _aggregate_sparse(msg, edges: SparseEdges, names: Sequence[str]):
+    """Sparse twin of `_aggregate`: msg [B, E, F] -> concat aggs [B, N, *].
+
+    Sums/means/std ride one-hot matmuls (f32 accumulation); max/min ride
+    the incidence gather. Identical summands to the dense masked forms.
+    """
+    mf = edges.edge_mask.astype(msg.dtype)[..., None]
+    msg_m = msg * mf
+    deg = edges.deg
+    d_safe = jnp.maximum(deg, 1.0)[..., None]
+    sums = edge_segment_sum(msg_m, edges.oh_dst)           # [B,N,F] f32
+    mean = sums / d_safe
+    outs = []
+    for name in names:
+        if name == "mean":
+            outs.append(mean)
+        elif name == "sum":
+            outs.append(sums)
+        elif name == "max":
+            outs.append(incidence_max(msg, edges.in_edges,
+                                      edges.in_edge_mask, deg))
+        elif name == "min":
+            outs.append(incidence_min(msg, edges.in_edges,
+                                      edges.in_edge_mask, deg))
+        elif name in ("std", "var"):
+            mean_sq = edge_segment_sum(msg_m * msg, edges.oh_dst) / d_safe
+            var = nn.relu(mean_sq - mean * mean)
+            out = jnp.sqrt(var + EPS) if name == "std" else var
+            outs.append(jnp.where(deg[..., None] > 0, out, 0.0))
+        else:
+            raise ValueError(f"unsupported aggregator {name!r}")
+    return jnp.concatenate([o.astype(msg.dtype) for o in outs], axis=-1)
 
 
 def _aggregate(msg, mask, deg, names: Sequence[str]):
@@ -107,18 +163,28 @@ class _EdgeDense(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, ef):
+    def __call__(self, x, ef, edges=None):
         dx = x.shape[-1]
         de = 0 if ef is None else ef.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (2 * dx + de, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(x.dtype)
         src = x @ kernel[:dx]                      # varies along axis 2
         dst = x @ kernel[dx:2 * dx]                # varies along axis 1
-        out = src[:, None, :, :] + dst[:, :, None, :] + bias
+        if edges is not None:
+            # sparse: per-edge messages [B, E, F]; ef is [B, E, de]
+            # aligned to (src, dst) — no swap needed
+            out = (edge_gather(src, edges.src)
+                   + edge_gather(dst, edges.dst) + bias.astype(x.dtype))
+            if ef is not None:
+                out = out + ef.astype(x.dtype) @ kernel[2 * dx:]
+            return out
+        out = src[:, None, :, :] + dst[:, :, None, :] + bias.astype(x.dtype)
         if ef is not None:
             # ef arrives in [B, src, dst, de] layout; project then swap
-            out = out + jnp.swapaxes(ef @ kernel[2 * dx:], 1, 2)
+            out = out + jnp.swapaxes(ef.astype(x.dtype) @ kernel[2 * dx:],
+                                     1, 2)
         return out
 
 
@@ -133,14 +199,15 @@ class _EdgeMLP(nn.Module):
     mid_activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x, ef):
+    def __call__(self, x, ef, edges=None):
         act = {"relu": nn.relu, "tanh": jnp.tanh}[self.mid_activation]
         if self.layers == 1:
-            return _EdgeDense(self.out, name="fc_out")(x, ef)
-        y = act(_EdgeDense(self.hidden, name="fc_0")(x, ef))
+            return _EdgeDense(self.out, name="fc_out")(x, ef, edges)
+        y = act(_EdgeDense(self.hidden, name="fc_0")(x, ef, edges))
         for i in range(1, self.layers - 1):
-            y = act(nn.Dense(self.hidden, name=f"fc_{i}")(y))
-        return nn.Dense(self.out, name="fc_out")(y)
+            y = act(nn.Dense(self.hidden, dtype=x.dtype,
+                             name=f"fc_{i}")(y))
+        return nn.Dense(self.out, dtype=x.dtype, name="fc_out")(y)
 
 
 class PNATower(nn.Module):
@@ -159,17 +226,27 @@ class PNATower(nn.Module):
     # the former trace-time os.environ read could silently diverge
     # across processes)
     edgecat: bool = False
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, h, p, e_field, real, node_mask, snorm_n,
-                 deterministic=True):
+                 deterministic=True, edges=None):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        cdt = self.compute_dtype or default_compute_dtype()
         # h [B,N,2d] (concat h,p slice), p [B,N,d]
         b, n, two_d = h.shape
         d = p.shape[-1]
-        deg = real.astype(h.dtype).sum(2)              # in-degree per dst
+        h_f32, p_f32 = h, p
+        h, p = h.astype(cdt), p.astype(cdt)
+        if e_field is not None:
+            e_field = e_field.astype(cdt)
+        if edges is not None:
+            deg = edges.deg.astype(h.dtype)
+        else:
+            deg = real.astype(h.dtype).sum(2)          # in-degree per dst
 
         # pretransformation per edge (src j -> dst i): cat(src, dst, ef)
-        if self.edgecat:
+        if self.edgecat and edges is None:
             # legacy materialized-concat path, kept for on-chip A/Bs
             def edge_cat(x):
                 return jnp.concatenate([
@@ -186,21 +263,27 @@ class PNATower(nn.Module):
                          name="pretrans_p")(edge_cat(p))
         else:
             msg_h = _EdgeMLP(d, d, self.pretrans_layers, "relu",
-                             name="pretrans_h")(h, e_field)
+                             name="pretrans_h")(h, e_field, edges)
             msg_p = _EdgeMLP(d, d, self.pretrans_layers, "tanh",
-                             name="pretrans_p")(p, e_field)
+                             name="pretrans_p")(p, e_field, edges)
 
-        agg_h = _scale(_aggregate(msg_h, real, deg, self.aggregators),
-                       deg, self.scalers, self.avg_d_log)
-        agg_p = _scale(_aggregate(msg_p, real, deg, self.aggregators),
-                       deg, self.scalers, self.avg_d_log)
+        if edges is not None:
+            agg_h = _scale(_aggregate_sparse(msg_h, edges, self.aggregators),
+                           deg, self.scalers, self.avg_d_log)
+            agg_p = _scale(_aggregate_sparse(msg_p, edges, self.aggregators),
+                           deg, self.scalers, self.avg_d_log)
+        else:
+            agg_h = _scale(_aggregate(msg_h, real, deg, self.aggregators),
+                           deg, self.scalers, self.avg_d_log)
+            agg_p = _scale(_aggregate(msg_p, real, deg, self.aggregators),
+                           deg, self.scalers, self.avg_d_log)
 
         h_out = _MLP(self.out_dim, self.out_dim, self.posttrans_layers,
                      "relu", name="posttrans_h")(
-            jnp.concatenate([h, agg_h], -1))
+            jnp.concatenate([h_f32, agg_h.astype(h_f32.dtype)], -1))
         p_out = _MLP(self.out_dim, self.out_dim, self.posttrans_layers,
                      "tanh", name="posttrans_p")(
-            jnp.concatenate([p, agg_p], -1))
+            jnp.concatenate([p_f32, agg_p.astype(p_f32.dtype)], -1))
 
         if self.graph_norm:
             h_out = h_out * snorm_n[..., None]
@@ -226,12 +309,14 @@ class PNALSPELayer(nn.Module):
     pretrans_layers: int = 1
     posttrans_layers: int = 1
     edgecat: bool = False
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, h, p, e_field, adj, node_mask, snorm_n,
-                 deterministic=True):
+                 deterministic=True, edges=None):
         b, n, d = h.shape
-        real = in_edge_mask(adj, node_mask)   # [dst, src] edge j->i
+        real = (in_edge_mask(adj, node_mask)   # [dst, src] edge j->i
+                if edges is None else None)
         residual = self.residual and d == self.out_dim
         h_in, p_in = h, p
         hp = jnp.concatenate([h, p], -1)
@@ -248,9 +333,10 @@ class PNALSPELayer(nn.Module):
                 t_out, self.aggregators, self.scalers, self.avg_d_log,
                 self.dropout, self.graph_norm, self.batch_norm,
                 self.pretrans_layers, self.posttrans_layers,
-                edgecat=self.edgecat,
+                edgecat=self.edgecat, compute_dtype=self.compute_dtype,
                 name=f"tower_{t}")(h_slice, p_slice, e_field, real,
-                                   node_mask, snorm_n, deterministic)
+                                   node_mask, snorm_n, deterministic,
+                                   edges=edges)
             h_outs.append(ho)
             p_outs.append(po)
         h_out = nn.leaky_relu(nn.Dense(self.out_dim, name="mixing_h")(
@@ -296,10 +382,22 @@ class PNALSPENet(nn.Module):
     # GRU(input=h_pre_layer, hidden=h_layer_out), shared across layers,
     # skipped after the last layer)
     gru: bool = False
+    # None = auto: run towers over the padded COO edge list when present
+    # (scatter-free segment ops, ops/sparse_agg.py) instead of the dense
+    # [B, N, N, *] message mailboxes
+    sparse_edges: Optional[bool] = None
+    compute_dtype: object = None
 
     categorical_input: bool = True
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        from feta_tmlr_tpu.ops.sparse_agg import dst_onehot
+        cdt = self.compute_dtype or default_compute_dtype()
+        sparse = self.sparse_edges
+        if sparse is None:
+            sparse = (batch.edge_index is not None
+                      and batch.in_edges is not None)
         if self.categorical_input:
             h = nn.Embed(self.num_atom_type, self.hidden_dim,
                          name="embedding_h")(batch.x.astype(jnp.int32))
@@ -307,12 +405,23 @@ class PNALSPENet(nn.Module):
             # TU tier: float feature vectors through a linear embedding
             h = nn.Dense(self.hidden_dim, name="embedding_h")(batch.x)
         h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
+        edges = None
+        if sparse:
+            src, dst = batch.edge_index[:, 0], batch.edge_index[:, 1]
+            edges = SparseEdges(
+                src, dst, batch.edge_mask,
+                dst_onehot(dst, batch.edge_mask, batch.max_nodes, cdt),
+                batch.in_edges, batch.in_edge_mask)
         e_field = None
         if self.edge_feat and batch.edge_type is not None:
-            e_field = nn.Embed(self.num_bond_type,
+            embed_e = nn.Embed(self.num_bond_type,
                                self.edge_dim or self.hidden_dim,
-                               name="embedding_e")(
-                batch.edge_type.astype(jnp.int32))
+                               name="embedding_e")
+            if sparse:
+                e_field = embed_e(edge_ids_from_dense(
+                    batch.edge_type.astype(jnp.int32), src, dst))
+            else:
+                e_field = embed_e(batch.edge_type.astype(jnp.int32))
         if self.pe_init == "rand_walk":
             p = nn.Dense(self.hidden_dim, name="embedding_p")(batch.lap_pe)
         else:
@@ -334,9 +443,10 @@ class PNALSPENet(nn.Module):
                 batch_norm=self.batch_norm, residual=self.residual,
                 pretrans_layers=self.pretrans_layers,
                 posttrans_layers=self.posttrans_layers,
-                edgecat=self.edgecat,
+                edgecat=self.edgecat, compute_dtype=self.compute_dtype,
                 name=f"layer_{i}")(h, p, e_field, batch.adj,
-                                   batch.node_mask, snorm_n, deterministic)
+                                   batch.node_mask, snorm_n, deterministic,
+                                   edges=edges)
             if gru_cell is not None and not is_last:
                 # one GRU step per node: carry = the layer output,
                 # input = the pre-layer features (pna_utils.py:345-360)
