@@ -301,7 +301,7 @@ def bench_pallas_xla_pair(n_nodes, n_graphs, dtype_name="bfloat16",
 
 
 def bench_batch_sweep(sizes=(128, 256, 512, 1024), repeats=2,
-                      cost_out=None):
+                      cost_out=None, pallas_mod=False):
     """Interleaved in-process batch-size throughput sweep (bf16 policy,
     donated steps, batches pre-uploaded so only step time is measured).
 
@@ -318,9 +318,21 @@ def bench_batch_sweep(sizes=(128, 256, 512, 1024), repeats=2,
     from the COMPILED per-size executables — if per-edge bytes grow with
     B, the compiler materialized more of the [B,H,N,N] attention chain to
     HBM at the larger shape, which is the mechanism behind a declining
-    per-edge curve (not a harness artifact)."""
+    per-edge curve (not a harness artifact).
+
+    `pallas_mod=True` runs every layer's modulation chain through the
+    row-tiled Pallas kernel (FETA_PALLAS=1 + FETA_PALLAS_IMPL=modulation)
+    — at the canonical N=48 its (B,) grid holds each graph's whole
+    [H, N, N] chain in VMEM, writing ONE attention tensor to HBM instead
+    of the XLA chain's several intermediates; the VERDICT r3 item 3
+    candidate fix for the declining batch curve."""
     prev = os.environ.get("FETA_COMPUTE_DTYPE")
+    prev_pl = os.environ.get("FETA_PALLAS")
+    prev_impl = os.environ.get("FETA_PALLAS_IMPL")
     os.environ["FETA_COMPUTE_DTYPE"] = "bfloat16"
+    if pallas_mod:
+        os.environ["FETA_PALLAS"] = "1"
+        os.environ["FETA_PALLAS_IMPL"] = "modulation"
     try:
         model = DiffGraphTransformerGenGCN(**CFG)
         setups = {}
@@ -364,10 +376,13 @@ def bench_batch_sweep(sizes=(128, 256, 512, 1024), repeats=2,
                     }
         return {bsz: max(v) for bsz, v in results.items()}
     finally:
-        if prev is None:
-            os.environ.pop("FETA_COMPUTE_DTYPE", None)
-        else:
-            os.environ["FETA_COMPUTE_DTYPE"] = prev
+        for name, val in (("FETA_COMPUTE_DTYPE", prev),
+                          ("FETA_PALLAS", prev_pl),
+                          ("FETA_PALLAS_IMPL", prev_impl)):
+            if val is None:
+                os.environ.pop(name, None)
+            else:
+                os.environ[name] = val
 
 
 def bench_streamed_epoch(wire: bool, n_batches=16, warm_batches=4,
@@ -471,6 +486,56 @@ def bench_serving(graphs, n_calls=30, wire=False, quantize=False):
     dt = (time.perf_counter() - t0) / n_calls
     assert np.all(np.isfinite(out))
     return dt
+
+
+def bench_serve_quantized(graphs, n_calls=12, train_steps=100):
+    """int8 serving on the DEFAULT scoreboard (VERDICT r3 item 6): times
+    the wire Predictor at f32 / w8 (int8 weights) / w8a8 (int8 weights +
+    dynamic int8 activations) in one process, AND measures the end-metric
+    cost — val MAE on a held-out synthetic ZINC split with a briefly
+    trained model (so the delta is taken at a meaningful operating point,
+    not random init). Returns the serve_int8_* / serve_w8a8_* extras."""
+    from feta_tmlr_tpu.serve import Predictor
+    model = DiffGraphTransformerGenGCN(**CFG)
+    batch = jax.device_put(collate_graphs(graphs, max_nodes=MAX_NODES))
+    jax.block_until_ready(batch.x)
+    trainer = Trainer(model, TrainConfig(task="graph_reg", lr=1e-3,
+                                         sign_flip=True))
+    state = trainer.init(jax.random.key(0), batch)
+    for i in range(train_steps):
+        state, _ = trainer._jit_step_donated(
+            state, batch, jax.random.fold_in(jax.random.key(7), i))
+    variables = dict(state.params)         # TrainState.params = {"params"}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    val = zinc_like_dataset(seed=9, n_graphs=BATCH)
+    DiffusionEncoding(beta=1.0).apply_to(val)
+    LapEncoding(dim=8).apply_to(val)
+    y = np.asarray([g.y for g in val], np.float32)
+
+    out = {}
+    maes = {}
+    for key, quant in (("f32", False), ("int8", True), ("w8a8", "w8a8")):
+        pred = Predictor(model, variables=variables, max_batch=BATCH,
+                         wire=True, quantize=quant)
+        logits = pred.predict(val)                 # compile + warm
+        maes[key] = float(np.abs(logits.reshape(-1) - y).mean())
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            logits = pred.predict(val)
+        dt = (time.perf_counter() - t0) / n_calls
+        assert np.all(np.isfinite(logits))
+        if key != "f32":
+            out[f"serve_{key}_sec_per_call"] = round(dt, 5)
+            out[f"serve_{key}_graphs_per_s"] = round(BATCH / dt, 1)
+            out[f"serve_{key}_val_mae"] = round(maes[key], 5)
+            out[f"serve_{key}_val_mae_delta"] = round(
+                maes[key] - maes["f32"], 5)
+        else:
+            out["serve_f32_sec_per_call"] = round(dt, 5)
+            out["serve_f32_val_mae"] = round(maes["f32"], 5)
+    return out
 
 
 def bench_serving_concurrent(graphs, n_requests=192, n_clients=16,
@@ -593,6 +658,23 @@ def main():
             sweep = bench_batch_sweep(cost_out=sweep_cost)
         except Exception:
             sweep = None
+        # the Pallas-modulation counterpart of the same sweep (one fused
+        # kernel per layer instead of the XLA chain) — the VERDICT r3
+        # item 3 A/B; FETA_BENCH_NO_SWEEP_PALLAS=1 skips it
+        sweep_pl = None
+        if os.environ.get("FETA_BENCH_NO_SWEEP_PALLAS") != "1":
+            try:
+                sweep_pl = bench_batch_sweep(pallas_mod=True)
+            except Exception:
+                sweep_pl = None
+        # int8/w8a8 serving rows + end-metric deltas on the DEFAULT
+        # scoreboard (VERDICT r3 item 6); FETA_BENCH_NO_SERVE_INT8=1 skips
+        if os.environ.get("FETA_BENCH_NO_SERVE_INT8") != "1":
+            try:
+                serve_q = bench_serve_quantized(graphs)
+            except Exception as e:
+                serve_q = {"serve_int8_error":
+                           f"{type(e).__name__}: {e}"[:200]}
     extras = {}
     if sweep:
         for bsz, eps in sweep.items():
@@ -600,6 +682,13 @@ def main():
         for bsz, c in sweep_cost.items():
             extras[f"b{bsz}_bytes_per_edge"] = c["bytes_per_edge"]
             extras[f"b{bsz}_achieved_tflops"] = c["achieved_tflops"]
+        if sweep_pl:
+            for bsz, eps in sweep_pl.items():
+                extras[f"edges_per_s_b{bsz}_pallasmod"] = round(eps, 1)
+    try:
+        extras.update(serve_q)
+    except NameError:
+        pass
     # mechanized speed-of-light accounting (XLA cost model): achieved
     # TFLOP/s, model-FLOPs utilization vs bf16 peak, HBM BW utilization
     from feta_tmlr_tpu.utils.profiling import device_peaks

@@ -111,7 +111,7 @@ def run_scale(n_shards, nodes_per_shard, edges_per_shard, devices,
 
 
 def run_feta_scale(n_shards, nodes_per_shard, devices, iters=4,
-                   ring_attention=False):
+                   ring_attention=False, ring_collectives=True):
     """Weak scaling of the FULL edge-partitioned FeTA training step
     (parallel/feta_partitioned.py): V = n_shards * nodes_per_shard nodes
     of ONE SBM-like graph, constant nodes/edges per shard.
@@ -141,7 +141,8 @@ def run_feta_scale(n_shards, nodes_per_shard, devices, iters=4,
                              np.asarray(g.y, np.int32), mesh,
                              degree=g.degree)
     x_sh, pe_sh, mask_sh, src, dst, w, m, lab, lmask, deg_sh = xs
-    step = make_feta_train_step(mesh, ring_attention=ring_attention, **cfg)
+    step = make_feta_train_step(mesh, ring_attention=ring_attention,
+                                ring_collectives=ring_collectives, **cfg)
     params = variables["params"]
     params, _ = step(params, x_sh, pe_sh, mask_sh, src, dst, w, m, lab,
                      lmask, deg_sh)
@@ -357,14 +358,25 @@ def main():
         nps = run_feta_scale(s_, args.feta_nodes_per_shard, devices)
         nps_ring = run_feta_scale(s_, args.feta_nodes_per_shard, devices,
                                   ring_attention=True)
+        # matched-FLOPs compute-only control (ppermute removed, same
+        # S-step fold): attributes the ring's efficiency gap between
+        # collectives and host compute contention (VERDICT r3 item 5)
+        nps_ctl = run_feta_scale(s_, args.feta_nodes_per_shard, devices,
+                                 ring_attention=True,
+                                 ring_collectives=False)
         if base_f is None:
             base_f = nps
             base_r = nps_ring
+            base_c = nps_ctl
         feta[f"{s_}x"] = {
             "nodes_per_s": round(nps, 1),
             "weak_scaling_eff": round(nps / (base_f * s_), 4),
             "nodes_per_s_ring_attention": round(nps_ring, 1),
             "ring_attention_eff": round(nps_ring / (base_r * s_), 4),
+            "nodes_per_s_ring_compute_only": round(nps_ctl, 1),
+            "ring_compute_only_eff": round(nps_ctl / (base_c * s_), 4),
+            "ring_collective_share": round(
+                max(0.0, 1.0 - nps_ring / nps_ctl), 4),
         }
     batched = {}
     base_b = None

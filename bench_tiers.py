@@ -125,7 +125,7 @@ def _derive(mfu: dict, sec: float, prefix: str) -> dict:
     return out
 
 
-def _time_torch(build_fn, inputs, y, n_steps=3):
+def _time_torch(build_fn, inputs, y, n_steps=3, loss_kind="l1"):
     """Twin protocol of bench.bench_torch_baseline: AdamW, L1, warmup+3."""
     import torch
     model = build_fn()
@@ -134,7 +134,12 @@ def _time_torch(build_fn, inputs, y, n_steps=3):
     def step():
         opt.zero_grad()
         out = model(*inputs)
-        loss = torch.abs(out.reshape(y.shape) - y).mean()
+        if loss_kind == "ce_node":
+            loss = torch.nn.functional.cross_entropy(
+                out.reshape(-1, out.shape[-1]), y.reshape(-1).long(),
+                ignore_index=-1, reduction="mean")
+        else:
+            loss = torch.abs(out.reshape(y.shape) - y).mean()
         loss.backward()
         opt.step()
 
@@ -146,8 +151,21 @@ def _time_torch(build_fn, inputs, y, n_steps=3):
 
 
 # ----------------------------------------------------------------- tiers
+#
+# Each bench fn takes variant: "opt" is the shipped default (round-4
+# playbook applied: typed-edge MXU scores / sparse-COO message passing +
+# bf16 compute policy), "base" is the round-3 configuration (dense
+# mailboxes, generic score chain, f32) for interleaved before/after A/Bs
+# on the same process + inputs (VERDICT r3 item 1).
 
-def bench_san_zinc():
+_F32, _BF16 = jnp.float32, jnp.bfloat16
+
+
+def _variant_dtypes(variant):
+    return _BF16 if variant == "opt" else _F32
+
+
+def bench_san_zinc(variant="opt"):
     """SAN_NodeSpectra at configs/LPE/ZINC/optimized.json shape
     (GT_hidden 56, 10 layers, 8 heads, LPE dim 8 x 2 layers, m=10,
     batch_norm) vs reference_twin/torch_san.TorchSANNodeSpectra."""
@@ -158,9 +176,14 @@ def bench_san_zinc():
               lpe_dim=8, lpe_heads=4, lpe_layers=2, gamma=1e-5,
               dropout=0.0, in_feat_dropout=0.0, filter_order=4, n_out=1)
     model = SANNodeSpectra(num_atom_type=28, num_bond_type=4,
-                           layer_norm=False, batch_norm=True, **kw)
+                           layer_norm=False, batch_norm=True,
+                           typed_edges=(None if variant == "opt"
+                                        else False),
+                           compute_dtype=_variant_dtypes(variant), **kw)
     sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
                                           sign_flip=True)
+    if variant != "opt":
+        return sec_train, sec_serve, None, mfu
 
     def twin():
         import torch  # noqa: F401  (twin import guards)
@@ -183,10 +206,11 @@ def bench_san_zinc():
     return sec_train, sec_serve, sec_twin, mfu
 
 
-def bench_san_pattern():
+def bench_san_pattern(variant="opt"):
     """SAN_NodeSpectra at PATTERN shape: node classification, N=128
     (reference SBMs_node_classification nets; dense full-graph
-    attention at the N that bounds the LPE tier)."""
+    attention at the N that bounds the LPE tier) vs the torch twin in
+    its node-level configuration."""
     from feta_tmlr_tpu.nn.san import SANNodeSpectra
     graphs = sbm_like_dataset(seed=3, n_graphs=(4 if _SMOKE else 32),
                               n_nodes=128, n_classes=2)
@@ -197,15 +221,39 @@ def bench_san_pattern():
         n_heads=8, n_layers=10, lpe_dim=8, lpe_heads=4, lpe_layers=2,
         gamma=1e-5, dropout=0.0, in_feat_dropout=0.0, layer_norm=False,
         batch_norm=True, filter_order=4, n_out=2, node_level=True,
-        categorical_input=False)
+        categorical_input=False,
+        compute_dtype=_variant_dtypes(variant))
     sec_train, sec_serve, mfu = _time_jax(model, batch, "node_clf",
                                           sign_flip=True)
-    return sec_train, sec_serve, None, mfu
+    if variant != "opt":
+        return sec_train, sec_serve, None, mfu
+
+    def twin():
+        from feta_tmlr_tpu.reference_twin.torch_san import \
+            TorchSANNodeSpectra
+        return TorchSANNodeSpectra(
+            num_atom_type=0, num_bond_type=4, hidden_dim=56, out_dim=56,
+            n_heads=8, n_layers=10, lpe_dim=8, lpe_heads=4, lpe_layers=2,
+            gamma=1e-5, filter_order=4, n_out=2, node_level=True,
+            categorical_input=False, in_feat_dim=batch.x.shape[-1],
+            edge_features=False)
+
+    import torch
+    tin = (torch.from_numpy(np.asarray(batch.x)),
+           None,
+           torch.from_numpy(np.asarray(batch.adj)),
+           torch.from_numpy(np.asarray(batch.node_mask)),
+           torch.from_numpy(np.asarray(batch.eigvecs)),
+           torch.from_numpy(np.asarray(batch.eigvals)))
+    y = torch.from_numpy(np.asarray(batch.y))
+    sec_twin = _time_torch(twin, tin, y, loss_kind="ce_node")
+    return sec_train, sec_serve, sec_twin, mfu
 
 
-def bench_gat_feta():
+def bench_gat_feta(variant="opt"):
     """GATFeTANet at configs/LPE/ZINC/optimized_gat_feta_1.json shape
-    (L=16, hidden 22/head, 8 heads, out 176, batch_norm)."""
+    (L=16, hidden 22/head, 8 heads, out 176, batch_norm) vs
+    reference_twin/torch_gat.TorchGATFeTANet."""
     from feta_tmlr_tpu.nn.gat import GATFeTANet
     graphs = _zinc_graphs(seed=1)
     batch = collate_graphs(graphs, max_nodes=MAX_NODES)
@@ -214,10 +262,25 @@ def bench_gat_feta():
                        residual=True, filter_order=4, n_out=1)
     sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
                                           sign_flip=False)
-    return sec_train, sec_serve, None, mfu
+    if variant != "opt":
+        return sec_train, sec_serve, None, mfu
+
+    def twin():
+        from feta_tmlr_tpu.reference_twin.torch_gat import TorchGATFeTANet
+        return TorchGATFeTANet(num_atom_type=28, hidden_dim=22,
+                               out_dim=176, num_heads=8, n_layers=16,
+                               filter_order=4, n_out=1)
+
+    import torch
+    tin = (torch.from_numpy(np.asarray(batch.x)).long(),
+           torch.from_numpy(np.asarray(batch.adj)),
+           torch.from_numpy(np.asarray(batch.node_mask)))
+    y = torch.from_numpy(np.asarray(batch.y, np.float32))
+    sec_twin = _time_torch(twin, tin, y)
+    return sec_train, sec_serve, sec_twin, mfu
 
 
-def bench_lspe_spectra():
+def bench_lspe_spectra(variant="opt"):
     """GraphiTSpectraNet at configs/LSPE/GraphiT_ZINC_LSPE.json shape
     (L=10, hidden 48, 8 heads, rand_walk PE dim 16, adaptive k_RW edge
     PE p=16 gamma=0.25, batch_norm) vs torch_lspe twin."""
@@ -228,9 +291,14 @@ def bench_lspe_spectra():
               pos_enc_dim=16, filter_order=4, n_out=1)
     model = GraphiTSpectraNet(num_atom_type=28, num_bond_type=4,
                               pe_init="rand_walk", adaptive_edge_pe=True,
-                              batch_norm=True, layer_norm=False, **kw)
+                              batch_norm=True, layer_norm=False,
+                              typed_edges=(None if variant == "opt"
+                                           else False),
+                              compute_dtype=_variant_dtypes(variant), **kw)
     sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
                                           sign_flip=False)
+    if variant != "opt":
+        return sec_train, sec_serve, None, mfu
 
     def twin():
         from feta_tmlr_tpu.reference_twin.torch_lspe import \
@@ -251,39 +319,77 @@ def bench_lspe_spectra():
     return sec_train, sec_serve, sec_twin, mfu
 
 
-def bench_gatedgcn_lspe():
+def bench_gatedgcn_lspe(variant="opt"):
     """GatedGCNLSPENet at configs/LSPE/GatedGCN_ZINC_LSPE.json shape
-    (L=16, hidden 59, rand_walk PE dim 20, batch_norm). No full torch
-    twin exists for this family (numpy layer twin only,
-    tests/test_gatedgcn.py)."""
+    (L=16, hidden 59, rand_walk PE dim 20, batch_norm) vs
+    reference_twin/torch_gatedgcn.TorchGatedGCNLSPENet."""
     from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
     graphs = _zinc_graphs(seed=4, rw_dim=20)
-    batch = collate_graphs(graphs, max_nodes=MAX_NODES)
+    batch = collate_graphs(graphs, max_nodes=MAX_NODES, with_coo=True)
     model = GatedGCNLSPENet(num_atom_type=28, num_bond_type=4,
                             hidden_dim=59, out_dim=59, n_layers=16,
-                            pos_enc_dim=20, n_out=1)
+                            pos_enc_dim=20, n_out=1,
+                            sparse_edges=(None if variant == "opt"
+                                          else False),
+                            compute_dtype=_variant_dtypes(variant))
     sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
                                           sign_flip=False)
-    return sec_train, sec_serve, None, mfu
+    if variant != "opt":
+        return sec_train, sec_serve, None, mfu
+
+    def twin():
+        from feta_tmlr_tpu.reference_twin.torch_gatedgcn import \
+            TorchGatedGCNLSPENet
+        return TorchGatedGCNLSPENet(
+            num_atom_type=28, num_bond_type=4, hidden_dim=59, out_dim=59,
+            n_layers=16, pos_enc_dim=20, n_out=1)
+
+    import torch
+    tin = (torch.from_numpy(np.asarray(batch.x)).long(),
+           torch.from_numpy(np.asarray(batch.edge_type)).long(),
+           torch.from_numpy(np.asarray(batch.adj)),
+           torch.from_numpy(np.asarray(batch.node_mask)),
+           torch.from_numpy(np.asarray(batch.lap_pe)))
+    y = torch.from_numpy(np.asarray(batch.y, np.float32))
+    sec_twin = _time_torch(twin, tin, y)
+    return sec_train, sec_serve, sec_twin, mfu
 
 
-def bench_pna_lspe(edgecat: bool = False):
+def bench_pna_lspe(variant="opt"):
     """PNALSPENet at configs/LSPE/PNA_ZINC_LSPE.json shape (L=16, hidden
-    55, 5 towers, rand_walk PE dim 16). edgecat=True selects the legacy
-    materialized-concat pretransform for A/Bs (examples/pna_ab.py)."""
+    55, 5 towers, rand_walk PE dim 16, bond features at edge_dim=40, sum
+    readout) vs reference_twin/torch_pna.TorchPNALSPENet."""
     from feta_tmlr_tpu.nn.pna import PNALSPENet, average_log_degree
     graphs = _zinc_graphs(seed=5, rw_dim=16)
     avg_log = average_log_degree(graphs)
-    batch = collate_graphs(graphs, max_nodes=MAX_NODES)
+    batch = collate_graphs(graphs, max_nodes=MAX_NODES, with_coo=True)
     model = PNALSPENet(num_atom_type=28, num_bond_type=4, hidden_dim=55,
                        out_dim=55, n_layers=16, pos_enc_dim=16, towers=5,
-                       avg_d_log=avg_log, n_out=1, edgecat=edgecat,
-                       # canonical net_params: bond features embedded at
-                       # edge_dim=40, sum readout (PNA_ZINC_LSPE.json)
-                       edge_feat=True, edge_dim=40, readout="sum")
+                       avg_d_log=avg_log, n_out=1,
+                       edge_feat=True, edge_dim=40, readout="sum",
+                       sparse_edges=(None if variant == "opt" else False),
+                       compute_dtype=_variant_dtypes(variant))
     sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
                                           sign_flip=False)
-    return sec_train, sec_serve, None, mfu
+    if variant != "opt":
+        return sec_train, sec_serve, None, mfu
+
+    def twin():
+        from feta_tmlr_tpu.reference_twin.torch_pna import TorchPNALSPENet
+        return TorchPNALSPENet(
+            num_atom_type=28, num_bond_type=4, hidden_dim=55, out_dim=55,
+            n_layers=16, pos_enc_dim=16, towers=5, avg_d_log=avg_log,
+            n_out=1, edge_feat=True, edge_dim=40, readout="sum")
+
+    import torch
+    tin = (torch.from_numpy(np.asarray(batch.x)).long(),
+           torch.from_numpy(np.asarray(batch.edge_type)).long(),
+           torch.from_numpy(np.asarray(batch.adj)),
+           torch.from_numpy(np.asarray(batch.node_mask)),
+           torch.from_numpy(np.asarray(batch.lap_pe)))
+    y = torch.from_numpy(np.asarray(batch.y, np.float32))
+    sec_twin = _time_torch(twin, tin, y)
+    return sec_train, sec_serve, sec_twin, mfu
 
 
 TIERS = {
@@ -295,6 +401,11 @@ TIERS = {
     "pna_lspe_zinc": bench_pna_lspe,
 }
 
+# tiers that get the interleaved base-vs-opt A/B (the three slowest of
+# round 3 plus the LSPE spectra tier which shares the typed-score path)
+AB_TIERS = ("san_zinc", "lspe_spectra_zinc", "gatedgcn_lspe_zinc",
+            "pna_lspe_zinc")
+
 
 def run_tiers(names=None):
     """Extras dict for bench.py's JSON line (and BASELINE.md tables).
@@ -304,11 +415,25 @@ def run_tiers(names=None):
     still leaves the finished tiers' numbers on record."""
     import sys
 
+    # the base-variant A/B doubles compiles; skip it in the CPU smoke
+    # gate (plumbing check) and under the explicit env opt-out
+    skip_base = _SMOKE or os.environ.get("FETA_TIERS_NO_AB") == "1"
     out = {}
     for name, fn in TIERS.items():
         if names and name not in names:
             continue
         row = {}
+        if name in AB_TIERS and not skip_base:
+            # round-3 configuration first (same process + inputs), so the
+            # headline opt numbers below are an interleaved A/B
+            try:
+                base_train, base_serve, _, _ = fn(variant="base")
+                row[f"tier_{name}_base_sec_per_step"] = round(base_train, 5)
+                row[f"tier_{name}_base_serve_sec_per_call"] = \
+                    round(base_serve, 5)
+            except Exception as e:
+                row[f"tier_{name}_base_error"] = \
+                    f"{type(e).__name__}: {e}"[:200]
         try:
             sec_train, sec_serve, sec_twin, mfu = fn()
         except Exception as e:
@@ -318,6 +443,9 @@ def run_tiers(names=None):
             continue
         row[f"tier_{name}_sec_per_step"] = round(sec_train, 5)
         row[f"tier_{name}_serve_sec_per_call"] = round(sec_serve, 5)
+        base = row.get(f"tier_{name}_base_sec_per_step")
+        if base:
+            row[f"tier_{name}_speedup_vs_base"] = round(base / sec_train, 2)
         if sec_twin is not None:
             row[f"tier_{name}_twin_sec_per_step"] = round(sec_twin, 5)
             row[f"tier_{name}_vs_twin"] = round(sec_twin / sec_train, 2)

@@ -129,14 +129,19 @@ class GraphiTEncoderLayer(nn.Module):
         # to both
         use_pallas = pair_mask is None and use_pallas_modulation(n)
 
-        if not need_heads and use_pallas:
+        import os as _os
+        _impl = _os.environ.get("FETA_PALLAS_IMPL", "flash")
+        if not need_heads and use_pallas and _impl != "modulation":
             # fully fused flash path: the [H, N, N] score/attention tensors
             # never reach HBM. Default impl is the query/key-blocked
             # online-softmax kernel (ops/pallas/flash_attention.py), which
             # compiles at any N; FETA_PALLAS_IMPL=fused selects the older
-            # single-block kernel (VMEM-bound to N<=512) for A/Bs.
-            import os as _os
-            if _os.environ.get("FETA_PALLAS_IMPL", "flash") == "fused":
+            # single-block kernel (VMEM-bound to N<=512);
+            # FETA_PALLAS_IMPL=modulation routes need_heads=False layers
+            # through the row-tiled modulation kernel below instead (XLA
+            # score matmul + one fused modulation-chain kernel) — the
+            # small-N/large-B configuration of the batch-sweep A/B.
+            if _impl == "fused":
                 from feta_tmlr_tpu.ops.pallas.fused_attention import \
                     fused_graphit_attention as _fused_attn
             else:
@@ -144,9 +149,17 @@ class GraphiTEncoderLayer(nn.Module):
                     flash_graphit_attention as _fused_attn
             vw = jnp.einsum("bmhe,hef->bhmf", v_nhd,
                             w_out.reshape(h, dh, d).astype(cdt))
+            kw = {}
+            if _impl != "fused":
+                # bf16 pe/degree/mask streams under the bf16 compute
+                # policy — the FETA_BF16_MODULATION policy applied to the
+                # flash kernel's dominant HBM stream (chain stays f32)
+                mod_dt = (cdt if cdt != jnp.float32 and _os.environ.get(
+                    "FETA_BF16_MODULATION", "1") == "1" else None)
+                kw["mod_dtype"] = mod_dt
             attn_out = _fused_attn(
                 xa, x, c_q, c_k, c_0, vw, node_mask, pe=pe,
-                degree=degree) + b_out
+                degree=degree, **kw) + b_out
             attn = None
             out_each_head = None
         else:

@@ -16,6 +16,18 @@ reaches HBM. This removes the N>=1024 VMEM wall of the single-block
 kernel (recorded in BASELINE.md) — the per-program working set is
 O(Bq*Bk + Bq*D + Bk*D) regardless of N.
 
+Grid layout (round-4 tuning): heads are the INNERMOST grid axis with
+per-head scratch accumulators. The pe/degree/mask operands' index maps
+do not depend on the head, so consecutive head iterations keep the pe
+tile resident in VMEM and the [N, N] modulation kernel streams from HBM
+ONCE per (q, k) tile instead of once per head — with H=8 that removes
+~7/8 of what the old (b, h, nq, nk) order made the dominant stream at
+large N (the root cause of the shrinking large-N win recorded in
+BASELINE.md: 1.42x at N=1024 but 1.08x at N=2048). The pe/degree blocks
+may also arrive in bf16 (mod_dtype) to halve that stream again — the
+same policy as the XLA chain's FETA_BF16_MODULATION; scores and all
+accumulation stay f32.
+
 Online accumulation: GraphiT's renormalization makes the row statistics a
 triple (m = running max, S_e = sum_k e, S_u = sum_k e*pd) instead of
 softmax's usual pair; with e_ij = exp(s_ij - m_i) the output closed form is
@@ -30,12 +42,15 @@ the gradient needs collapse to closed forms of saved statistics —
   sum_j(da*a)_i = (1 - guard_i) * r_i     (the softmax-jacobian term)
 — derived in tests/test_flash_attention.py's twin-equality suite. The
 backward recomputes score blocks twice (one kernel over query blocks for
-dxa/dcq, one over key blocks for dvw/dck/dx), the standard dq/dkv split.
+dxa/dcq, one over key blocks for dvw/dck/dx) — the standard dq/dkv split
+(FlashAttention-2 does the same; a single-pass variant would have to
+round-trip k-indexed accumulators through HBM every q step).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +64,9 @@ _EPS = 1e-9
 def _pick_block(n: int, prefer: int = 512) -> int:
     """Largest power-of-two block <= prefer that divides n (falls back to
     n itself for odd sizes — then the kernel degenerates to single-block,
-    still correct)."""
+    still correct). `prefer` defaults from the on-chip block sweep
+    (examples/flash_block_sweep.py, FETA_FLASH_BLOCK overrides)."""
+    prefer = int(os.environ.get("FETA_FLASH_BLOCK", prefer))
     bs = prefer
     while bs >= 128:
         if n % bs == 0 and n >= bs:
@@ -67,67 +84,77 @@ def _score_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
     return jnp.where(kmask_ref[0] > 0, s, _NEG_INF)
 
 
+def _pd_block(pe_ref, deg_ref):
+    """Modulation tile in f32 regardless of the io dtype (bf16 streams
+    are converted before the multiply)."""
+    return pe_ref[0].astype(jnp.float32) * deg_ref[0].astype(jnp.float32)
+
+
 # ---------------------------------------------------------------- forward
 
 def _fwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
                 deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref,
                 outh_ref, m_ref, se_ref, su_ref,
                 m_s, se_s, su_s, acc_s):
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
+    # grid (b, nq, nk, h): heads innermost so the pe/deg/mask tiles stay
+    # resident across the head loop; per-head running stats in scratch
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    hi = pl.program_id(3)
 
     @pl.when(ki == 0)
     def _init():
-        m_s[...] = jnp.full_like(m_s, -jnp.inf)
-        se_s[...] = jnp.zeros_like(se_s)
-        su_s[...] = jnp.zeros_like(su_s)
-        acc_s[...] = jnp.zeros_like(acc_s)
+        m_s[hi] = jnp.full_like(m_s[hi], -jnp.inf)
+        se_s[hi] = jnp.zeros_like(se_s[hi])
+        su_s[hi] = jnp.zeros_like(su_s[hi])
+        acc_s[hi] = jnp.zeros_like(acc_s[hi])
 
     s = _score_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
                      kmask_ref)
-    km = kmask_ref[0]                                # [1, Bk]
-    m_prev = m_s[...]                                # [Bq, 1]
+    km = kmask_ref[0].astype(jnp.float32)            # [1, Bk]
+    m_prev = m_s[hi]                                 # [Bq, 1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     scale = jnp.exp(m_prev - m_new)                  # 0 at first block
     e = jnp.exp(s - m_new)                           # [Bq, Bk]
-    pd = pe_ref[0] * deg_ref[0]                      # [Bq, Bk]
+    pd = _pd_block(pe_ref, deg_ref)                  # [Bq, Bk]
     w = e * pd
-    se_s[...] = se_s[...] * scale + e.sum(-1, keepdims=True)
-    su_s[...] = su_s[...] * scale + w.sum(-1, keepdims=True)
-    acc_s[...] = acc_s[...] * scale + jnp.dot(
+    se_s[hi] = se_s[hi] * scale + e.sum(-1, keepdims=True)
+    su_s[hi] = su_s[hi] * scale + w.sum(-1, keepdims=True)
+    acc_s[hi] = acc_s[hi] * scale + jnp.dot(
         (w * km).astype(vw_ref.dtype), vw_ref[0, 0],
         preferred_element_type=jnp.float32)
-    m_s[...] = m_new
+    m_s[hi] = m_new
 
     @pl.when(ki == nk - 1)
     def _emit():
-        se = se_s[...]
-        su = su_s[...]
+        se = se_s[hi]
+        su = su_s[hi]
         guard = jnp.abs(su / se) > _EPS
         div = jnp.where(guard, su, se)
-        outh_ref[0, 0] = (acc_s[...] / div * qmask_ref[0]).astype(
+        outh_ref[0, 0] = (acc_s[hi] / div
+                          * qmask_ref[0].astype(jnp.float32)).astype(
             outh_ref.dtype)
-        m_ref[0, 0] = m_s[...]
+        m_ref[0, 0] = m_s[hi]
         se_ref[0, 0] = se
         su_ref[0, 0] = su
 
 
-def _fwd_specs(n, d, bq, bk, last_grid_axes=1):
-    """BlockSpecs over the forward grid (b, h, nq, nk)."""
+def _fwd_specs(n, d, bq, bk):
+    """BlockSpecs over the forward grid (b, nq, nk, h)."""
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
     return [
-        vm((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),  # xa
-        vm((1, bk, d), lambda bi, hi, qi, ki: (bi, ki, 0)),         # x
-        vm((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),  # cq
-        vm((1, 1, 1, bk), lambda bi, hi, qi, ki: (bi, hi, 0, ki)),  # ck
-        vm((1, 1, 1), lambda bi, hi, qi, ki: (hi, 0, 0)),           # c0
-        vm((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),  # vw
-        vm((1, bq, bk), lambda bi, hi, qi, ki: (bi, qi, ki)),       # pe
-        vm((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),         # deg
-        vm((1, bq, 1), lambda bi, hi, qi, ki: (bi, qi, 0)),         # qmask
-        vm((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),         # kmask
-        vm((1, 1), lambda bi, hi, qi, ki: (0, 0)),                  # inv_sqrt
+        vm((1, 1, bq, d), lambda bi, qi, ki, hi: (bi, hi, qi, 0)),  # xa
+        vm((1, bk, d), lambda bi, qi, ki, hi: (bi, ki, 0)),         # x
+        vm((1, 1, bq, 1), lambda bi, qi, ki, hi: (bi, hi, qi, 0)),  # cq
+        vm((1, 1, 1, bk), lambda bi, qi, ki, hi: (bi, hi, 0, ki)),  # ck
+        vm((1, 1, 1), lambda bi, qi, ki, hi: (hi, 0, 0)),           # c0
+        vm((1, 1, bk, d), lambda bi, qi, ki, hi: (bi, hi, ki, 0)),  # vw
+        vm((1, bq, bk), lambda bi, qi, ki, hi: (bi, qi, ki)),       # pe
+        vm((1, 1, bk), lambda bi, qi, ki, hi: (bi, 0, ki)),         # deg
+        vm((1, bq, 1), lambda bi, qi, ki, hi: (bi, qi, 0)),         # qmask
+        vm((1, 1, bk), lambda bi, qi, ki, hi: (bi, 0, ki)),         # kmask
+        vm((1, 1), lambda bi, qi, ki, hi: (0, 0)),                  # inv_sqrt
     ]
 
 
@@ -136,13 +163,13 @@ def _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
     b, h, n, d = xa.shape
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
-    stat = lambda: vm((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    stat = lambda: vm((1, 1, bq, 1), lambda bi, qi, ki, hi: (bi, hi, qi, 0))
     return pl.pallas_call(
         _fwd_kernel,
-        grid=(b, h, n // bq, n // bk),
+        grid=(b, n // bq, n // bk, h),
         in_specs=_fwd_specs(n, d, bq, bk),
         out_specs=(
-            vm((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            vm((1, 1, bq, d), lambda bi, qi, ki, hi: (bi, hi, qi, 0)),
             stat(), stat(), stat()),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, n, d), xa.dtype),      # outh
@@ -150,10 +177,10 @@ def _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),   # S_e
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),   # S_u
         ),
-        scratch_shapes=[pltpu.VMEM((bq, 1), jnp.float32),
-                        pltpu.VMEM((bq, 1), jnp.float32),
-                        pltpu.VMEM((bq, 1), jnp.float32),
-                        pltpu.VMEM((bq, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((h, bq, 1), jnp.float32),
+                        pltpu.VMEM((h, bq, 1), jnp.float32),
+                        pltpu.VMEM((h, bq, 1), jnp.float32),
+                        pltpu.VMEM((h, bq, d), jnp.float32)],
     )(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
 
 
@@ -172,8 +199,8 @@ def _recompute_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
                      kmask_ref)
     e = jnp.exp(s - m_ref[0, 0])
     a = e * ise_ref[0, 0]                            # [Bq, Bk]
-    pd = pe_ref[0] * deg_ref[0]
-    km = kmask_ref[0]
+    pd = _pd_block(pe_ref, deg_ref)
+    km = kmask_ref[0].astype(jnp.float32)
     g_attn = jnp.dot(g_ref[0], vw_ref[0, 0].T,
                      preferred_element_type=jnp.float32)
     du = g_attn * km * qa_ref[0, 0] - beta_ref[0, 0]
@@ -186,9 +213,10 @@ def _bwd_q_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
                   deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref, g_ref,
                   m_ref, ise_ref, qa_ref, beta_ref, c_ref,
                   dxa_ref, dcq_ref, dxa_s, dcq_s):
-    """Query-block pass: dxa = ds @ x, dcq = row-sums; grid (b,h,nq,nk)."""
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
+    """Query-block pass: dxa = ds @ x, dcq = row-sums; grid (b,nq,nk,h)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    hi = pl.program_id(3)
     ds, _ = _recompute_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref,
                              inv_sqrt_ref, kmask_ref, pe_ref, deg_ref,
                              vw_ref, g_ref, m_ref, ise_ref, qa_ref,
@@ -196,17 +224,17 @@ def _bwd_q_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
 
     @pl.when(ki == 0)
     def _init():
-        dxa_s[...] = jnp.zeros_like(dxa_s)
-        dcq_s[...] = jnp.zeros_like(dcq_s)
+        dxa_s[hi] = jnp.zeros_like(dxa_s[hi])
+        dcq_s[hi] = jnp.zeros_like(dcq_s[hi])
 
-    dxa_s[...] += jnp.dot(ds.astype(x_ref.dtype), x_ref[0],
-                          preferred_element_type=jnp.float32)
-    dcq_s[...] += ds.sum(-1, keepdims=True)
+    dxa_s[hi] += jnp.dot(ds.astype(x_ref.dtype), x_ref[0],
+                         preferred_element_type=jnp.float32)
+    dcq_s[hi] += ds.sum(-1, keepdims=True)
 
     @pl.when(ki == nk - 1)
     def _emit():
-        dxa_ref[0, 0] = dxa_s[...].astype(dxa_ref.dtype)
-        dcq_ref[0, 0] = dcq_s[...]
+        dxa_ref[0, 0] = dxa_s[hi].astype(dxa_ref.dtype)
+        dcq_ref[0, 0] = dcq_s[hi]
 
 
 def _bwd_k_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
@@ -214,11 +242,12 @@ def _bwd_k_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
                   m_ref, ise_ref, qa_ref, beta_ref, c_ref,
                   dvw_ref, dck_ref, dx_ref, dvw_s, dck_s, dx_s):
     """Key-block pass: dvw = attn^T g, dck = col-sums, dx = sum_h ds^T xa;
-    grid (b, nk, h, nq) — h and nq are inner so dx accumulates both."""
-    hi = pl.program_id(2)
-    nh = pl.num_programs(2)
-    qi = pl.program_id(3)
-    nq = pl.num_programs(3)
+    grid (b, nk, nq, h) — h innermost (pe tile resident across heads),
+    q second-inner so dx accumulates over both."""
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    hi = pl.program_id(3)
+    nh = pl.num_programs(3)
     ds, attn = _recompute_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref,
                                 inv_sqrt_ref, kmask_ref, pe_ref, deg_ref,
                                 vw_ref, g_ref, m_ref, ise_ref, qa_ref,
@@ -226,24 +255,24 @@ def _bwd_k_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
 
     @pl.when(qi == 0)
     def _init_head():
-        dvw_s[...] = jnp.zeros_like(dvw_s)
-        dck_s[...] = jnp.zeros_like(dck_s)
+        dvw_s[hi] = jnp.zeros_like(dvw_s[hi])
+        dck_s[hi] = jnp.zeros_like(dck_s[hi])
 
     @pl.when(jnp.logical_and(hi == 0, qi == 0))
     def _init_row():
         dx_s[...] = jnp.zeros_like(dx_s)
 
     g = g_ref[0]
-    dvw_s[...] += jnp.dot(attn.astype(g.dtype).T, g,
-                          preferred_element_type=jnp.float32)
-    dck_s[...] += ds.sum(0, keepdims=True)
+    dvw_s[hi] += jnp.dot(attn.astype(g.dtype).T, g,
+                         preferred_element_type=jnp.float32)
+    dck_s[hi] += ds.sum(0, keepdims=True)
     dx_s[...] += jnp.dot(ds.astype(xa_ref.dtype).T, xa_ref[0, 0],
                          preferred_element_type=jnp.float32)
 
     @pl.when(qi == nq - 1)
     def _emit_head():
-        dvw_ref[0, 0] = dvw_s[...].astype(dvw_ref.dtype)
-        dck_ref[0, 0] = dck_s[...]
+        dvw_ref[0, 0] = dvw_s[hi].astype(dvw_ref.dtype)
+        dck_ref[0, 0] = dck_s[hi]
 
     @pl.when(jnp.logical_and(hi == nh - 1, qi == nq - 1))
     def _emit_row():
@@ -251,35 +280,35 @@ def _bwd_k_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
 
 
 def _bwd_specs_q(n, d, bq, bk):
-    """Inputs over grid (b, h, nq, nk): forward specs + g + row constants."""
+    """Inputs over grid (b, nq, nk, h): forward specs + g + row constants."""
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
     specs = _fwd_specs(n, d, bq, bk)
-    specs.append(vm((1, bq, d), lambda bi, hi, qi, ki: (bi, qi, 0)))  # g
-    stat = vm((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    specs.append(vm((1, bq, d), lambda bi, qi, ki, hi: (bi, qi, 0)))  # g
+    stat = vm((1, 1, bq, 1), lambda bi, qi, ki, hi: (bi, hi, qi, 0))
     specs.extend([stat] * 5)                  # m, ise, qa, beta, c
     return specs
 
 
 def _bwd_specs_k(n, d, bq, bk):
-    """Same operands over grid (b, nk, h, nq)."""
+    """Same operands over grid (b, nk, nq, h)."""
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
     specs = [
-        vm((1, 1, bq, d), lambda bi, ki, hi, qi: (bi, hi, qi, 0)),  # xa
-        vm((1, bk, d), lambda bi, ki, hi, qi: (bi, ki, 0)),         # x
-        vm((1, 1, bq, 1), lambda bi, ki, hi, qi: (bi, hi, qi, 0)),  # cq
-        vm((1, 1, 1, bk), lambda bi, ki, hi, qi: (bi, hi, 0, ki)),  # ck
-        vm((1, 1, 1), lambda bi, ki, hi, qi: (hi, 0, 0)),           # c0
-        vm((1, 1, bk, d), lambda bi, ki, hi, qi: (bi, hi, ki, 0)),  # vw
-        vm((1, bq, bk), lambda bi, ki, hi, qi: (bi, qi, ki)),       # pe
-        vm((1, 1, bk), lambda bi, ki, hi, qi: (bi, 0, ki)),         # deg
-        vm((1, bq, 1), lambda bi, ki, hi, qi: (bi, qi, 0)),         # qmask
-        vm((1, 1, bk), lambda bi, ki, hi, qi: (bi, 0, ki)),         # kmask
-        vm((1, 1), lambda bi, ki, hi, qi: (0, 0)),                  # inv_sqrt
-        vm((1, bq, d), lambda bi, ki, hi, qi: (bi, qi, 0)),         # g
+        vm((1, 1, bq, d), lambda bi, ki, qi, hi: (bi, hi, qi, 0)),  # xa
+        vm((1, bk, d), lambda bi, ki, qi, hi: (bi, ki, 0)),         # x
+        vm((1, 1, bq, 1), lambda bi, ki, qi, hi: (bi, hi, qi, 0)),  # cq
+        vm((1, 1, 1, bk), lambda bi, ki, qi, hi: (bi, hi, 0, ki)),  # ck
+        vm((1, 1, 1), lambda bi, ki, qi, hi: (hi, 0, 0)),           # c0
+        vm((1, 1, bk, d), lambda bi, ki, qi, hi: (bi, hi, ki, 0)),  # vw
+        vm((1, bq, bk), lambda bi, ki, qi, hi: (bi, qi, ki)),       # pe
+        vm((1, 1, bk), lambda bi, ki, qi, hi: (bi, 0, ki)),         # deg
+        vm((1, bq, 1), lambda bi, ki, qi, hi: (bi, qi, 0)),         # qmask
+        vm((1, 1, bk), lambda bi, ki, qi, hi: (bi, 0, ki)),         # kmask
+        vm((1, 1), lambda bi, ki, qi, hi: (0, 0)),                  # inv_sqrt
+        vm((1, bq, d), lambda bi, ki, qi, hi: (bi, qi, 0)),         # g
     ]
-    stat = vm((1, 1, bq, 1), lambda bi, ki, hi, qi: (bi, hi, qi, 0))
+    stat = vm((1, 1, bq, 1), lambda bi, ki, qi, hi: (bi, hi, qi, 0))
     specs.extend([stat] * 5)
     return specs
 
@@ -293,31 +322,31 @@ def _call_bwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
             g, m, ise, qa, beta, c)
     dxa, dcq = pl.pallas_call(
         _bwd_q_kernel,
-        grid=(b, h, n // bq, n // bk),
+        grid=(b, n // bq, n // bk, h),
         in_specs=_bwd_specs_q(n, d, bq, bk),
         out_specs=(
-            vm((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            vm((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0))),
+            vm((1, 1, bq, d), lambda bi, qi, ki, hi: (bi, hi, qi, 0)),
+            vm((1, 1, bq, 1), lambda bi, qi, ki, hi: (bi, hi, qi, 0))),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, n, d), xa.dtype),
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32),
-                        pltpu.VMEM((bq, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((h, bq, d), jnp.float32),
+                        pltpu.VMEM((h, bq, 1), jnp.float32)],
     )(*args)
     dvw, dck, dx = pl.pallas_call(
         _bwd_k_kernel,
-        grid=(b, n // bk, h, n // bq),
+        grid=(b, n // bk, n // bq, h),
         in_specs=_bwd_specs_k(n, d, bq, bk),
         out_specs=(
-            vm((1, 1, bk, d), lambda bi, ki, hi, qi: (bi, hi, ki, 0)),
-            vm((1, 1, 1, bk), lambda bi, ki, hi, qi: (bi, hi, 0, ki)),
-            vm((1, bk, d), lambda bi, ki, hi, qi: (bi, ki, 0))),
+            vm((1, 1, bk, d), lambda bi, ki, qi, hi: (bi, hi, ki, 0)),
+            vm((1, 1, 1, bk), lambda bi, ki, qi, hi: (bi, hi, 0, ki)),
+            vm((1, bk, d), lambda bi, ki, qi, hi: (bi, ki, 0))),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, n, d), vw.dtype),
             jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
             jax.ShapeDtypeStruct((b, n, d), x.dtype)),
-        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
-                        pltpu.VMEM((1, bk), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h, bk, d), jnp.float32),
+                        pltpu.VMEM((h, 1, bk), jnp.float32),
                         pltpu.VMEM((bk, d), jnp.float32)],
     )(*args)
     return dxa, dcq, dvw, dck, dx
@@ -360,7 +389,7 @@ def _flash_bwd(bq, bk, res, g):
     safe = jnp.where(guard > 0, denom, 1.0)
     r = safe * delta
     ise = 1.0 / se
-    qa = qmask[:, None] / safe                       # [B,H,N,1]
+    qa = qmask.astype(jnp.float32)[:, None] / safe   # [B,H,N,1]
     beta = (r / (safe * safe)) * guard
     cterm = (1.0 - guard) * r
     dxa, dcq, dvw, dck, dx = _call_bwd(
@@ -376,7 +405,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
-                            degree=None, block_q=None, block_k=None):
+                            degree=None, block_q=None, block_k=None,
+                            mod_dtype=None):
     """out[b, n, d] = sum_h modulated_attn_h @ vw_h — query/key-blocked.
 
     Drop-in replacement for `fused_attention.fused_graphit_attention`
@@ -384,18 +414,23 @@ def flash_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
     rank-1 bias corrections, c0 [H], vw [B,H,N,D] = v_h @ Wout_h,
     node_mask [B,N], optional pe [B,N,N] / degree [B,N] modulation data)
     that scales to N >= 1024 by never holding an [N, N] tile in VMEM.
+
+    mod_dtype: io dtype of the pe/degree/mask streams (default f32;
+    jnp.bfloat16 halves the kernel's dominant HBM stream — the
+    FETA_BF16_MODULATION policy; the in-kernel chain stays f32).
     """
     b, h, n, d = xa.shape
     dh = d // h
     bq = block_q or _pick_block(n)
     bk = block_k or _pick_block(n)
     f32 = jnp.float32
-    pe_arr = (pe.astype(f32) if pe is not None
-              else jnp.ones((b, n, n), f32))
-    deg_arr = (degree.astype(f32) if degree is not None
-               else jnp.ones((b, n), f32)).reshape(b, 1, n)
-    qmask = node_mask.astype(f32).reshape(b, n, 1)
-    kmask = node_mask.astype(f32).reshape(b, 1, n)
+    mdt = mod_dtype or f32
+    pe_arr = (pe.astype(mdt) if pe is not None
+              else jnp.ones((b, n, n), mdt))
+    deg_arr = (degree.astype(mdt) if degree is not None
+               else jnp.ones((b, n), mdt)).reshape(b, 1, n)
+    qmask = node_mask.astype(mdt).reshape(b, n, 1)
+    kmask = node_mask.astype(mdt).reshape(b, 1, n)
     inv_sqrt = jnp.full((1, 1), 1.0 / (dh ** 0.5), f32)
     cq_k = cq.astype(f32).transpose(0, 2, 1)[:, :, :, None]
     ck_k = ck.astype(f32).transpose(0, 2, 1)[:, :, None, :]

@@ -51,7 +51,8 @@ def make_feta_batched_forward(mesh: Mesh, d_model: int, n_heads: int,
                               node_axis: str = "nodes",
                               batch_norm: bool = False,
                               last_layer_filter: bool = True,
-                              ring_attention: bool = False):
+                              ring_attention: bool = False,
+                              ring_collectives: bool = True):
     """forward(params, x, pe, lhat, mask, deg) -> logits [B, N, C], all
     arrays sharded P(data, nodes, ...). pe/deg may be None.
 
@@ -67,7 +68,8 @@ def make_feta_batched_forward(mesh: Mesh, d_model: int, n_heads: int,
     na = node_axis
     n_shards = mesh.shape[na]
     gather = lambda t: jax.lax.all_gather(t, na, axis=1, tiled=True)
-    ring_core = (make_ring_attention_core(na, n_shards, d_model, n_heads)
+    ring_core = (make_ring_attention_core(na, n_shards, d_model, n_heads,
+                                          collectives=ring_collectives)
                  if ring_attention else None)
 
     def attention_layer(lp, x, x_all, pe_local, deg_all, mask_local,
@@ -263,7 +265,8 @@ def make_feta_batched_train_step(mesh: Mesh, d_model: int, n_heads: int,
                                  batch_norm: bool = False,
                                  last_layer_filter: bool = True,
                                  optimizer=None, donate: bool = False,
-                                 ring_attention: bool = False):
+                                 ring_attention: bool = False,
+                                 ring_collectives: bool = True):
     """Train step: masked per-node CE over the sharded logits (loss and
     grads composed by GSPMD outside the shard_map).
 
@@ -278,7 +281,7 @@ def make_feta_batched_train_step(mesh: Mesh, d_model: int, n_heads: int,
         mesh, d_model, n_heads, n_layers, filter_order, data_axis,
         node_axis, batch_norm=batch_norm,
         last_layer_filter=last_layer_filter,
-        ring_attention=ring_attention)
+        ring_attention=ring_attention, ring_collectives=ring_collectives)
 
     from feta_tmlr_tpu.parallel._step_util import build_step
 

@@ -96,7 +96,7 @@ def _coeff_tail(cp, s_local, mask_local, n_valid, axis):
 
 
 def make_ring_attention_core(axis: str, n_shards: int, d_model: int,
-                             n_heads: int):
+                             n_heads: int, collectives: bool = True):
     """Factory for the ring-streamed GraphiT attention core.
 
     Module-level so both distributed FeTA paths share one
@@ -107,6 +107,13 @@ def make_ring_attention_core(axis: str, n_shards: int, d_model: int,
     ring_attention_core(lp, x_local, pe_local, deg_all, mask_local,
     mask_all, coeff_params=None, n_valid=None) ->
     (attn_out, out_heads, coeff-or-None).
+
+    collectives=False is the matched-FLOPs compute-only CONTROL for the
+    weak-scaling benchmark (bench_scaling.py, VERDICT r3 item 5): the
+    same S-step fold runs with the ppermute removed (each step re-reads
+    the local block), so t_ring - t_compute_only isolates the
+    collectives' cost from host-side compute contention. Results are
+    numerically wrong by construction — benchmarking only.
     """
     h, dh = n_heads, d_model // n_heads
 
@@ -190,7 +197,8 @@ def make_ring_attention_core(axis: str, n_shards: int, d_model: int,
 
             def body(carry, t):
                 x_blk, st = carry
-                x_blk = jax.lax.ppermute(x_blk, axis, perm)
+                if collectives:
+                    x_blk = jax.lax.ppermute(x_blk, axis, perm)
                 st = fn(st, x_blk, (my - t) % n_shards)
                 return (x_blk, st), None
 
@@ -299,7 +307,8 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
                                   axis: str = "data",
                                   batch_norm: bool = False,
                                   last_layer_filter: bool = True,
-                                  ring_attention: bool = False):
+                                  ring_attention: bool = False,
+                                  ring_collectives: bool = True):
     """Builds forward(params, x_sh, pe_sh, mask_sh, src, dst, w, m)
     -> per-node logits (sharded [V/D, nb_class]).
 
@@ -321,7 +330,7 @@ def make_feta_partitioned_forward(mesh: Mesh, d_model: int, n_heads: int,
     h, dh = n_heads, d_model // n_heads
     ring = ring_spmm_local(axis, n_shards)
     ring_attention_core = make_ring_attention_core(
-        axis, n_shards, d_model, n_heads)
+        axis, n_shards, d_model, n_heads, collectives=ring_collectives)
 
     def attention_layer(lp, x_local, x_all, pe_local, deg_all, mask_local,
                         mask_all, need_heads, coeff_params=None,
@@ -509,6 +518,7 @@ def make_feta_train_step(mesh: Mesh, d_model: int, n_heads: int,
                          axis: str = "data", batch_norm: bool = False,
                          last_layer_filter: bool = True,
                          ring_attention: bool = False,
+                         ring_collectives: bool = True,
                          optimizer=None, donate: bool = False):
     """Train step over the partitioned forward: masked per-node CE, grads
     psum-reduced by shard_map autodiff, params replicated.
@@ -520,7 +530,7 @@ def make_feta_train_step(mesh: Mesh, d_model: int, n_heads: int,
     forward = make_feta_partitioned_forward(
         mesh, d_model, n_heads, n_layers, filter_order, axis,
         batch_norm=batch_norm, last_layer_filter=last_layer_filter,
-        ring_attention=ring_attention)
+        ring_attention=ring_attention, ring_collectives=ring_collectives)
 
     from feta_tmlr_tpu.parallel._step_util import build_step
 

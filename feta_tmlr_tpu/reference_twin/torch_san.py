@@ -203,32 +203,45 @@ class TorchSANNodeSpectra(tnn.Module):
 
     def __init__(self, num_atom_type, num_bond_type, hidden_dim, out_dim,
                  n_heads, n_layers, lpe_dim, lpe_heads, lpe_layers,
-                 gamma, filter_order, n_out=1, lpe_ff_dim=2048):
+                 gamma, filter_order, n_out=1, lpe_ff_dim=2048,
+                 node_level=False, categorical_input=True, in_feat_dim=0,
+                 edge_features=True):
         super().__init__()
-        self.embedding_h = tnn.Embedding(num_atom_type,
-                                         hidden_dim - lpe_dim)
-        self.embedding_e = tnn.Embedding(num_bond_type, hidden_dim)
+        if categorical_input:
+            self.embedding_h = tnn.Embedding(num_atom_type,
+                                             hidden_dim - lpe_dim)
+        else:
+            # PATTERN/SBM tier: float features through a Linear embedding
+            self.embedding_h = tnn.Linear(in_feat_dim,
+                                          hidden_dim - lpe_dim)
+        self.categorical_input = categorical_input
+        self.edge_features = edge_features
+        if edge_features:
+            self.embedding_e = tnn.Embedding(num_bond_type, hidden_dim)
         self.pe = TorchLPE(lpe_dim, lpe_heads, lpe_layers, lpe_ff_dim)
         dims = [hidden_dim] * (n_layers - 1) + [out_dim]
         self.layers = tnn.ModuleList()
         in_d = hidden_dim
         for d in dims:
             self.layers.append(TorchSANLayer(in_d, d, n_heads, gamma,
-                                             filter_order))
+                                             filter_order,
+                                             edge_features=edge_features))
             in_d = d
+        self.node_level = node_level
         self.readout = tnn.ModuleList(
             [tnn.Linear(out_dim, max(out_dim // 2, 1)),
              tnn.Linear(max(out_dim // 2, 1), max(out_dim // 4, 1))])
         self.fc_out = tnn.Linear(max(out_dim // 4, 1), n_out)
 
-    def forward(self, x_ids, edge_type, adj, node_mask, eigvecs, eigvals):
-        h = self.embedding_h(x_ids)
-        e_emb = self.embedding_e(edge_type)
+    def forward(self, x, edge_type, adj, node_mask, eigvecs, eigvals):
+        h = self.embedding_h(x)
+        e_emb = (self.embedding_e(edge_type) if self.edge_features
+                 else None)
         pos = self.pe(eigvecs, eigvals, node_mask)
         h = torch.cat([h, pos], -1)
         for lay in self.layers:
             h = lay(h, e_emb, adj, node_mask)
-        hg = masked_mean(h, node_mask, dim=1)
+        hg = h if self.node_level else masked_mean(h, node_mask, dim=1)
         for fc in self.readout:
             hg = torch.relu(fc(hg))
         return self.fc_out(hg)
