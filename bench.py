@@ -724,13 +724,21 @@ def main():
         os.environ.pop("FETA_BENCH_GCKN", None)
         os.environ.pop("FETA_BENCH_PALLAS_LARGEN", None)
         os.environ.pop("FETA_BENCH_STREAM", None)
-    if os.environ.get("FETA_BENCH_TIERS") == "1":
+    if os.environ.get("FETA_BENCH_TIERS", "1") == "1" and not degraded:
         # tier-2/3 model families on the chip (bench_tiers.py):
         # SAN_NodeSpectra (ZINC + PATTERN N=128), GATFeTA,
-        # GraphiTSpectraNet, GatedGCN-LSPE, PNA — train + serve + MFU,
-        # torch twins interleaved where they exist
+        # GraphiTSpectraNet, GatedGCN-LSPE, PNA — train + serve + MFU +
+        # base-vs-optimized A/Bs, torch twins interleaved where they
+        # exist. Default ON so the driver-captured BENCH json carries the
+        # tier scoreboard (VERDICT r3 items 1-2); wall-clock-budgeted so
+        # the default run cannot blow the driver deadline
+        # (FETA_BENCH_TIERS=0 or FETA_BENCH_TIER_BUDGET_S to tune).
         from bench_tiers import run_tiers
-        extras.update(run_tiers())
+        budget = float(os.environ.get("FETA_BENCH_TIER_BUDGET_S", "900"))
+        try:
+            extras.update(run_tiers(budget_s=budget))
+        except Exception as e:
+            extras["tiers_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("FETA_BENCH_ABLATE") == "1":
         # dtype + large-N A/Bs, interleaved in this same process (cross-
         # session TPU timings vary +-30% behind the relay; see BASELINE.md)

@@ -407,20 +407,26 @@ AB_TIERS = ("san_zinc", "lspe_spectra_zinc", "gatedgcn_lspe_zinc",
             "pna_lspe_zinc")
 
 
-def run_tiers(names=None):
+def run_tiers(names=None, budget_s: float = None):
     """Extras dict for bench.py's JSON line (and BASELINE.md tables).
 
     Each tier's fields are also streamed to stderr as it completes, so a
     run cut off by a timeout (compiles behind the relay are minutes each)
-    still leaves the finished tiers' numbers on record."""
+    still leaves the finished tiers' numbers on record. `budget_s` bounds
+    the wall clock (checked between tiers) so the default-bench run can
+    carry tier fields without risking the driver's overall deadline."""
     import sys
 
+    deadline = (time.perf_counter() + budget_s) if budget_s else None
     # the base-variant A/B doubles compiles; skip it in the CPU smoke
     # gate (plumbing check) and under the explicit env opt-out
     skip_base = _SMOKE or os.environ.get("FETA_TIERS_NO_AB") == "1"
     out = {}
     for name, fn in TIERS.items():
         if names and name not in names:
+            continue
+        if deadline and time.perf_counter() > deadline:
+            out[f"tier_{name}_skipped"] = "budget exhausted"
             continue
         row = {}
         if name in AB_TIERS and not skip_base:

@@ -8,6 +8,14 @@ interleaved in one process, and prints one JSON line per scale for the
 BASELINE.md crossover table. The result sets the default of
 FETA_GCKN_TPU_MIN_PATHS in gckn/models._auto_device.
 
+Round 4 (VERDICT r3 item 7): scales extend ~10x beyond the round-3
+ceiling (1.56M paths) toward PCQM4M-sized workloads, and the accel
+unsup row now runs the SINGLE-DISPATCH jitted k-means
+(gckn/kmeans.spherical_kmeans_jax, one while_loop per layer) instead of
+the numpy Lloyd loop whose hundreds of small ops each paid the relay
+RTT — the "fair shot" for the accelerator; `unsup_kmeans_impl` records
+which implementation each row used.
+
 Encode is timed at steady state (second call onward: the first call on
 each device pays the XLA compile for that path-batch shape, reported
 separately as *_encode_first_s).
@@ -44,6 +52,8 @@ def measure(n_graphs, k=3, hidden=32, encode_iters=3):
     if accel.platform != "cpu":
         devices.append(("accel", accel))
     for tag, dev in devices:
+        row[f"{tag}_kmeans_impl"] = ("jax" if dev.platform != "cpu"
+                                     else "numpy")
         model = GCKNFeature.create(
             input_size=graphs[0].x.shape[-1], hidden_sizes=[hidden],
             path_sizes=[k])
@@ -70,7 +80,7 @@ def measure(n_graphs, k=3, hidden=32, encode_iters=3):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--scales", default="128,1024,4096")
+    p.add_argument("--scales", default="128,1024,4096,16384,40960")
     args = p.parse_args()
     from bench import _accelerator_available
     if not _accelerator_available():
@@ -78,7 +88,12 @@ def main():
               flush=True)
         return
     for n in (int(s) for s in args.scales.split(",")):
-        print(json.dumps(measure(n)), flush=True)
+        try:
+            row = measure(n)
+        except Exception as e:       # e.g. device OOM at the top scale
+            row = {"n_graphs": n,
+                   "error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

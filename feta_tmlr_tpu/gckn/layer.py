@@ -159,9 +159,17 @@ def sample_paths(params: PathLayerParams, features, batch: PathBatch,
 
 
 def unsup_train_layer(params: PathLayerParams, paths,
-                      seed: int = 0) -> PathLayerParams:
+                      seed: int = 0,
+                      use_jax: bool = False) -> PathLayerParams:
     """Spherical k-means over sampled paths -> anchor weights
-    (layers.py:174-187)."""
-    centers = spherical_kmeans(paths, params.hidden_size, seed=seed)
+    (layers.py:174-187). use_jax=True runs the Lloyd loop as one jitted
+    while_loop on the current default device (kmeans.spherical_kmeans_jax
+    — the single-dispatch variant for remote accelerators)."""
+    if use_jax:
+        from feta_tmlr_tpu.gckn.kmeans import spherical_kmeans_jax
+        centers = spherical_kmeans_jax(paths, params.hidden_size,
+                                       seed=seed)
+    else:
+        centers = spherical_kmeans(paths, params.hidden_size, seed=seed)
     w = jnp.asarray(centers).transpose(1, 0, 2)    # [path_size, hidden, in]
     return dataclasses.replace(params, weight=normalize_rows(w))

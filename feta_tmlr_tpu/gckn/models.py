@@ -129,13 +129,22 @@ class GCKNFeature:
         FETA_GCKN_DEVICE=cpu|accel."""
         batch = build_path_batch(graphs, self.max_path_size)
         dev = _auto_device(_total_paths(batch), device, op="unsup")
+        import os as _os
+        km_impl = _os.environ.get("FETA_GCKN_KMEANS")
+        # on an accelerator run the Lloyd loop as ONE jitted while_loop
+        # (kmeans.spherical_kmeans_jax) — the numpy loop's hundreds of
+        # small ops each pay the relay RTT; FETA_GCKN_KMEANS=numpy|jax
+        # forces either implementation on any device
+        use_jax_km = (dev.platform != "cpu" if km_impl is None
+                      else km_impl == "jax")
         with jax.default_device(dev):
             features = jnp.asarray(batch.features)
             for i, layer in enumerate(self.layers):
                 paths = sample_paths(layer, features, batch,
                                      n_sampling_paths, seed=seed + i)
                 self.layers[i] = unsup_train_layer(layer, paths,
-                                                   seed=seed + i)
+                                                   seed=seed + i,
+                                                   use_jax=use_jax_km)
                 features = path_layer_forward(self.layers[i], features,
                                               batch)
         return batch
