@@ -176,7 +176,10 @@ def run_batched_scale(n_shards, devices, nodes_per_shard=12,
     sp = n_shards // dp
     n_nodes = sp * nodes_per_shard
     n_graphs = dp * graphs_per_data_shard
-    gs = sbm_like_dataset(seed=0, n_graphs=n_graphs, n_nodes=n_nodes + 1,
+    # n_nodes exactly: sbm_like sizes fall in [n_nodes - k, n_nodes], so
+    # every graph fits the sharded [*, n_nodes] layout (the former +1
+    # could emit a graph one node larger than max_nodes)
+    gs = sbm_like_dataset(seed=0, n_graphs=n_graphs, n_nodes=n_nodes,
                           n_classes=2)
     mesh = Mesh(np.array(devices[:n_shards]).reshape(dp, sp),
                 ("data", "nodes"))

@@ -48,14 +48,13 @@ class GatedGCNLSPELayer(nn.Module):
                  edges=None):
         """Dense mode (edges=None): e is the [B, N, N, D] edge field.
 
-        Sparse mode: `edges = (src, dst, edge_mask, oh_dst)` from the
-        batch COO (oh_dst built once per step by the net, see
-        ops/sparse_agg.dst_onehot) and e is the [B, E, D] per-edge field —
-        same parameters, same math restricted to the real edges the dense
-        path masks to (~15x less HBM traffic at molecular densities)."""
+        Sparse mode: `edges` is an ops/sparse_agg.SparseEdges (built once
+        per step by the net) and e is the [B, E, D] per-edge field — same
+        parameters, same math restricted to the real edges the dense path
+        masks to (~15x less HBM traffic at molecular densities). Gathers
+        and segment sums all ride one-hot MXU matmuls (see sparse_agg's
+        module docstring for the on-chip gather pitfall)."""
         from feta_tmlr_tpu.config import default_compute_dtype
-        from feta_tmlr_tpu.ops.sparse_agg import edge_gather, \
-            edge_segment_sum
         cdt = self.compute_dtype or default_compute_dtype()
         b, n, _ = h.shape
         sparse = edges is not None
@@ -73,17 +72,20 @@ class GatedGCNLSPELayer(nn.Module):
         c2 = dense("C2")(p)
 
         if sparse:
-            src, dst, emask, oh = edges
+            emask = edges.edge_mask
             emf = emask.astype(cdt)[..., None]
             # hat_eta_k = B1 h_src + B2 h_dst + B3 e_k  (edge k: src->dst)
-            hat_eta = (edge_gather(b1, src) + edge_gather(b2, dst) + b3)
+            hat_eta = (edges.gather_src(b1) + edges.gather_dst(b2) + b3)
             sigma = nn.sigmoid(hat_eta) * emf
-            denom = edge_segment_sum(sigma, oh) + 1e-6       # [B,N,D] f32
-            eta = sigma / edge_gather(denom, dst).astype(cdt)
+            denom = edges.segment_sum(sigma) + 1e-6          # [B,N,D] f32
+            # pad edges gather a ZERO row (masked one-hot): guard the
+            # division so 0-sigma / 0-denominator stays 0, not NaN
+            ed = edges.gather_dst(denom).astype(cdt)
+            eta = sigma / jnp.where(ed > 0, ed, 1.0)
             msg = jnp.concatenate(
-                [eta * edge_gather(a2, src), eta * edge_gather(c2, src)],
+                [eta * edges.gather_src(a2), eta * edges.gather_src(c2)],
                 axis=-1)
-            agg2 = edge_segment_sum(msg, oh).astype(cdt)     # [B,N,2D]
+            agg2 = edges.segment_sum(msg).astype(cdt)        # [B,N,2D]
             h_new = a1 + agg2[..., :self.output_dim]
             p_new = c1 + agg2[..., self.output_dim:]
             e_new = hat_eta                                  # [B,E,D]
@@ -192,8 +194,10 @@ class GatedGCNLSPENet(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
         from feta_tmlr_tpu.config import default_compute_dtype
-        from feta_tmlr_tpu.ops.sparse_agg import dst_onehot, \
-            edge_ids_from_dense
+        from feta_tmlr_tpu.ops.sparse_agg import (
+            edge_ids_from_dense,
+            make_sparse_edges,
+        )
         cdt = self.compute_dtype or default_compute_dtype()
         sparse = self.sparse_edges
         if sparse is None:
@@ -208,16 +212,15 @@ class GatedGCNLSPENet(nn.Module):
             h = nn.Dense(self.hidden_dim, name="embedding_h")(batch.x)
         edges = None
         if sparse:
-            src, dst = batch.edge_index[:, 0], batch.edge_index[:, 1]
-            edges = (src, dst, batch.edge_mask,
-                     dst_onehot(dst, batch.edge_mask, batch.max_nodes, cdt))
+            edges = make_sparse_edges(batch, dtype=cdt)
             if batch.edge_type is not None:
                 et_e = edge_ids_from_dense(
-                    batch.edge_type.astype(jnp.int32), src, dst)
+                    batch.edge_type.astype(jnp.int32), edges.src,
+                    edges.dst)
                 e = nn.Embed(self.num_bond_type, self.hidden_dim,
                              name="embedding_e")(et_e)
             else:
-                e = jnp.zeros(src.shape + (self.hidden_dim,))
+                e = jnp.zeros(edges.src.shape + (self.hidden_dim,))
         else:
             e = (nn.Embed(self.num_bond_type, self.hidden_dim,
                           name="embedding_e")(

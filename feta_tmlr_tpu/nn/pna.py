@@ -22,42 +22,27 @@ from feta_tmlr_tpu.nn.layers import MaskedBatchNorm
 from feta_tmlr_tpu.nn.san import MLPReadout
 from feta_tmlr_tpu.ops.masking import in_edge_mask, masked_mean, pair_mask
 from feta_tmlr_tpu.ops.sparse_agg import (
-    edge_gather,
+    SparseEdges,
     edge_ids_from_dense,
-    edge_segment_sum,
     incidence_max,
     incidence_min,
+    make_sparse_edges,
 )
 
 EPS = 1e-5
-
-
-class SparseEdges:
-    """Per-step COO context shared by every PNA tower/layer: indices,
-    one-hot destination matrix for scatter-free sums, and the in-edge
-    incidence table for scatter-free max/min (see ops/sparse_agg.py)."""
-
-    def __init__(self, src, dst, edge_mask, oh_dst, in_edges, in_edge_mask):
-        self.src = src
-        self.dst = dst
-        self.edge_mask = edge_mask
-        self.oh_dst = oh_dst
-        self.in_edges = in_edges
-        self.in_edge_mask = in_edge_mask
-        self.deg = oh_dst.astype(jnp.float32).sum(1)       # [B, N] in-deg
 
 
 def _aggregate_sparse(msg, edges: SparseEdges, names: Sequence[str]):
     """Sparse twin of `_aggregate`: msg [B, E, F] -> concat aggs [B, N, *].
 
     Sums/means/std ride one-hot matmuls (f32 accumulation); max/min ride
-    the incidence gather. Identical summands to the dense masked forms.
+    the incidence one-hot. Identical summands to the dense masked forms.
     """
     mf = edges.edge_mask.astype(msg.dtype)[..., None]
     msg_m = msg * mf
     deg = edges.deg
     d_safe = jnp.maximum(deg, 1.0)[..., None]
-    sums = edge_segment_sum(msg_m, edges.oh_dst)           # [B,N,F] f32
+    sums = edges.segment_sum(msg_m)                        # [B,N,F] f32
     mean = sums / d_safe
     outs = []
     for name in names:
@@ -66,13 +51,11 @@ def _aggregate_sparse(msg, edges: SparseEdges, names: Sequence[str]):
         elif name == "sum":
             outs.append(sums)
         elif name == "max":
-            outs.append(incidence_max(msg, edges.in_edges,
-                                      edges.in_edge_mask, deg))
+            outs.append(incidence_max(msg, edges))
         elif name == "min":
-            outs.append(incidence_min(msg, edges.in_edges,
-                                      edges.in_edge_mask, deg))
+            outs.append(incidence_min(msg, edges))
         elif name in ("std", "var"):
-            mean_sq = edge_segment_sum(msg_m * msg, edges.oh_dst) / d_safe
+            mean_sq = edges.segment_sum(msg_m * msg) / d_safe
             var = nn.relu(mean_sq - mean * mean)
             out = jnp.sqrt(var + EPS) if name == "std" else var
             outs.append(jnp.where(deg[..., None] > 0, out, 0.0))
@@ -174,9 +157,12 @@ class _EdgeDense(nn.Module):
         dst = x @ kernel[dx:2 * dx]                # varies along axis 1
         if edges is not None:
             # sparse: per-edge messages [B, E, F]; ef is [B, E, de]
-            # aligned to (src, dst) — no swap needed
-            out = (edge_gather(src, edges.src)
-                   + edge_gather(dst, edges.dst) + bias.astype(x.dtype))
+            # aligned to (src, dst) — no swap needed. Gathers are one-hot
+            # matmuls (sparse_agg.SparseEdges), so pad edges carry zeros
+            # + bias; every consumer masks them
+            out = (edges.gather_src(src).astype(x.dtype)
+                   + edges.gather_dst(dst).astype(x.dtype)
+                   + bias.astype(x.dtype))
             if ef is not None:
                 out = out + ef.astype(x.dtype) @ kernel[2 * dx:]
             return out
@@ -392,7 +378,6 @@ class PNALSPENet(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
         from feta_tmlr_tpu.config import default_compute_dtype
-        from feta_tmlr_tpu.ops.sparse_agg import dst_onehot
         cdt = self.compute_dtype or default_compute_dtype()
         sparse = self.sparse_edges
         if sparse is None:
@@ -407,11 +392,8 @@ class PNALSPENet(nn.Module):
         h = nn.Dropout(self.in_feat_dropout)(h, deterministic=deterministic)
         edges = None
         if sparse:
-            src, dst = batch.edge_index[:, 0], batch.edge_index[:, 1]
-            edges = SparseEdges(
-                src, dst, batch.edge_mask,
-                dst_onehot(dst, batch.edge_mask, batch.max_nodes, cdt),
-                batch.in_edges, batch.in_edge_mask)
+            edges = make_sparse_edges(batch, dtype=cdt,
+                                      with_incidence=True)
         e_field = None
         if self.edge_feat and batch.edge_type is not None:
             embed_e = nn.Embed(self.num_bond_type,
@@ -419,7 +401,8 @@ class PNALSPENet(nn.Module):
                                name="embedding_e")
             if sparse:
                 e_field = embed_e(edge_ids_from_dense(
-                    batch.edge_type.astype(jnp.int32), src, dst))
+                    batch.edge_type.astype(jnp.int32), edges.src,
+                    edges.dst))
             else:
                 e_field = embed_e(batch.edge_type.astype(jnp.int32))
         if self.pe_init == "rand_walk":

@@ -415,9 +415,11 @@ def flash_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
     node_mask [B,N], optional pe [B,N,N] / degree [B,N] modulation data)
     that scales to N >= 1024 by never holding an [N, N] tile in VMEM.
 
-    mod_dtype: io dtype of the pe/degree/mask streams (default f32;
+    mod_dtype: io dtype of the pe/degree streams (default f32;
     jnp.bfloat16 halves the kernel's dominant HBM stream — the
-    FETA_BF16_MODULATION policy; the in-kernel chain stays f32).
+    FETA_BF16_MODULATION policy; the in-kernel chain stays f32). The
+    [N]-sized mask vectors stay f32: a bf16 kmask block fails Mosaic
+    lowering (bisected 2026-08-19) and their traffic is negligible.
     """
     b, h, n, d = xa.shape
     dh = d // h
@@ -429,8 +431,8 @@ def flash_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
               else jnp.ones((b, n, n), mdt))
     deg_arr = (degree.astype(mdt) if degree is not None
                else jnp.ones((b, n), mdt)).reshape(b, 1, n)
-    qmask = node_mask.astype(mdt).reshape(b, n, 1)
-    kmask = node_mask.astype(mdt).reshape(b, 1, n)
+    qmask = node_mask.astype(f32).reshape(b, n, 1)
+    kmask = node_mask.astype(f32).reshape(b, 1, n)
     inv_sqrt = jnp.full((1, 1), 1.0 / (dh ** 0.5), f32)
     cq_k = cq.astype(f32).transpose(0, 2, 1)[:, :, :, None]
     ck_k = ck.astype(f32).transpose(0, 2, 1)[:, :, None, :]

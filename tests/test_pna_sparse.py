@@ -65,17 +65,14 @@ def test_pna_sparse_gru_variant_runs():
 def test_incidence_table_matches_segment_max():
     """GraphBatch.in_edges (host-built) against a numpy per-dst max."""
     batch, _ = _batch(seed=2, n=4)
-    src = np.asarray(batch.edge_index[:, 0])
     dst = np.asarray(batch.edge_index[:, 1])
     emask = np.asarray(batch.edge_mask)
     rng = np.random.default_rng(0)
     msg = rng.standard_normal(emask.shape + (5,)).astype(np.float32)
-    from feta_tmlr_tpu.ops.sparse_agg import incidence_max
-    deg = np.zeros(batch.node_mask.shape, np.float32)
-    for b in range(emask.shape[0]):
-        np.add.at(deg[b], dst[b][emask[b]], 1.0)
-    got = np.asarray(incidence_max(jnp.asarray(msg), batch.in_edges,
-                                   batch.in_edge_mask, jnp.asarray(deg)))
+    from feta_tmlr_tpu.ops.sparse_agg import incidence_max, \
+        make_sparse_edges
+    edges = make_sparse_edges(batch, with_incidence=True)
+    got = np.asarray(incidence_max(jnp.asarray(msg), edges))
     for b in range(emask.shape[0]):
         for i in range(batch.node_mask.shape[1]):
             sel = (dst[b] == i) & emask[b]
