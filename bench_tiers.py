@@ -358,7 +358,9 @@ def bench_gatedgcn_lspe(variant="opt"):
 def bench_pna_lspe(variant="opt"):
     """PNALSPENet at configs/LSPE/PNA_ZINC_LSPE.json shape (L=16, hidden
     55, 5 towers, rand_walk PE dim 16, bond features at edge_dim=40, sum
-    readout) vs reference_twin/torch_pna.TorchPNALSPENet."""
+    readout) vs reference_twin/torch_pna.TorchPNALSPENet. opt = dense
+    mailbox + bf16: the sparse towers measured launch-bound at this
+    shape (see nn/pna.py sparse_edges note)."""
     from feta_tmlr_tpu.nn.pna import PNALSPENet, average_log_degree
     graphs = _zinc_graphs(seed=5, rw_dim=16)
     avg_log = average_log_degree(graphs)
@@ -367,7 +369,6 @@ def bench_pna_lspe(variant="opt"):
                        out_dim=55, n_layers=16, pos_enc_dim=16, towers=5,
                        avg_d_log=avg_log, n_out=1,
                        edge_feat=True, edge_dim=40, readout="sum",
-                       sparse_edges=(None if variant == "opt" else False),
                        compute_dtype=_variant_dtypes(variant))
     sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
                                           sign_flip=False)

@@ -93,7 +93,7 @@ class LSPEAttention(nn.Module):
 
         if typed:
             tbl_r = dense("E")(e_table.astype(cdt)).reshape(-1, hh, dh)
-            s = typed_edge_scores(q, k, tbl_r, et, scale)
+            s = typed_edge_scores(q, k, tbl_r, et, scale, carry_dtype=cdt)
         else:
             e_r = dense("E")(e_emb.astype(cdt)) if use_field else None
             s = scores_of(q, k, jnp.swapaxes(e_r, 1, 2)
@@ -103,7 +103,8 @@ class LSPEAttention(nn.Module):
             if typed:
                 tbl_f = dense("E_2")(e_table.astype(cdt)).reshape(
                     -1, hh, dh)
-                s2 = typed_edge_scores(q2, k2, tbl_f, et, scale)
+                s2 = typed_edge_scores(q2, k2, tbl_f, et, scale,
+                                       carry_dtype=cdt)
             else:
                 e_f = dense("E_2")(e_emb.astype(cdt)) if use_field else None
                 s2 = scores_of(q2, k2, jnp.swapaxes(e_f, 1, 2)

@@ -67,26 +67,30 @@ def _aggregate_sparse(msg, edges: SparseEdges, names: Sequence[str]):
 def _aggregate(msg, mask, deg, names: Sequence[str]):
     """msg [B,N(dst),N(src),D]; mask [B,N,N] real in-edges; deg [B,N].
 
-    Returns concat of the requested aggregations over the src axis."""
+    Returns concat of the requested aggregations over the src axis.
+    Sums accumulate in f32 (under the bf16 compute policy the
+    mean_sq - mean^2 cancellation would otherwise lose the variance);
+    outputs return at msg's dtype."""
     m = mask[..., None].astype(msg.dtype)
-    d_safe = jnp.maximum(deg, 1.0)[..., None]
+    f32 = jnp.float32
+    d_safe = jnp.maximum(deg, 1.0)[..., None].astype(f32)
     outs = []
-    mean = (msg * m).sum(2) / d_safe
+    mean = (msg * m).sum(2, dtype=f32) / d_safe
     for name in names:
         if name == "mean":
             outs.append(mean)
         elif name == "sum":
-            outs.append((msg * m).sum(2))
+            outs.append((msg * m).sum(2, dtype=f32))
         elif name == "max":
             outs.append(jnp.where(
                 deg[..., None] > 0,
-                jnp.where(m > 0, msg, -jnp.inf).max(2), 0.0))
+                jnp.where(m > 0, msg, -jnp.inf).max(2).astype(f32), 0.0))
         elif name == "min":
             outs.append(jnp.where(
                 deg[..., None] > 0,
-                jnp.where(m > 0, msg, jnp.inf).min(2), 0.0))
+                jnp.where(m > 0, msg, jnp.inf).min(2).astype(f32), 0.0))
         elif name in ("std", "var"):
-            mean_sq = (msg * msg * m).sum(2) / d_safe
+            mean_sq = (msg * msg * m).sum(2, dtype=f32) / d_safe
             var = nn.relu(mean_sq - mean * mean)
             out = jnp.sqrt(var + EPS) if name == "std" else var
             # zero-fill degree-0 nodes like DGL's update_all (otherwise
@@ -94,7 +98,7 @@ def _aggregate(msg, mask, deg, names: Sequence[str]):
             outs.append(jnp.where(deg[..., None] > 0, out, 0.0))
         else:
             raise ValueError(f"unsupported aggregator {name!r}")
-    return jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate([o.astype(msg.dtype) for o in outs], axis=-1)
 
 
 def _scale(agg, deg, names: Sequence[str], avg_d_log: float):
@@ -368,9 +372,14 @@ class PNALSPENet(nn.Module):
     # GRU(input=h_pre_layer, hidden=h_layer_out), shared across layers,
     # skipped after the last layer)
     gru: bool = False
-    # None = auto: run towers over the padded COO edge list when present
-    # (scatter-free segment ops, ops/sparse_agg.py) instead of the dense
-    # [B, N, N, *] message mailboxes
+    # Sparse-COO towers (scatter/gather-free one-hot matmuls,
+    # ops/sparse_agg.py) are OPT-IN (None = dense): unlike GatedGCN
+    # (5.5x faster sparse, one message field per layer), PNA's
+    # towers x {h,p} channels x aggregators structure issues ~60 tiny
+    # segment ops per layer, and at canonical ZINC shapes the sparse
+    # path measured launch-bound on chip (59.9 vs 18.8 ms dense,
+    # 2026-08-19 — BASELINE.md). Sparse remains the memory-scaling
+    # option for node counts where [B, N, N, *] mailboxes cannot fit.
     sparse_edges: Optional[bool] = None
     compute_dtype: object = None
 
@@ -379,10 +388,10 @@ class PNALSPENet(nn.Module):
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
         from feta_tmlr_tpu.config import default_compute_dtype
         cdt = self.compute_dtype or default_compute_dtype()
-        sparse = self.sparse_edges
-        if sparse is None:
-            sparse = (batch.edge_index is not None
-                      and batch.in_edges is not None)
+        sparse = bool(self.sparse_edges)
+        if sparse and (batch.edge_index is None or batch.in_edges is None):
+            raise ValueError("sparse_edges=True needs a batch collated "
+                             "with with_coo=True")
         if self.categorical_input:
             h = nn.Embed(self.num_atom_type, self.hidden_dim,
                          name="embedding_h")(batch.x.astype(jnp.int32))

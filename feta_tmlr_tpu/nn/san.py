@@ -53,7 +53,7 @@ def san_structure_laplacian(struct_adj, node_mask):
     return -(dis[..., :, None] * a * dis[..., None, :]) * pm
 
 
-def typed_edge_scores(q, k, table_hd, edge_ids, scale):
+def typed_edge_scores(q, k, table_hd, edge_ids, scale, carry_dtype=None):
     """score[b,h,i,j] = sum_d q[b,h,i,d] * k[b,h,j,d] * table[et[b,i,j],h,d].
 
     The edge-feature-modulated SDDMM of SAN/GraphiT attention
@@ -67,16 +67,21 @@ def typed_edge_scores(q, k, table_hd, edge_ids, scale):
     Args:
       q, k: [B, H, N, dh]; table_hd: [T, H, dh] projected type table;
       edge_ids: [B, N, N] int types in (dst i, src j) layout; scale: 1/sqrt(dh).
-    Returns [B, H, N, N] f32 scores.
+      carry_dtype: dtype of the T-round select chain (the [B, H, N, N]
+        carry is this function's HBM traffic; bf16 under the compute
+        policy, f32 default). Matmuls always accumulate f32.
+    Returns [B, H, N, N] scores at carry_dtype.
     """
     b, hh, n, dh = q.shape
-    s = jnp.zeros((b, hh, n, n), jnp.float32)
+    cdt = carry_dtype or jnp.float32
+    s = jnp.zeros((b, hh, n, n), cdt)
     for t in range(table_hd.shape[0]):
         kt = k * table_hd[t][None, :, None, :]
         st = jnp.einsum("bhid,bhjd->bhij", q, kt,
                         preferred_element_type=jnp.float32)
-        s = jnp.where((edge_ids == t)[:, None], st, s)
-    return s * scale
+        s = jnp.where((edge_ids == t)[:, None],
+                      (st * scale).astype(cdt), s)
+    return s
 
 
 class SANAttention(nn.Module):
@@ -150,7 +155,8 @@ class SANAttention(nn.Module):
 
         if typed:
             tbl_r = dense("E")(e_table.astype(cdt)).reshape(-1, hh, dh)
-            s_real = typed_edge_scores(q, k, tbl_r, et, scale)
+            s_real = typed_edge_scores(q, k, tbl_r, et, scale,
+                                       carry_dtype=cdt)
         else:
             e_r = dense("E")(e_emb.astype(cdt)) if use_field else None
             e_r_t = jnp.swapaxes(e_r, 1, 2) if e_r is not None else None
@@ -162,7 +168,8 @@ class SANAttention(nn.Module):
             if typed:
                 tbl_f = dense("E_2")(e_table.astype(cdt)).reshape(
                     -1, hh, dh)
-                s_fake = typed_edge_scores(q2, k2, tbl_f, et, scale)
+                s_fake = typed_edge_scores(q2, k2, tbl_f, et, scale,
+                                           carry_dtype=cdt)
             else:
                 e_f = dense("E_2")(e_emb.astype(cdt)) if use_field else None
                 e_f_t = jnp.swapaxes(e_f, 1, 2) if e_f is not None else None
