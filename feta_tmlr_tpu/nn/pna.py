@@ -300,6 +300,14 @@ class PNALSPELayer(nn.Module):
     posttrans_layers: int = 1
     edgecat: bool = False
     compute_dtype: object = None
+    # None = auto: run ALL towers as one nn.vmap'd PNATower (params
+    # stacked [T, ...] under scope "towers") when divide_input holds.
+    # The python tower loop issues ~(towers x channels x aggregator)
+    # small kernels per layer and measured LAUNCH-bound on chip (the
+    # dominant cost of the tier, BASELINE.md round 4); the vmapped form
+    # batches every one of them across towers. vmap_towers=False keeps
+    # the per-tower scopes tower_0..T-1 (the twin/checkpoint layout).
+    vmap_towers: Optional[bool] = None
 
     @nn.compact
     def __call__(self, h, p, e_field, adj, node_mask, snorm_n,
@@ -312,27 +320,49 @@ class PNALSPELayer(nn.Module):
         hp = jnp.concatenate([h, p], -1)
         t_in = d // self.towers if self.divide_input else d
         t_out = self.out_dim // self.towers
-        h_outs, p_outs = [], []
-        for t in range(self.towers):
-            if self.divide_input:
-                h_slice = hp[..., t * 2 * t_in:(t + 1) * 2 * t_in]
-                p_slice = p[..., t * t_in:(t + 1) * t_in]
-            else:
-                h_slice, p_slice = hp, p
-            ho, po = PNATower(
-                t_out, self.aggregators, self.scalers, self.avg_d_log,
-                self.dropout, self.graph_norm, self.batch_norm,
-                self.pretrans_layers, self.posttrans_layers,
-                edgecat=self.edgecat, compute_dtype=self.compute_dtype,
-                name=f"tower_{t}")(h_slice, p_slice, e_field, real,
-                                   node_mask, snorm_n, deterministic,
-                                   edges=edges)
-            h_outs.append(ho)
-            p_outs.append(po)
-        h_out = nn.leaky_relu(nn.Dense(self.out_dim, name="mixing_h")(
-            jnp.concatenate(h_outs, -1)))
-        p_out = jnp.tanh(nn.Dense(self.out_dim, name="mixing_p")(
-            jnp.concatenate(p_outs, -1)))
+        vmap_towers = self.vmap_towers
+        if vmap_towers is None:
+            vmap_towers = self.divide_input and self.towers > 1
+        tower_kw = dict(
+            aggregators=self.aggregators, scalers=self.scalers,
+            avg_d_log=self.avg_d_log, dropout=self.dropout,
+            graph_norm=self.graph_norm, batch_norm=self.batch_norm,
+            pretrans_layers=self.pretrans_layers,
+            posttrans_layers=self.posttrans_layers,
+            edgecat=self.edgecat, compute_dtype=self.compute_dtype)
+        if vmap_towers and self.divide_input:
+            tt = self.towers
+            hp_t = hp.reshape(b, n, tt, 2 * t_in).transpose(2, 0, 1, 3)
+            p_t = p.reshape(b, n, tt, t_in).transpose(2, 0, 1, 3)
+            vtower = nn.vmap(
+                PNATower,
+                in_axes=(0, 0, None, None, None, None, None, None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+            )(t_out, name="towers", **tower_kw)
+            ho, po = vtower(hp_t, p_t, e_field, real, node_mask, snorm_n,
+                            deterministic, edges)
+            cat_h = ho.transpose(1, 2, 0, 3).reshape(b, n, -1)
+            cat_p = po.transpose(1, 2, 0, 3).reshape(b, n, -1)
+        else:
+            h_outs, p_outs = [], []
+            for t in range(self.towers):
+                if self.divide_input:
+                    h_slice = hp[..., t * 2 * t_in:(t + 1) * 2 * t_in]
+                    p_slice = p[..., t * t_in:(t + 1) * t_in]
+                else:
+                    h_slice, p_slice = hp, p
+                ho, po = PNATower(t_out, name=f"tower_{t}", **tower_kw)(
+                    h_slice, p_slice, e_field, real, node_mask, snorm_n,
+                    deterministic, edges=edges)
+                h_outs.append(ho)
+                p_outs.append(po)
+            cat_h = jnp.concatenate(h_outs, -1)
+            cat_p = jnp.concatenate(p_outs, -1)
+        h_out = nn.leaky_relu(nn.Dense(self.out_dim,
+                                       name="mixing_h")(cat_h))
+        p_out = jnp.tanh(nn.Dense(self.out_dim, name="mixing_p")(cat_p))
         if residual:
             h_out = h_in + h_out
             p_out = p_in + p_out
@@ -382,6 +412,7 @@ class PNALSPENet(nn.Module):
     # option for node counts where [B, N, N, *] mailboxes cannot fit.
     sparse_edges: Optional[bool] = None
     compute_dtype: object = None
+    vmap_towers: Optional[bool] = None   # see PNALSPELayer
 
     categorical_input: bool = True
     @nn.compact
@@ -436,6 +467,7 @@ class PNALSPENet(nn.Module):
                 pretrans_layers=self.pretrans_layers,
                 posttrans_layers=self.posttrans_layers,
                 edgecat=self.edgecat, compute_dtype=self.compute_dtype,
+                vmap_towers=self.vmap_towers,
                 name=f"layer_{i}")(h, p, e_field, batch.adj,
                                    batch.node_mask, snorm_n, deterministic,
                                    edges=edges)

@@ -52,10 +52,12 @@ def _transfer(params, tm):
 
 def test_pna_logit_parity_training_mode():
     gb, avg = _data()
+    # per-tower scopes (vmap_towers=False) so the transfer below can walk
+    # tower_0..T-1 like the twin's ModuleList
     jm = PNALSPENet(num_atom_type=28, num_bond_type=4, hidden_dim=HID,
                     out_dim=OUT, n_layers=LAYERS, pos_enc_dim=PE,
                     towers=TOWERS, avg_d_log=avg, n_out=1, edge_feat=True,
-                    edge_dim=EDGE_DIM, readout="sum")
+                    edge_dim=EDGE_DIM, readout="sum", vmap_towers=False)
     variables = jm.init(jax.random.key(0), gb)
     jlogits, _ = jm.apply(variables, gb, deterministic=False,
                           mutable=["batch_stats"])

@@ -78,3 +78,47 @@ def test_incidence_table_matches_segment_max():
             sel = (dst[b] == i) & emask[b]
             want = msg[b][sel].max(0) if sel.any() else np.zeros(5)
             np.testing.assert_allclose(got[b, i], want, rtol=1e-6)
+
+
+def test_vmapped_towers_match_tower_loop():
+    """nn.vmap'd towers (stacked params under scope 'towers') against the
+    per-tower loop (scopes tower_0..T-1) with the SAME weights: stack the
+    loop variant's per-tower leaves and compare outputs."""
+    import jax.tree_util as jtu
+
+    batch, avg = _batch(seed=4)
+    kw = dict(num_atom_type=28, num_bond_type=4, hidden_dim=20, out_dim=20,
+              n_layers=2, pos_enc_dim=8, towers=2, avg_d_log=avg, n_out=1,
+              edge_feat=True, edge_dim=12)
+    m_loop = PNALSPENet(vmap_towers=False, **kw)
+    m_vmap = PNALSPENet(vmap_towers=True, **kw)
+    p_loop = m_loop.init(jax.random.key(0), batch)
+    p_vmap = jax.tree_util.tree_map(lambda x: x,
+                                    m_vmap.init(jax.random.key(0), batch))
+
+    # graft the loop variant's weights into the stacked layout
+    def graft(tree):
+        out = jax.device_get(p_vmap)
+        for col in out:                              # params / batch_stats
+            if col not in tree:
+                continue
+            for lname, lval in tree[col].items():
+                if not lname.startswith("layer_"):
+                    out[col][lname] = lval
+                    continue
+                dst = out[col][lname]
+                towers = [lval[f"tower_{t}"] for t in range(2)]
+                stacked = jtu.tree_map(
+                    lambda *xs: jnp.stack(xs, 0), *towers)
+                dst["towers"] = stacked
+                for k, v in lval.items():
+                    if not k.startswith("tower_"):
+                        dst[k] = v
+        return out
+
+    import flax
+    grafted = graft(flax.core.unfreeze(p_loop))
+    out_loop = m_loop.apply(p_loop, batch)
+    out_vmap = m_vmap.apply(grafted, batch)
+    np.testing.assert_allclose(np.asarray(out_vmap), np.asarray(out_loop),
+                               rtol=1e-4, atol=1e-5)
