@@ -369,6 +369,9 @@ def bench_pna_lspe(variant="opt"):
                        out_dim=55, n_layers=16, pos_enc_dim=16, towers=5,
                        avg_d_log=avg_log, n_out=1,
                        edge_feat=True, edge_dim=40, readout="sum",
+                       # base = the round-3 configuration: python tower
+                       # loop + f32; opt = nn.vmap'd towers + bf16
+                       vmap_towers=(None if variant == "opt" else False),
                        compute_dtype=_variant_dtypes(variant))
     sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
                                           sign_flip=False)
