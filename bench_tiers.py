@@ -396,13 +396,16 @@ def bench_pna_lspe(variant="opt"):
     return sec_train, sec_serve, sec_twin, mfu
 
 
+# ordered so a budget cutoff (run_tiers budget_s) drops the cheapest
+# evidence last: the three headline A/B tiers first, then LSPE's A/B,
+# then the opt-only rows
 TIERS = {
     "san_zinc": bench_san_zinc,
-    "san_pattern_n128": bench_san_pattern,
-    "gat_feta_zinc": bench_gat_feta,
-    "lspe_spectra_zinc": bench_lspe_spectra,
     "gatedgcn_lspe_zinc": bench_gatedgcn_lspe,
     "pna_lspe_zinc": bench_pna_lspe,
+    "lspe_spectra_zinc": bench_lspe_spectra,
+    "san_pattern_n128": bench_san_pattern,
+    "gat_feta_zinc": bench_gat_feta,
 }
 
 # tiers that get the interleaved base-vs-opt A/B (the three slowest of

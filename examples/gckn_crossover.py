@@ -51,25 +51,36 @@ def measure(n_graphs, k=3, hidden=32, encode_iters=3):
     accel = jax.devices()[0]
     if accel.platform != "cpu":
         devices.append(("accel", accel))
+    # beyond NCI1 scale a single-dispatch encode over every path OOMs
+    # the chip; chunk by graphs (GCKNFeature.encode chunk_graphs — the
+    # reference's MAXRAM-chunking regime)
+    chunk = 4096 if n_graphs > 4096 else None
     for tag, dev in devices:
         row[f"{tag}_kmeans_impl"] = ("jax" if dev.platform != "cpu"
                                      else "numpy")
-        model = GCKNFeature.create(
-            input_size=graphs[0].x.shape[-1], hidden_sizes=[hidden],
-            path_sizes=[k])
-        t0 = time.perf_counter()
-        model.unsup_train(graphs, n_sampling_paths=20000, seed=0,
-                          device=dev)
-        row[f"{tag}_unsup_s"] = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        model.encode(graphs, batch=batch, device=dev)
-        row[f"{tag}_encode_first_s"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        for _ in range(encode_iters):
-            feats = model.encode(graphs, batch=batch, device=dev)
-        row[f"{tag}_encode_s"] = round(
-            (time.perf_counter() - t0) / encode_iters, 3)
-        del feats
+        try:
+            model = GCKNFeature.create(
+                input_size=graphs[0].x.shape[-1], hidden_sizes=[hidden],
+                path_sizes=[k])
+            t0 = time.perf_counter()
+            model.unsup_train(graphs, n_sampling_paths=20000, seed=0,
+                              device=dev)
+            row[f"{tag}_unsup_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            model.encode(graphs, batch=None if chunk else batch,
+                         device=dev, chunk_graphs=chunk)
+            row[f"{tag}_encode_first_s"] = round(
+                time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            for _ in range(encode_iters):
+                feats = model.encode(graphs, batch=None if chunk else batch,
+                                     device=dev, chunk_graphs=chunk)
+            row[f"{tag}_encode_s"] = round(
+                (time.perf_counter() - t0) / encode_iters, 3)
+            del feats
+        except Exception as e:
+            row[f"{tag}_error"] = f"{type(e).__name__}: {e}"[:200]
+            continue
     if "accel_encode_s" in row:
         row["encode_speedup_accel"] = round(
             row["host_encode_s"] / row["accel_encode_s"], 2)

@@ -41,13 +41,17 @@ def _auto_device(n_paths: int, device=None, op: str = "encode"):
     diverge:
 
       - `encode` (one batched jitted forward per call) crosses over
-        early: accelerator 2.9x at 385k paths (1024 ZINC graphs), 1.6x
-        at 1.56M paths; parity at 50k. Default threshold 200k paths.
-      - `unsup` (spherical k-means: hundreds of small sequential ops,
-        each paying the relay dispatch RTT) NEVER crossed over on the
-        measured range — accelerator runs 5-12x SLOWER up to 1.56M
-        paths — so its default threshold is effectively infinite until
-        a measurement says otherwise.
+        early: round-4 re-measurement (2026-08-19, jitted warm path)
+        has the accelerator ahead at EVERY scale — 1.2x at 50k paths,
+        1.63x at 385k, 1.68x at 1.56M. Default threshold 50k paths;
+        datasets beyond device memory use encode(chunk_graphs=...).
+      - `unsup` (spherical k-means) never crossed over even after the
+        round-4 fair shot — the whole Lloyd loop as ONE jitted
+        while_loop (kmeans.spherical_kmeans_jax): 44-60 s on-accel vs
+        2-4 s host numpy at every scale, dominated by the one-shot
+        XLA compile of the loop. unsup is a run-once pretrain step, so
+        its cold compile is honestly part of its cost; the default
+        threshold stays effectively infinite.
 
     Overrides: FETA_GCKN_DEVICE=cpu|accel forces a side for both ops;
     FETA_GCKN_TPU_MIN_PATHS / FETA_GCKN_TPU_MIN_PATHS_UNSUP tune the
@@ -66,7 +70,7 @@ def _auto_device(n_paths: int, device=None, op: str = "encode"):
         thresh = int(os.environ.get("FETA_GCKN_TPU_MIN_PATHS_UNSUP",
                                     str(1 << 62)))
     else:
-        thresh = int(os.environ.get("FETA_GCKN_TPU_MIN_PATHS", "200000"))
+        thresh = int(os.environ.get("FETA_GCKN_TPU_MIN_PATHS", "50000"))
     if accel.platform != "cpu" and n_paths >= thresh:
         return accel
     return _host_cpu()
@@ -145,17 +149,35 @@ class GCKNFeature:
                 self.layers[i] = unsup_train_layer(layer, paths,
                                                    seed=seed + i,
                                                    use_jax=use_jax_km)
-                features = path_layer_forward(self.layers[i], features,
-                                              batch)
+                if i + 1 < len(self.layers):
+                    # next layer samples from these features; after the
+                    # LAST layer the full-dataset forward is dead work
+                    # (and OOMs at PCQM4M scale on the accelerator)
+                    features = path_layer_forward(self.layers[i],
+                                                  features, batch)
         return batch
 
     def encode(self, graphs: Sequence[Graph],
                batch: Optional[PathBatch] = None,
-               device=None) -> List[np.ndarray]:
+               device=None,
+               chunk_graphs: Optional[int] = None) -> List[np.ndarray]:
         """Per-node features, one [n_i, D] array per graph
         (gckn/models.py:124-153). Device chosen by the measured-crossover
         policy (see `unsup_train` / `_auto_device`); pass `device` to
-        override."""
+        override.
+
+        chunk_graphs: process the dataset in slices of this many graphs
+        (each with its own PathBatch) — the bounded-working-set regime of
+        the reference's MAXRAM chunking (gckn/path_conv_agg.py:7) for
+        PCQM4M-scale datasets whose full path set exceeds device memory
+        (a 16k-graph ZINC slice OOMed the v5e in one dispatch,
+        examples/gckn_crossover.py)."""
+        if chunk_graphs and len(graphs) > chunk_graphs:
+            out = []
+            for i in range(0, len(graphs), chunk_graphs):
+                out.extend(self.encode(graphs[i:i + chunk_graphs],
+                                       device=device))
+            return out
         if batch is None:
             batch = build_path_batch(graphs, self.max_path_size)
         dev = _auto_device(_total_paths(batch), device)
