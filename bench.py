@@ -734,7 +734,7 @@ def main():
         # the default run cannot blow the driver deadline
         # (FETA_BENCH_TIERS=0 or FETA_BENCH_TIER_BUDGET_S to tune).
         from bench_tiers import run_tiers
-        budget = float(os.environ.get("FETA_BENCH_TIER_BUDGET_S", "900"))
+        budget = float(os.environ.get("FETA_BENCH_TIER_BUDGET_S", "780"))
         try:
             extras.update(run_tiers(budget_s=budget))
         except Exception as e:
