@@ -34,11 +34,90 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 import jax
+
+# ---------------------------------------------------------------- budget
+# One GLOBAL wall-clock budget for the whole bench (round-4 postmortem:
+# only the tier section was budgeted, so the sections before it blew the
+# driver deadline and the final JSON — printed once at the very end —
+# was lost entirely, BENCH_r04 rc=124). Every section now (a) checks the
+# remaining budget before starting, (b) streams its fields as its own
+# JSON line the moment it finishes, and (c) lands compactly in the final
+# consolidated line, which is ALSO printed from the SIGTERM/SIGALRM
+# handler so a timeout can only truncate sections, never erase results.
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("FETA_BENCH_BUDGET_S", "1260"))
+_RESULTS: dict = {}        # full fields, every section
+_FINAL: dict = {}          # compact fields for the final consolidated line
+_FINALIZED = False
+_STREAM_PATH = os.path.join(os.path.dirname(__file__), "BENCH_stream.jsonl")
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.perf_counter() - _T0)
+
+
+def emit(section: str, fields: dict, final: dict | None = None) -> None:
+    """Stream one section's full fields NOW; stage compact ones for the
+    final line. The driver captures only the tail of stdout, so the
+    stream is belt-and-braces: humans and the jsonl file get everything,
+    the final consolidated line carries the scoreboard."""
+    _RESULTS.update(fields)
+    line = json.dumps({"section": section,
+                       "t_s": round(time.perf_counter() - _T0, 1),
+                       **fields})
+    print(line, flush=True)
+    try:
+        with open(_STREAM_PATH, "a") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    _FINAL.update(final if final is not None else fields)
+
+
+def _finalize(exit_code: int | None = None) -> None:
+    """Print the consolidated final JSON line (idempotent)."""
+    global _FINALIZED
+    if _FINALIZED:
+        return
+    _FINALIZED = True
+    out = dict(_FINAL)
+    line = json.dumps(out)
+    # the driver stores only the LAST ~2000 chars of output; a final line
+    # longer than that would be truncated from the FRONT (invalid JSON,
+    # headline fields lost). Drop lowest-value fields until it fits.
+    droppable = ([k for k in out if k.endswith("_vmem_amplification")]
+                 + [k for k in out if "_pallasmod" in k]
+                 + [k for k in out if k.endswith("_bw")]
+                 + [k for k in out if k.startswith("b") and
+                    "bytes_per_edge" in k]
+                 + [k for k in out if k.endswith("_tw")])
+    dropped = 0
+    while len(line) > 1950 and droppable:
+        out.pop(droppable.pop(0), None)
+        dropped += 1
+        line = json.dumps(out if not dropped else
+                          {**out, "fields_dropped_for_tail": dropped})
+    print(line, flush=True)
+    try:
+        with open(_STREAM_PATH, "a") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    if exit_code is not None:
+        os._exit(exit_code)
+
+
+def _on_deadline(signum, frame):
+    emit("deadline", {"deadline_hit": signal.Signals(signum).name,
+                      "elapsed_s": round(time.perf_counter() - _T0, 1)})
+    _finalize(exit_code=0)
 
 from feta_tmlr_tpu.data import collate_graphs
 from feta_tmlr_tpu.data.pack import pack_graphs
@@ -488,7 +567,7 @@ def bench_serving(graphs, n_calls=30, wire=False, quantize=False):
     return dt
 
 
-def bench_serve_quantized(graphs, n_calls=12, train_steps=100):
+def bench_serve_quantized(graphs, n_calls=12, train_steps=1000):
     """int8 serving on the DEFAULT scoreboard (VERDICT r3 item 6): times
     the wire Predictor at f32 / w8 (int8 weights) / w8a8 (int8 weights +
     dynamic int8 activations) in one process, AND measures the end-metric
@@ -611,7 +690,58 @@ def _accelerator_available() -> bool:
         return False
 
 
+# compact tier aliases for the final consolidated line (full fields are
+# streamed per tier as they are measured)
+_TIER_SHORT = {"san_zinc": "san", "san_pattern_n128": "sanp",
+               "gat_feta_zinc": "gat", "lspe_spectra_zinc": "lspe",
+               "gatedgcn_lspe_zinc": "ggcn", "pna_lspe_zinc": "pna"}
+
+
+def _tier_compact(name: str, row: dict) -> dict:
+    s = _TIER_SHORT.get(name, name)
+    out = {}
+    sec = row.get(f"tier_{name}_sec_per_step")
+    if sec:
+        out[f"tier_{s}_ms"] = round(sec * 1e3, 1)
+    for suffix, short in (("speedup_vs_base", "x"), ("vs_twin", "tw"),
+                          ("train_hbm_bw_util", "bw")):
+        v = row.get(f"tier_{name}_{suffix}")
+        if v is not None:
+            out[f"tier_{s}_{short}"] = v
+    if f"tier_{name}_error" in row:
+        out[f"tier_{s}_err"] = 1
+    return out
+
+
+def _mfu_final_subset(tag: str, fields: dict) -> dict:
+    """The six per-variant speed-of-light fields the final line carries
+    (superset of BENCH_r03's per-variant fields, with the calibrated
+    hbm_bytes_lb/hbm_bw_util replacing the old VMEM-inclusive pair)."""
+    keep = ("flops_per_step", "hbm_bytes_lb_per_step",
+            "arithmetic_intensity", "achieved_tflops", "mfu_vs_bf16_peak",
+            "hbm_bw_util")
+    return {f"{tag}_{k}": fields[f"{tag}_{k}"] for k in keep
+            if f"{tag}_{k}" in fields}
+
+
 def main():
+    signal.signal(signal.SIGTERM, _on_deadline)
+    signal.signal(signal.SIGALRM, _on_deadline)
+    signal.alarm(max(30, int(_BUDGET_S)))
+    try:
+        open(_STREAM_PATH, "w").close()
+    except OSError:
+        pass
+    # compiles behind the relay are the bench's long pole (20s-10min
+    # each); the persistent cache makes re-runs (and the driver's run
+    # after a warm-up run in the same environment) load them in seconds
+    from feta_tmlr_tpu.utils.profiling import (
+        derive_rates,
+        enable_persistent_compile_cache,
+        hbm_copy_roofline,
+    )
+    enable_persistent_compile_cache()
+
     # If the accelerator backend cannot initialize (e.g. the axon relay is
     # unreachable), fall back to host CPU and say so in the JSON rather
     # than crashing (or hanging) with no record for the round.
@@ -623,17 +753,14 @@ def main():
     # FETA_TRACE_DIR=<dir> captures a jax.profiler trace of the unpacked
     # measurement for XProf/TensorBoard (utils/profiling.trace)
     trace_dir = os.environ.get("FETA_TRACE_DIR")
+
+    # ------------------------------------------------- section 1: core
     mfu_unpacked, mfu_bf16 = {}, {}
+    sec_packed = sec_bf16 = None
     if degraded:
         # CPU fallback: one meaningful row (unpacked f32 + twin ratio),
         # skip the variants/sweeps whose point is on-chip behavior
         sec_unpacked = bench_unpacked(graphs, n_edges, mfu_out=mfu_unpacked)
-        sec_packed = sec_bf16 = None
-        try:
-            sec_torch = bench_torch_baseline(graphs)
-        except Exception:
-            sec_torch = None
-        sweep = None
     else:
         sec_packed = bench_packed(graphs, n_edges)
         if trace_dir:
@@ -644,164 +771,19 @@ def main():
         else:
             sec_unpacked = bench_unpacked(graphs, n_edges,
                                           mfu_out=mfu_unpacked)
-        # bf16 mixed-precision variant (attention/FFN/Cheb matmuls on the
-        # MXU at 2x peak; params/softmax/norms f32) — measured 6.1 vs
-        # 8.4-8.6 ms f32 interleaved in-process (see BASELINE.md A/B table)
+        # bf16 mixed precision (attention/FFN/Cheb matmuls on the MXU at
+        # 2x peak; params/softmax/norms f32): the headline variant
         sec_bf16 = bench_unpacked_dtype(graphs, "bfloat16",
                                         mfu_out=mfu_bf16)
-        try:
-            sec_torch = bench_torch_baseline(graphs)
-        except Exception:
-            sec_torch = None
-        sweep_cost = {}
-        try:
-            sweep = bench_batch_sweep(cost_out=sweep_cost)
-        except Exception:
-            sweep = None
-        # the Pallas-modulation counterpart of the same sweep (one fused
-        # kernel per layer instead of the XLA chain) — the VERDICT r3
-        # item 3 A/B; FETA_BENCH_NO_SWEEP_PALLAS=1 skips it
-        sweep_pl = None
-        if os.environ.get("FETA_BENCH_NO_SWEEP_PALLAS") != "1":
-            try:
-                sweep_pl = bench_batch_sweep(pallas_mod=True)
-            except Exception:
-                sweep_pl = None
-        # int8/w8a8 serving rows + end-metric deltas on the DEFAULT
-        # scoreboard (VERDICT r3 item 6); FETA_BENCH_NO_SERVE_INT8=1 skips
-        if os.environ.get("FETA_BENCH_NO_SERVE_INT8") != "1":
-            try:
-                serve_q = bench_serve_quantized(graphs)
-            except Exception as e:
-                serve_q = {"serve_int8_error":
-                           f"{type(e).__name__}: {e}"[:200]}
-    extras = {}
-    if sweep:
-        for bsz, eps in sweep.items():
-            extras[f"edges_per_s_b{bsz}"] = round(eps, 1)
-        for bsz, c in sweep_cost.items():
-            extras[f"b{bsz}_bytes_per_edge"] = c["bytes_per_edge"]
-            extras[f"b{bsz}_achieved_tflops"] = c["achieved_tflops"]
-        if sweep_pl:
-            for bsz, eps in sweep_pl.items():
-                extras[f"edges_per_s_b{bsz}_pallasmod"] = round(eps, 1)
     try:
-        extras.update(serve_q)
-    except NameError:
-        pass
-    # mechanized speed-of-light accounting (XLA cost model): achieved
-    # TFLOP/s, model-FLOPs utilization vs bf16 peak, HBM BW utilization
-    from feta_tmlr_tpu.utils.profiling import device_peaks
-    for mfu, sec, tag in ((mfu_unpacked, sec_unpacked, "unpacked"),
-                          (mfu_bf16, sec_bf16, "bf16")):
-        for k, v in mfu.items():
-            extras[f"{tag}_{k}"] = v
-        flops = mfu.get("flops_per_step")
-        if flops and sec > 0:
-            extras[f"{tag}_achieved_tflops"] = round(flops / sec / 1e12, 3)
-            peaks = device_peaks()
-            if peaks:
-                extras[f"{tag}_mfu_vs_bf16_peak"] = round(
-                    flops / sec / peaks[0], 4)
-                byt = mfu.get("hbm_bytes_per_step")
-                if byt:
-                    extras[f"{tag}_hbm_bw_util"] = round(
-                        byt / sec / peaks[1], 4)
-    if degraded:
-        # the env-gated extras below all measure ON-CHIP behavior
-        # (tiers, dtype A/Bs, serving, Pallas, streaming); running them
-        # on the CPU fallback would take hours and emit numbers under
-        # the same keys as real device rows
-        skipped = [
-            k for k in ("TIERS", "ABLATE", "SERVE", "GCKN",
-                        "PALLAS_LARGEN", "STREAM")
-            if os.environ.get(f"FETA_BENCH_{k}") == "1"]
-        if skipped:
-            extras["skipped_extras"] = skipped
-        os.environ.pop("FETA_BENCH_TIERS", None)
-        os.environ.pop("FETA_BENCH_ABLATE", None)
-        os.environ.pop("FETA_BENCH_SERVE", None)
-        os.environ.pop("FETA_BENCH_GCKN", None)
-        os.environ.pop("FETA_BENCH_PALLAS_LARGEN", None)
-        os.environ.pop("FETA_BENCH_STREAM", None)
-    if os.environ.get("FETA_BENCH_TIERS", "1") == "1" and not degraded:
-        # tier-2/3 model families on the chip (bench_tiers.py):
-        # SAN_NodeSpectra (ZINC + PATTERN N=128), GATFeTA,
-        # GraphiTSpectraNet, GatedGCN-LSPE, PNA — train + serve + MFU +
-        # base-vs-optimized A/Bs, torch twins interleaved where they
-        # exist. Default ON so the driver-captured BENCH json carries the
-        # tier scoreboard (VERDICT r3 items 1-2); wall-clock-budgeted so
-        # the default run cannot blow the driver deadline
-        # (FETA_BENCH_TIERS=0 or FETA_BENCH_TIER_BUDGET_S to tune).
-        from bench_tiers import run_tiers
-        budget = float(os.environ.get("FETA_BENCH_TIER_BUDGET_S", "780"))
-        try:
-            extras.update(run_tiers(budget_s=budget))
-        except Exception as e:
-            extras["tiers_error"] = f"{type(e).__name__}: {e}"[:200]
-    if os.environ.get("FETA_BENCH_ABLATE") == "1":
-        # dtype + large-N A/Bs, interleaved in this same process (cross-
-        # session TPU timings vary +-30% behind the relay; see BASELINE.md)
-        extras["sec_per_step_f32_recheck"] = round(
-            bench_unpacked(graphs, 0), 5)
-        sbm_f32, sbm_edges = bench_sbm_large_n("float32")
-        sbm_bf16, _ = bench_sbm_large_n("bfloat16")
-        extras["sbm_n128_sec_per_step_f32"] = round(sbm_f32, 5)
-        extras["sbm_n128_sec_per_step_bf16"] = round(sbm_bf16, 5)
-        extras["sbm_n128_edges_per_batch"] = sbm_edges
-    if os.environ.get("FETA_BENCH_SERVE") == "1":
-        sec_call = bench_serving(graphs)
-        extras["serve_sec_per_batch128_call"] = round(sec_call, 5)
-        extras["serve_graphs_per_s"] = round(BATCH / sec_call, 1)
-        sec_call_w = bench_serving(graphs, wire=True)
-        extras["serve_sec_per_batch128_call_wire"] = round(sec_call_w, 5)
-        extras["serve_graphs_per_s_wire"] = round(BATCH / sec_call_w, 1)
-        sec_call_q = bench_serving(graphs, wire=True, quantize=True)
-        extras["serve_sec_per_batch128_call_int8"] = round(sec_call_q, 5)
-        extras["serve_graphs_per_s_int8"] = round(BATCH / sec_call_q, 1)
-        sec_call_a8 = bench_serving(graphs, wire=True, quantize="w8a8")
-        extras["serve_sec_per_batch128_call_w8a8"] = round(sec_call_a8, 5)
-        extras["serve_graphs_per_s_w8a8"] = round(BATCH / sec_call_a8, 1)
-        rps_n, rps_b = bench_serving_concurrent(graphs)
-        extras["serve_concurrent_rps_naive"] = round(rps_n, 1)
-        extras["serve_concurrent_rps_batched"] = round(rps_b, 1)
-    if os.environ.get("FETA_BENCH_GCKN") == "1":
-        try:
-            extras.update(bench_gckn())
-        except Exception as e:
-            extras["gckn_error"] = type(e).__name__
-    if os.environ.get("FETA_BENCH_PALLAS_LARGEN") == "1":
-        # interleaved XLA/Pallas at large-N SBM shapes (bf16 policy). The
-        # query-blocked flash kernel (FETA_PALLAS_IMPL=flash, default)
-        # compiles at every N; N>=1024 was the old single-block kernel's
-        # VMEM wall (VERDICT r2 item 2)
-        for n_nodes, n_graphs in ((256, 16), (512, 4), (1024, 2),
-                                  (2048, 1)):
-            try:
-                res, _ = bench_pallas_xla_pair(n_nodes, n_graphs)
-            except Exception as e:                 # e.g. VMEM overflow
-                extras[f"n{n_nodes}_pallas_error"] = type(e).__name__
-                continue
-            extras[f"n{n_nodes}_sec_per_step_xla"] = round(
-                min(res["xla"]), 5)
-            extras[f"n{n_nodes}_sec_per_step_pallas"] = round(
-                min(res["pallas"]), 5)
-    if os.environ.get("FETA_BENCH_STREAM") == "1":
-        # interleaved plain/wire/plain/wire to average out relay drift
-        p1 = bench_streamed_epoch(wire=False)
-        w1 = bench_streamed_epoch(wire=True)
-        f1 = bench_streamed_epoch(wire=True, prefetch=True)
-        p2 = bench_streamed_epoch(wire=False)
-        w2 = bench_streamed_epoch(wire=True)
-        f2 = bench_streamed_epoch(wire=True, prefetch=True)
-        extras["stream_sec_per_step_plain"] = round(min(p1, p2), 5)
-        extras["stream_sec_per_step_wire"] = round(min(w1, w2), 5)
-        extras["stream_sec_per_step_wire_prefetch"] = round(min(f1, f2), 5)
-        extras["stream_wire_speedup"] = round(min(p1, p2) / min(w1, w2), 3)
+        sec_torch = bench_torch_baseline(graphs)
+    except Exception:
+        sec_torch = None
+
     rnd = lambda s: round(s, 5) if s is not None else None
     best = min(s for s in (sec_packed, sec_unpacked, sec_bf16)
                if s is not None)
-    out = {
+    core = {
         "metric": "edges_per_s_per_chip",
         "value": round(n_edges / best, 1),
         "unit": "edges/s",
@@ -809,20 +791,174 @@ def main():
         "sec_per_step_packed": rnd(sec_packed),
         "sec_per_step_unpacked": rnd(sec_unpacked),
         "sec_per_step_bf16": rnd(sec_bf16),
-        # saturating = best point of the interleaved batch-size sweep
-        # (per-size max of 2 in-process repeats; bench_batch_sweep)
-        "edges_per_s_saturating": (round(max(sweep.values()), 1)
-                                   if sweep else None),
-        "epoch_time_s_zinc10k": round(
-            best * (ZINC_TRAIN_GRAPHS / BATCH), 3),
-        "baseline": "pure-torch CPU twin (reference stack unavailable)",
+        "epoch_time_s_zinc10k": round(best * (ZINC_TRAIN_GRAPHS / BATCH),
+                                      3),
+        "baseline": "torch-cpu-twin",
         "device": str(jax.devices()[0]),
         "batch_graphs": BATCH,
         "edges_per_batch": n_edges,
         **({"degraded": degraded} if degraded else {}),
-        **extras,
     }
-    print(json.dumps(out))
+    mfu_all = {}
+    for mfu, sec, tag in ((mfu_unpacked, sec_unpacked, "unpacked"),
+                          (mfu_bf16, sec_bf16, "bf16")):
+        if not mfu or not sec:
+            continue
+        mfu_all.update({f"{tag}_{k}": v for k, v in mfu.items()})
+        mfu_all.update({f"{tag}_{k}": v
+                        for k, v in derive_rates(mfu, sec).items()})
+    emit("core", {**core, **mfu_all},
+         final={**core,
+                **_mfu_final_subset("unpacked", mfu_all),
+                **_mfu_final_subset("bf16", mfu_all)})
+
+    if degraded:
+        skipped = [k for k in ("TIERS", "ABLATE", "SERVE", "GCKN",
+                               "PALLAS_LARGEN", "STREAM")
+                   if os.environ.get(f"FETA_BENCH_{k}") == "1"]
+        emit("degraded", {"skipped_extras":
+                          skipped + ["roofline", "sweep", "tiers", "int8"]})
+        _finalize()
+        return
+
+    # --------------------------------- section 2: HBM copy roofline
+    # (calibration anchor for every hbm_bw_util field; ~1 compile)
+    if _remaining() > 60:
+        try:
+            emit("hbm_roofline", hbm_copy_roofline())
+        except Exception as e:
+            emit("hbm_roofline",
+                 {"hbm_roofline_error": f"{type(e).__name__}: {e}"[:160]})
+
+    # ------------------------------------- section 3: batch-size sweep
+    # (edges_per_s_b* are BENCH_r03 superset fields — before tiers)
+    sweep = None
+    if _remaining() > 240:
+        sweep_cost = {}
+        try:
+            sweep = bench_batch_sweep(cost_out=sweep_cost)
+        except Exception as e:
+            emit("sweep", {"sweep_error": f"{type(e).__name__}: {e}"[:160]})
+        if sweep:
+            f = {f"edges_per_s_b{b}": round(e, 1) for b, e in sweep.items()}
+            f["edges_per_s_saturating"] = round(max(sweep.values()), 1)
+            full = dict(f)
+            for bsz, c in sweep_cost.items():
+                full[f"b{bsz}_bytes_per_edge"] = c["bytes_per_edge"]
+                full[f"b{bsz}_achieved_tflops"] = c["achieved_tflops"]
+            emit("sweep", full, final=f)
+    else:
+        emit("sweep", {"sweep_skipped": "budget"})
+
+    # ----------------------------------------------- section 4: tiers
+    # tier-2/3 model families (bench_tiers.py): SAN_NodeSpectra (ZINC +
+    # PATTERN), GATFeTA, GraphiTSpectraNet, GatedGCN-LSPE, PNA — train +
+    # serve + calibrated MFU + base-vs-opt A/Bs + torch twins. Budget =
+    # whatever remains minus a reserve for the int8 section + finalize.
+    if os.environ.get("FETA_BENCH_TIERS", "1") == "1":
+        tier_budget = _remaining() - 240
+        if tier_budget > 120:
+            from bench_tiers import run_tiers
+            try:
+                run_tiers(budget_s=tier_budget,
+                          on_row=lambda name, row: emit(
+                              f"tier:{name}", row,
+                              final=_tier_compact(name, row)))
+            except Exception as e:
+                emit("tiers", {"tiers_error":
+                               f"{type(e).__name__}: {e}"[:200]})
+        else:
+            emit("tiers", {"tiers_skipped": "budget"})
+
+    # ------------------------------------- section 5: int8 serving
+    if os.environ.get("FETA_BENCH_NO_SERVE_INT8") != "1" \
+            and _remaining() > 150:
+        try:
+            serve_q = bench_serve_quantized(graphs)
+            compact = {k: serve_q[k] for k in
+                       ("serve_f32_sec_per_call", "serve_int8_sec_per_call",
+                        "serve_w8a8_sec_per_call",
+                        "serve_int8_val_mae_delta",
+                        "serve_w8a8_val_mae_delta") if k in serve_q}
+            emit("serve_int8", serve_q, final=compact)
+        except Exception as e:
+            emit("serve_int8", {"serve_int8_error":
+                                f"{type(e).__name__}: {e}"[:200]})
+
+    # ------------------------- section 6: Pallas-modulation batch sweep
+    # (the round-4 falsification control; informative but lowest value)
+    if os.environ.get("FETA_BENCH_NO_SWEEP_PALLAS") != "1" \
+            and _remaining() > 240:
+        try:
+            sweep_pl = bench_batch_sweep(pallas_mod=True)
+            f = {f"edges_per_s_b{b}_pallasmod": round(e, 1)
+                 for b, e in sweep_pl.items()}
+            emit("sweep_pallasmod", f,
+                 final={k: f[k] for k in
+                        ("edges_per_s_b128_pallasmod",
+                         "edges_per_s_b1024_pallasmod") if k in f})
+        except Exception as e:
+            emit("sweep_pallasmod",
+                 {"sweep_pallasmod_error": f"{type(e).__name__}: {e}"[:160]})
+
+    # --------------------------------------- env-gated deep sections
+    if os.environ.get("FETA_BENCH_ABLATE") == "1" and _remaining() > 180:
+        f = {"sec_per_step_f32_recheck": round(bench_unpacked(graphs, 0),
+                                               5)}
+        sbm_f32, sbm_edges = bench_sbm_large_n("float32")
+        sbm_bf16, _ = bench_sbm_large_n("bfloat16")
+        f["sbm_n128_sec_per_step_f32"] = round(sbm_f32, 5)
+        f["sbm_n128_sec_per_step_bf16"] = round(sbm_bf16, 5)
+        f["sbm_n128_edges_per_batch"] = sbm_edges
+        emit("ablate", f, final={})
+    if os.environ.get("FETA_BENCH_SERVE") == "1" and _remaining() > 240:
+        f = {}
+        for tag, kw in (("", {}), ("_wire", {"wire": True}),
+                        ("_int8", {"wire": True, "quantize": True}),
+                        ("_w8a8", {"wire": True, "quantize": "w8a8"})):
+            sec_call = bench_serving(graphs, **kw)
+            f[f"serve_sec_per_batch128_call{tag}"] = round(sec_call, 5)
+            f[f"serve_graphs_per_s{tag}"] = round(BATCH / sec_call, 1)
+        rps_n, rps_b = bench_serving_concurrent(graphs)
+        f["serve_concurrent_rps_naive"] = round(rps_n, 1)
+        f["serve_concurrent_rps_batched"] = round(rps_b, 1)
+        emit("serve", f, final={})
+    if os.environ.get("FETA_BENCH_GCKN") == "1" and _remaining() > 180:
+        try:
+            emit("gckn", bench_gckn(), final={})
+        except Exception as e:
+            emit("gckn", {"gckn_error": type(e).__name__})
+    if os.environ.get("FETA_BENCH_PALLAS_LARGEN") == "1":
+        for n_nodes, n_graphs in ((256, 16), (512, 4), (1024, 2),
+                                  (2048, 1)):
+            if _remaining() < 180:
+                break
+            f = {}
+            try:
+                res, _ = bench_pallas_xla_pair(n_nodes, n_graphs)
+                f[f"n{n_nodes}_sec_per_step_xla"] = round(min(res["xla"]),
+                                                          5)
+                f[f"n{n_nodes}_sec_per_step_pallas"] = round(
+                    min(res["pallas"]), 5)
+            except Exception as e:                 # e.g. VMEM overflow
+                f[f"n{n_nodes}_pallas_error"] = type(e).__name__
+            emit(f"pallas_largen_n{n_nodes}", f, final={})
+    if os.environ.get("FETA_BENCH_STREAM") == "1" and _remaining() > 300:
+        # interleaved plain/wire/plain/wire to average out relay drift
+        p1 = bench_streamed_epoch(wire=False)
+        w1 = bench_streamed_epoch(wire=True)
+        f1 = bench_streamed_epoch(wire=True, prefetch=True)
+        p2 = bench_streamed_epoch(wire=False)
+        w2 = bench_streamed_epoch(wire=True)
+        f2 = bench_streamed_epoch(wire=True, prefetch=True)
+        emit("stream", {
+            "stream_sec_per_step_plain": round(min(p1, p2), 5),
+            "stream_sec_per_step_wire": round(min(w1, w2), 5),
+            "stream_sec_per_step_wire_prefetch": round(min(f1, f2), 5),
+            "stream_wire_speedup": round(min(p1, p2) / min(w1, w2), 3)},
+            final={})
+
+    _finalize()
 
 
 if __name__ == "__main__":

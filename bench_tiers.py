@@ -108,25 +108,21 @@ def _time_jax(model, batch, task, sign_flip, n1=_N1, n2=_N2):
 
 
 def _derive(mfu: dict, sec: float, prefix: str) -> dict:
-    """Attach achieved-rate fields now that the step time is measured."""
+    """Attach achieved-rate fields now that the step time is measured
+    (calibrated accounting: utils/profiling.derive_rates — hbm_bw_util is
+    the buffer-assignment lower bound over peak BW, <=1.0 by physics)."""
+    from feta_tmlr_tpu.utils.profiling import derive_rates
     out = dict(mfu)
-    flops = mfu.get(f"{prefix}flops_per_step")
-    if flops and sec > 0:
-        from feta_tmlr_tpu.utils.profiling import device_peaks
-        out[f"{prefix}achieved_tflops"] = round(flops / sec / 1e12, 3)
-        peaks = device_peaks()
-        if peaks:
-            out[f"{prefix}mfu_vs_bf16_peak"] = round(
-                flops / sec / peaks[0], 4)
-            byt = mfu.get(f"{prefix}hbm_bytes_per_step")
-            if byt:
-                out[f"{prefix}hbm_bw_util"] = round(byt / sec / peaks[1],
-                                                    4)
+    out.update(derive_rates(mfu, sec, prefix))
     return out
 
 
 def _time_torch(build_fn, inputs, y, n_steps=3, loss_kind="l1"):
-    """Twin protocol of bench.bench_torch_baseline: AdamW, L1, warmup+3."""
+    """Twin protocol of bench.bench_torch_baseline: AdamW, L1, warmup+3.
+
+    Twins at SAN/PNA scale run 4-18 s/step on this host; when the warmup
+    step alone exceeds 4 s the average uses a single timed step so one
+    slow twin cannot eat the whole tier budget (round-4 postmortem)."""
     import torch
     model = build_fn()
     opt = torch.optim.AdamW(model.parameters(), lr=1e-3)
@@ -143,7 +139,10 @@ def _time_torch(build_fn, inputs, y, n_steps=3, loss_kind="l1"):
         loss.backward()
         opt.step()
 
+    t0 = time.perf_counter()
     step()
+    if time.perf_counter() - t0 > 4.0:
+        n_steps = 1
     t0 = time.perf_counter()
     for _ in range(n_steps):
         step()
@@ -414,29 +413,45 @@ AB_TIERS = ("san_zinc", "lspe_spectra_zinc", "gatedgcn_lspe_zinc",
             "pna_lspe_zinc")
 
 
-def run_tiers(names=None, budget_s: float = None):
-    """Extras dict for bench.py's JSON line (and BASELINE.md tables).
+def run_tiers(names=None, budget_s: float = None, on_row=None):
+    """Extras dict for bench.py's JSON lines (and BASELINE.md tables).
 
-    Each tier's fields are also streamed to stderr as it completes, so a
-    run cut off by a timeout (compiles behind the relay are minutes each)
-    still leaves the finished tiers' numbers on record. `budget_s` bounds
-    the wall clock (checked between tiers) so the default-bench run can
-    carry tier fields without risking the driver's overall deadline."""
+    `on_row(name, row)` — when given (bench.py passes its emit) — is
+    called with each tier's full fields the moment that tier completes,
+    so a run cut off by a timeout still leaves every finished tier on
+    record; without it rows stream to stderr. `budget_s` bounds the wall
+    clock; it is checked between tiers AND between a tier's base-variant
+    and opt phases (round 4 died INSIDE a tier: the base pass finished
+    with no budget left for the row's own fields)."""
     import sys
 
     deadline = (time.perf_counter() + budget_s) if budget_s else None
     # the base-variant A/B doubles compiles; skip it in the CPU smoke
     # gate (plumbing check) and under the explicit env opt-out
     skip_base = _SMOKE or os.environ.get("FETA_TIERS_NO_AB") == "1"
+
+    def left():
+        return (deadline - time.perf_counter()) if deadline else float(
+            "inf")
+
+    def flush_row(name, row):
+        out.update(row)
+        if on_row is not None:
+            on_row(name, row)
+        else:
+            print(json.dumps(row), file=sys.stderr, flush=True)
+
     out = {}
     for name, fn in TIERS.items():
         if names and name not in names:
             continue
-        if deadline and time.perf_counter() > deadline:
-            out[f"tier_{name}_skipped"] = "budget exhausted"
+        if left() <= 0:
+            flush_row(name, {f"tier_{name}_skipped": "budget exhausted"})
             continue
         row = {}
-        if name in AB_TIERS and not skip_base:
+        # a cold A/B tier costs ~2x an opt-only tier; only spend the base
+        # pass when there is plausibly room for BOTH phases
+        if name in AB_TIERS and not skip_base and left() > 120:
             # round-3 configuration first (same process + inputs), so the
             # headline opt numbers below are an interleaved A/B
             try:
@@ -451,8 +466,7 @@ def run_tiers(names=None, budget_s: float = None):
             sec_train, sec_serve, sec_twin, mfu = fn()
         except Exception as e:
             row[f"tier_{name}_error"] = f"{type(e).__name__}: {e}"[:200]
-            out.update(row)
-            print(json.dumps(row), file=sys.stderr, flush=True)
+            flush_row(name, row)
             continue
         row[f"tier_{name}_sec_per_step"] = round(sec_train, 5)
         row[f"tier_{name}_serve_sec_per_call"] = round(sec_serve, 5)
@@ -464,8 +478,7 @@ def run_tiers(names=None, budget_s: float = None):
             row[f"tier_{name}_vs_twin"] = round(sec_twin / sec_train, 2)
         for k, v in mfu.items():
             row[f"tier_{name}_{k}"] = v
-        out.update(row)
-        print(json.dumps(row), file=sys.stderr, flush=True)
+        flush_row(name, row)
     return out
 
 

@@ -66,3 +66,22 @@ def default_compute_dtype():
     name = os.environ.get("FETA_COMPUTE_DTYPE", "float32")
     return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
         name, jnp.float32)
+
+
+# Fused 2-layer-MLP Pallas kernel (ops/pallas/fused_mlp.py) for wide-FFN
+# heads — the SAN eigen-PE head keeps torch's dim_feedforward=2048 default
+# over B*N*m token rows (reference SAN_NodeSpectra.py:51), making its
+# hidden field the head's dominant HBM stream. Auto: ON on accelerators
+# when the hidden width is large enough that keeping it VMEM-resident
+# beats XLA's materialized chain. FETA_FUSED_MLP=1/0 force-overrides
+# (tests force 1 with an interpret-mode pallas_call monkeypatch on CPU).
+FUSED_MLP_MIN_FF = int(os.environ.get("FETA_FUSED_MLP_MIN_FF", "1024"))
+
+
+def use_fused_mlp(ff_dim: int = 0) -> bool:
+    env = os.environ.get("FETA_FUSED_MLP")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return ff_dim >= FUSED_MLP_MIN_FF and _on_accelerator()

@@ -76,15 +76,22 @@ class FilterCoefficientHead(nn.Module):
     num_coefficients: int
 
     @nn.compact
-    def __call__(self, attn, node_mask):
+    def __call__(self, attn, node_mask, precomputed_s=None):
         # attn: [B, H, N, N]; heads stay a batch axis (the reference flattens
         # them into a H*B sparse graph with index offsets, models.py:178-186).
         # attn[i, j] is the weight of directed edge i -> j; PyG's GCNConv
         # normalizes with in-degrees and aggregates at the destination
         # (gcn_norm_directed), so propagation contracts over the SOURCE axis.
-        a = jax.lax.stop_gradient(attn)               # detach (models.py:282)
         mask_h = node_mask[:, None, :]                # broadcast over heads
-        a_norm = gcn_norm_directed(a, mask_h)         # [B, H, N(src), N(dst)]
+        if precomputed_s is not None:
+            # streamed flash path: s came out of the attention kernel's
+            # column-stat passes (already detached + gcn-normalized;
+            # ops/pallas/flash_attention.flash_graphit_attention_heads)
+            s = precomputed_s                         # [B, H, N(dst)]
+        else:
+            a = jax.lax.stop_gradient(attn)           # detach (models.py:282)
+            a_norm = gcn_norm_directed(a, mask_h)     # [B, H, N(src), N(dst)]
+            s = a_norm.sum(axis=2)                    # [B, H, N(dst)]
 
         c = self.num_coefficients
         w = self.param(
@@ -94,7 +101,6 @@ class FilterCoefficientHead(nn.Module):
         # the reference hardcodes ones as node features (models.py:280), so
         # GCN(ones) = (col-sums of a_norm) outer (column-sums of W) — the
         # [N, C] x [C, C] matmul collapses to an outer product (exact)
-        s = a_norm.sum(axis=2)                        # [B, H, N(dst)]
         h = jnp.tanh(s[..., None] * w.sum(axis=0) + b)
         pooled = masked_mean(h, mask_h, axis=2)       # [B, H, C] mean pool
         return nn.Dense(c, name="coeff_linear")(pooled)
@@ -235,7 +241,13 @@ class FeTAEncoder(nn.Module):
             if not filtered:
                 continue
 
-            coeff = coeff_head(attn, node_mask)       # [B, H, C]
+            from feta_tmlr_tpu.nn.layers import AttnColStats
+            if isinstance(attn, AttnColStats):
+                # streamed flash path: the layer emitted the detached
+                # column statistics instead of dense [B, H, N, N] attention
+                coeff = coeff_head(None, node_mask, precomputed_s=attn.s)
+            else:
+                coeff = coeff_head(attn, node_mask)   # [B, H, C]
             coefficients.append(coeff)
             heads = out_each_head.transpose(0, 2, 1, 3)  # [B, H, N, dh]
             if self.gnn_type == "ChebConvDynamic":

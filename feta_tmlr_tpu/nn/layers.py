@@ -16,13 +16,23 @@ The contract is reconstructed from its call sites:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from feta_tmlr_tpu.ops.attention import modulated_attention_from_scores
 from feta_tmlr_tpu.ops.masking import masked_mean
+
+
+class AttnColStats(NamedTuple):
+    """Detached coefficient-head statistics emitted in place of the dense
+    [B, H, N, N] attention matrix by the streamed need_heads flash path:
+    s[b, h, j] = sum_i gcn_norm_directed(attn)[b, h, i, j] — exactly what
+    FilterCoefficientHead derives from dense attention."""
+
+    s: jax.Array          # [B, H, N]
 
 
 class MaskedBatchNorm(nn.Module):
@@ -131,7 +141,27 @@ class GraphiTEncoderLayer(nn.Module):
 
         import os as _os
         _impl = _os.environ.get("FETA_PALLAS_IMPL", "flash")
-        if not need_heads and use_pallas and _impl != "modulation":
+        if need_heads and use_pallas and _impl == "flash" \
+                and _os.environ.get("FETA_FLASH_NEED_HEADS", "1") == "1":
+            # streamed FILTERED-layer path (round-5): per-head outputs +
+            # the coefficient head's detached column statistics come out
+            # of the flash kernel directly — no [B, H, N, N] attention
+            # tensor in HBM on this layer either (previously only the
+            # need_heads=False layers had a flash path, capping the
+            # full-model large-N win at 1.10-1.25x; BASELINE.md round 4).
+            from feta_tmlr_tpu.ops.pallas.flash_attention import \
+                flash_graphit_attention_heads
+            mod_dt = (cdt if cdt != jnp.float32 and _os.environ.get(
+                "FETA_BF16_MODULATION", "1") == "1" else None)
+            v_heads = v_nhd.transpose(0, 2, 1, 3)        # [B,H,N,dh]
+            out_each_head, s = flash_graphit_attention_heads(
+                xa, x, c_q, c_k, c_0, v_heads, node_mask, pe=pe,
+                degree=degree, mod_dtype=mod_dt)
+            out_each_head = out_each_head.astype(jnp.float32)
+            attn_out = (out_each_head.reshape(b, n, d).astype(cdt)
+                        @ w_out.astype(cdt)).astype(jnp.float32) + b_out
+            attn = AttnColStats(s=s)
+        elif not need_heads and use_pallas and _impl != "modulation":
             # fully fused flash path: the [H, N, N] score/attention tensors
             # never reach HBM. Default impl is the query/key-blocked
             # online-softmax kernel (ops/pallas/flash_attention.py), which

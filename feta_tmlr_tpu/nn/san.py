@@ -296,6 +296,20 @@ class SANSpectraLayer(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Param-tree twin of nn.Dense (same names/shapes/inits) that hands
+    the raw kernel/bias to a fused kernel instead of applying them."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class FreqTransformer(nn.Module):
     """Small transformer over the frequency (eigenvector) axis used by the
     learned-PE heads: tokens [S, M, C_in] -> Linear(C_in -> lpe_dim) ->
@@ -350,9 +364,30 @@ class FreqTransformer(nn.Module):
             t, deterministic=deterministic)
         x = x + drop(nn.Dense(d, name=f"proj_{idx}")(out))
         x = nn.LayerNorm(epsilon=1e-5, name=f"n1_{idx}")(x)
-        ff = nn.Dense(self.ff_dim, dtype=cdt,
-                      name=f"ff1_{idx}")(x.astype(cdt))
-        ff = nn.Dense(d, dtype=cdt, name=f"ff2_{idx}")(drop(nn.relu(ff)))
+        # FFN: the ff_dim=2048 hidden field over s*m rows is this head's
+        # dominant HBM stream (68% of SAN's FLOPs, BASELINE.md round 4).
+        # On accelerators it runs through the row-blocked fused-MLP
+        # Pallas kernel (hidden stays in VMEM, in-kernel regenerable
+        # dropout); param tree is identical to the nn.Dense pair.
+        from feta_tmlr_tpu.config import use_fused_mlp
+        w1, b1 = _DenseParams(self.ff_dim, name=f"ff1_{idx}")(d)
+        w2, b2 = _DenseParams(d, name=f"ff2_{idx}")(self.ff_dim)
+        rate = 0.0 if deterministic else self.dropout
+        if use_fused_mlp(self.ff_dim):
+            from feta_tmlr_tpu.ops.pallas.fused_mlp import fused_mlp
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (),
+                                          0, 2 ** 24)
+            ff = fused_mlp(x.reshape(s * m, d).astype(cdt),
+                           w1.astype(cdt), b1.astype(jnp.float32),
+                           w2.astype(cdt), b2.astype(jnp.float32),
+                           dropout_rate=rate, seed=seed)
+            ff = ff.reshape(s, m, d)
+        else:
+            ff = jnp.dot(x.astype(cdt), w1.astype(cdt)) + b1.astype(cdt)
+            ff = jnp.dot(drop(nn.relu(ff)), w2.astype(cdt)) \
+                + b2.astype(cdt)
         x = nn.LayerNorm(epsilon=1e-5,
                          name=f"n2_{idx}")(x + drop(ff).astype(x.dtype))
         return x

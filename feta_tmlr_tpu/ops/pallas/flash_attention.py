@@ -139,8 +139,11 @@ def _fwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
         su_ref[0, 0] = su
 
 
-def _fwd_specs(n, d, bq, bk):
-    """BlockSpecs over the forward grid (b, nq, nk, h)."""
+def _fwd_specs(n, d, bq, bk, dv=None):
+    """BlockSpecs over the forward grid (b, nq, nk, h). `dv` is the value
+    feature width (== d for the fused V@Wout path, head_dim for the
+    per-head-outputs path)."""
+    dv = dv or d
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
     return [
@@ -149,7 +152,7 @@ def _fwd_specs(n, d, bq, bk):
         vm((1, 1, bq, 1), lambda bi, qi, ki, hi: (bi, hi, qi, 0)),  # cq
         vm((1, 1, 1, bk), lambda bi, qi, ki, hi: (bi, hi, 0, ki)),  # ck
         vm((1, 1, 1), lambda bi, qi, ki, hi: (hi, 0, 0)),           # c0
-        vm((1, 1, bk, d), lambda bi, qi, ki, hi: (bi, hi, ki, 0)),  # vw
+        vm((1, 1, bk, dv), lambda bi, qi, ki, hi: (bi, hi, ki, 0)),  # vw
         vm((1, bq, bk), lambda bi, qi, ki, hi: (bi, qi, ki)),       # pe
         vm((1, 1, bk), lambda bi, qi, ki, hi: (bi, 0, ki)),         # deg
         vm((1, bq, 1), lambda bi, qi, ki, hi: (bi, qi, 0)),         # qmask
@@ -161,18 +164,19 @@ def _fwd_specs(n, d, bq, bk):
 def _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
               bq, bk):
     b, h, n, d = xa.shape
+    dv = vw.shape[-1]
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
     stat = lambda: vm((1, 1, bq, 1), lambda bi, qi, ki, hi: (bi, hi, qi, 0))
     return pl.pallas_call(
         _fwd_kernel,
         grid=(b, n // bq, n // bk, h),
-        in_specs=_fwd_specs(n, d, bq, bk),
+        in_specs=_fwd_specs(n, d, bq, bk, dv),
         out_specs=(
-            vm((1, 1, bq, d), lambda bi, qi, ki, hi: (bi, hi, qi, 0)),
+            vm((1, 1, bq, dv), lambda bi, qi, ki, hi: (bi, hi, qi, 0)),
             stat(), stat(), stat()),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, n, d), xa.dtype),      # outh
+            jax.ShapeDtypeStruct((b, h, n, dv), vw.dtype),     # outh
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),   # m
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),   # S_e
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),   # S_u
@@ -180,11 +184,25 @@ def _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
         scratch_shapes=[pltpu.VMEM((h, bq, 1), jnp.float32),
                         pltpu.VMEM((h, bq, 1), jnp.float32),
                         pltpu.VMEM((h, bq, 1), jnp.float32),
-                        pltpu.VMEM((h, bq, d), jnp.float32)],
+                        pltpu.VMEM((h, bq, dv), jnp.float32)],
     )(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
 
 
 # --------------------------------------------------------------- backward
+
+def _attn_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
+                kmask_ref, pe_ref, deg_ref, m_ref, ise_ref, qa_ref):
+    """Recompute one attention tile [Bq, Bk] from the saved statistics
+    (identical to the forward's normalized, masked attention)."""
+    s = _score_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
+                     kmask_ref)
+    e = jnp.exp(s - m_ref[0, 0])
+    a = e * ise_ref[0, 0]                            # [Bq, Bk]
+    pd = _pd_block(pe_ref, deg_ref)
+    km = kmask_ref[0].astype(jnp.float32)
+    attn = a * pd * qa_ref[0, 0] * km
+    return a, pd, km, attn
+
 
 def _recompute_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
                      kmask_ref, pe_ref, deg_ref, vw_ref, g_ref,
@@ -194,18 +212,16 @@ def _recompute_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
     Row constants (precomputed outside from the saved statistics):
       ise = 1/S_e;  qa = qmask/safe;  beta = guard*r/safe^2;  c = (1-guard)*r
     with r = safe * sum_d(g * out_head).
+    g_ref is the PER-HEAD cotangent block [1, 1, Bq, dv] (the head-summed
+    path broadcasts its g over heads before the call).
     """
-    s = _score_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, inv_sqrt_ref,
-                     kmask_ref)
-    e = jnp.exp(s - m_ref[0, 0])
-    a = e * ise_ref[0, 0]                            # [Bq, Bk]
-    pd = _pd_block(pe_ref, deg_ref)
-    km = kmask_ref[0].astype(jnp.float32)
-    g_attn = jnp.dot(g_ref[0], vw_ref[0, 0].T,
+    a, pd, km, attn = _attn_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref,
+                                  inv_sqrt_ref, kmask_ref, pe_ref, deg_ref,
+                                  m_ref, ise_ref, qa_ref)
+    g_attn = jnp.dot(g_ref[0, 0], vw_ref[0, 0].T,
                      preferred_element_type=jnp.float32)
     du = g_attn * km * qa_ref[0, 0] - beta_ref[0, 0]
     ds = a * (du * pd - c_ref[0, 0]) * inv_sqrt_ref[0, 0]
-    attn = a * pd * qa_ref[0, 0] * km
     return ds, attn
 
 
@@ -262,7 +278,7 @@ def _bwd_k_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
     def _init_row():
         dx_s[...] = jnp.zeros_like(dx_s)
 
-    g = g_ref[0]
+    g = g_ref[0, 0]
     dvw_s[hi] += jnp.dot(attn.astype(g.dtype).T, g,
                          preferred_element_type=jnp.float32)
     dck_s[hi] += ds.sum(0, keepdims=True)
@@ -279,19 +295,23 @@ def _bwd_k_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
         dx_ref[0] = dx_s[...].astype(dx_ref.dtype)
 
 
-def _bwd_specs_q(n, d, bq, bk):
-    """Inputs over grid (b, nq, nk, h): forward specs + g + row constants."""
+def _bwd_specs_q(n, d, bq, bk, dv=None):
+    """Inputs over grid (b, nq, nk, h): forward specs + g + row constants.
+    g is the PER-HEAD cotangent [B, H, N, dv]."""
+    dv = dv or d
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
-    specs = _fwd_specs(n, d, bq, bk)
-    specs.append(vm((1, bq, d), lambda bi, qi, ki, hi: (bi, qi, 0)))  # g
+    specs = _fwd_specs(n, d, bq, bk, dv)
+    specs.append(vm((1, 1, bq, dv),
+                    lambda bi, qi, ki, hi: (bi, hi, qi, 0)))  # g
     stat = vm((1, 1, bq, 1), lambda bi, qi, ki, hi: (bi, hi, qi, 0))
     specs.extend([stat] * 5)                  # m, ise, qa, beta, c
     return specs
 
 
-def _bwd_specs_k(n, d, bq, bk):
+def _bwd_specs_k(n, d, bq, bk, dv=None):
     """Same operands over grid (b, nk, nq, h)."""
+    dv = dv or d
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
     specs = [
@@ -300,13 +320,13 @@ def _bwd_specs_k(n, d, bq, bk):
         vm((1, 1, bq, 1), lambda bi, ki, qi, hi: (bi, hi, qi, 0)),  # cq
         vm((1, 1, 1, bk), lambda bi, ki, qi, hi: (bi, hi, 0, ki)),  # ck
         vm((1, 1, 1), lambda bi, ki, qi, hi: (hi, 0, 0)),           # c0
-        vm((1, 1, bk, d), lambda bi, ki, qi, hi: (bi, hi, ki, 0)),  # vw
+        vm((1, 1, bk, dv), lambda bi, ki, qi, hi: (bi, hi, ki, 0)),  # vw
         vm((1, bq, bk), lambda bi, ki, qi, hi: (bi, qi, ki)),       # pe
         vm((1, 1, bk), lambda bi, ki, qi, hi: (bi, 0, ki)),         # deg
         vm((1, bq, 1), lambda bi, ki, qi, hi: (bi, qi, 0)),         # qmask
         vm((1, 1, bk), lambda bi, ki, qi, hi: (bi, 0, ki)),         # kmask
         vm((1, 1), lambda bi, ki, qi, hi: (0, 0)),                  # inv_sqrt
-        vm((1, bq, d), lambda bi, ki, qi, hi: (bi, qi, 0)),         # g
+        vm((1, 1, bq, dv), lambda bi, ki, qi, hi: (bi, hi, qi, 0)),  # g
     ]
     stat = vm((1, 1, bq, 1), lambda bi, ki, qi, hi: (bi, hi, qi, 0))
     specs.extend([stat] * 5)
@@ -316,6 +336,7 @@ def _bwd_specs_k(n, d, bq, bk):
 def _call_bwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
               g, m, ise, qa, beta, c, bq, bk):
     b, h, n, d = xa.shape
+    dv = vw.shape[-1]
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
     args = (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
@@ -323,7 +344,7 @@ def _call_bwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
     dxa, dcq = pl.pallas_call(
         _bwd_q_kernel,
         grid=(b, n // bq, n // bk, h),
-        in_specs=_bwd_specs_q(n, d, bq, bk),
+        in_specs=_bwd_specs_q(n, d, bq, bk, dv),
         out_specs=(
             vm((1, 1, bq, d), lambda bi, qi, ki, hi: (bi, hi, qi, 0)),
             vm((1, 1, bq, 1), lambda bi, qi, ki, hi: (bi, hi, qi, 0))),
@@ -336,16 +357,16 @@ def _call_bwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
     dvw, dck, dx = pl.pallas_call(
         _bwd_k_kernel,
         grid=(b, n // bk, n // bq, h),
-        in_specs=_bwd_specs_k(n, d, bq, bk),
+        in_specs=_bwd_specs_k(n, d, bq, bk, dv),
         out_specs=(
-            vm((1, 1, bk, d), lambda bi, ki, qi, hi: (bi, hi, ki, 0)),
+            vm((1, 1, bk, dv), lambda bi, ki, qi, hi: (bi, hi, ki, 0)),
             vm((1, 1, 1, bk), lambda bi, ki, qi, hi: (bi, hi, 0, ki)),
             vm((1, bk, d), lambda bi, ki, qi, hi: (bi, ki, 0))),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, n, d), vw.dtype),
+            jax.ShapeDtypeStruct((b, h, n, dv), vw.dtype),
             jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
             jax.ShapeDtypeStruct((b, n, d), x.dtype)),
-        scratch_shapes=[pltpu.VMEM((h, bk, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h, bk, dv), jnp.float32),
                         pltpu.VMEM((h, 1, bk), jnp.float32),
                         pltpu.VMEM((bk, d), jnp.float32)],
     )(*args)
@@ -377,12 +398,12 @@ def _flash_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
     return out, res
 
 
-def _flash_bwd(bq, bk, res, g):
+def _bwd_common(res, gh, bq, bk):
+    """Shared backward given PER-HEAD cotangents gh [B, H, N, dv]."""
     (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
      outh, m, se, su) = res
-    g32 = g.astype(jnp.float32)
     # row constants from the saved statistics (see module docstring)
-    delta = jnp.einsum("bnd,bhnd->bhn", g32,
+    delta = jnp.einsum("bhnd,bhnd->bhn", gh.astype(jnp.float32),
                        outh.astype(jnp.float32))[..., None]  # [B,H,N,1]
     denom = su / se
     guard = (jnp.abs(denom) > _EPS).astype(jnp.float32)
@@ -394,14 +415,207 @@ def _flash_bwd(bq, bk, res, g):
     cterm = (1.0 - guard) * r
     dxa, dcq, dvw, dck, dx = _call_bwd(
         xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
-        g.astype(xa.dtype), m, ise, qa, beta, cterm, bq, bk)
+        gh.astype(vw.dtype), m, ise, qa, beta, cterm, bq, bk)
     dc0 = dcq.sum(axis=(0, 2)).reshape(c0.shape)     # [H,1,1]
     zeros = lambda t: jnp.zeros_like(t)
     return (dxa, dx, dcq, dck, dc0, dvw, zeros(pe), zeros(deg),
             zeros(qmask), zeros(kmask), zeros(inv_sqrt))
 
 
+def _flash_bwd(bq, bk, res, g):
+    b, h = res[0].shape[:2]
+    n, d = g.shape[-2:]
+    gh = jnp.broadcast_to(g[:, None], (b, h, n, d))  # head-summed output:
+    return _bwd_common(res, gh, bq, bk)              # same g to every head
+
+
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ------------------------------------------- per-head-outputs entry point
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _flash_heads(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+                 bq, bk):
+    """Per-head outputs [B, H, N, dv] PLUS the row statistics (m, S_e,
+    S_u). The statistics are consumed only under stop_gradient (the
+    coefficient head detaches attention, reference models.py:282), so the
+    backward ignores their cotangents — exact for that usage."""
+    return _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask,
+                     inv_sqrt, bq, bk)
+
+
+def _flash_heads_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask,
+                     inv_sqrt, bq, bk):
+    outh, m, se, su = _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask,
+                                kmask, inv_sqrt, bq, bk)
+    res = (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+           outh, m, se, su)
+    return (outh, m, se, su), res
+
+
+def _flash_heads_bwd(bq, bk, res, cts):
+    gh, _gm, _gse, _gsu = cts      # stats feed stop_gradient consumers only
+    return _bwd_common(res, gh, bq, bk)
+
+
+_flash_heads.defvjp(_flash_heads_fwd, _flash_heads_bwd)
+
+
+# -------------------------- detached attention column statistics kernel
+
+def _colstat_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, pe_ref, deg_ref,
+                    qmask_ref, kmask_ref, inv_sqrt_ref, m_ref, ise_ref,
+                    qa_ref, wq_ref, colsum_ref, diag_ref, cs_s, dg_s):
+    """Grid (b, nk, nq, h): recompute attention tiles from the saved
+    forward statistics and accumulate per-key-column sums weighted by the
+    per-query weight wq (ones -> plain column sums, dis -> the
+    gcn_norm_directed numerator), plus the attention diagonal (needed for
+    PyG's add_remaining_self_loops semantics). Forward-only: consumed via
+    stop_gradient (the reference detaches attention before the
+    coefficient GCN, models.py:282)."""
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    hi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        cs_s[hi] = jnp.zeros_like(cs_s[hi])
+        dg_s[hi] = jnp.zeros_like(dg_s[hi])
+
+    _, _, _, attn = _attn_block(xa_ref, x_ref, cq_ref, ck_ref, c0_ref,
+                                inv_sqrt_ref, kmask_ref, pe_ref, deg_ref,
+                                m_ref, ise_ref, qa_ref)
+    cs_s[hi] += (attn * wq_ref[0, 0]).sum(0, keepdims=True)   # [1, Bk]
+
+    @pl.when(qi == ki)                      # bq == bk: diagonal tile
+    def _diag():
+        bq, bk = attn.shape
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1))
+        dg_s[hi] += (attn * eye.astype(attn.dtype)).sum(0, keepdims=True)
+
+    @pl.when(qi == nq - 1)
+    def _emit():
+        colsum_ref[0, 0] = cs_s[hi]
+        diag_ref[0, 0] = dg_s[hi]
+
+
+def _call_colstat(xa, x, cq, ck, c0, pe, deg, qmask, kmask, inv_sqrt,
+                  m, ise, qa, wq, bq, bk):
+    b, h, n, d = xa.shape
+    assert bq == bk, "colstat diagonal extraction assumes square tiles"
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    stat = vm((1, 1, bq, 1), lambda bi, ki, qi, hi: (bi, hi, qi, 0))
+    specs = [
+        vm((1, 1, bq, d), lambda bi, ki, qi, hi: (bi, hi, qi, 0)),  # xa
+        vm((1, bk, d), lambda bi, ki, qi, hi: (bi, ki, 0)),         # x
+        vm((1, 1, bq, 1), lambda bi, ki, qi, hi: (bi, hi, qi, 0)),  # cq
+        vm((1, 1, 1, bk), lambda bi, ki, qi, hi: (bi, hi, 0, ki)),  # ck
+        vm((1, 1, 1), lambda bi, ki, qi, hi: (hi, 0, 0)),           # c0
+        vm((1, bq, bk), lambda bi, ki, qi, hi: (bi, qi, ki)),       # pe
+        vm((1, 1, bk), lambda bi, ki, qi, hi: (bi, 0, ki)),         # deg
+        vm((1, bq, 1), lambda bi, ki, qi, hi: (bi, qi, 0)),         # qmask
+        vm((1, 1, bk), lambda bi, ki, qi, hi: (bi, 0, ki)),         # kmask
+        vm((1, 1), lambda bi, ki, qi, hi: (0, 0)),                  # inv_sqrt
+        stat, stat, stat,                                           # m/ise/qa
+        stat,                                                       # wq
+    ]
+    out = vm((1, 1, 1, bk), lambda bi, ki, qi, hi: (bi, hi, 0, ki))
+    return pl.pallas_call(
+        _colstat_kernel,
+        grid=(b, n // bk, n // bq, h),
+        in_specs=specs,
+        out_specs=(out, out),
+        out_shape=(jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((h, 1, bk), jnp.float32),
+                        pltpu.VMEM((h, 1, bk), jnp.float32)],
+    )(xa, x, cq, ck, c0, pe, deg, qmask, kmask, inv_sqrt, m, ise, qa, wq)
+
+
+# ---------------------------------------------------------- public API
+
+def _prepare(xa, x, cq, ck, c0, node_mask, pe, degree, mod_dtype):
+    b, h, n, d = xa.shape
+    f32 = jnp.float32
+    mdt = mod_dtype or f32
+    pe_arr = (pe.astype(mdt) if pe is not None
+              else jnp.ones((b, n, n), mdt))
+    deg_arr = (degree.astype(mdt) if degree is not None
+               else jnp.ones((b, n), mdt)).reshape(b, 1, n)
+    qmask = node_mask.astype(f32).reshape(b, n, 1)
+    kmask = node_mask.astype(f32).reshape(b, 1, n)
+    inv_sqrt = jnp.full((1, 1), 1.0 / ((d // h) ** 0.5), f32)
+    cq_k = cq.astype(f32).transpose(0, 2, 1)[:, :, :, None]
+    ck_k = ck.astype(f32).transpose(0, 2, 1)[:, :, None, :]
+    c0_k = c0.reshape(h, 1, 1).astype(f32)
+    return pe_arr, deg_arr, qmask, kmask, inv_sqrt, cq_k, ck_k, c0_k
+
+
+def flash_graphit_attention_heads(xa, x, cq, ck, c0, v_heads, node_mask,
+                                  pe=None, degree=None, block_q=None,
+                                  block_k=None, mod_dtype=None,
+                                  coeff_fill: float = 1.0):
+    """need_heads=True flash path: per-head attention outputs WITH
+    gradients plus the DETACHED coefficient-head statistics, with no
+    [B, H, N, N] tensor ever reaching HBM.
+
+    The FILTERED FeTA layer needs two things from its attention matrix
+    (reference models.py:166-287): the per-head outputs attn_h @ V_h (for
+    the Chebyshev filter) and the coefficient GCN's aggregated signal
+    s[dst] = sum_src gcn_norm(attn)[src, dst] over the DETACHED attention.
+    XLA must materialize attention (fwd + bwd + the gcn_norm chain) —
+    50-62 ms/step at N=4096 (BASELINE.md round 4). Here the forward flash
+    kernel emits outh + row statistics; two forward-only column-stat
+    passes then recompute attention tiles from those statistics (no
+    gradient — the reference detaches, models.py:282) to produce exactly
+    gcn_norm_directed(attn).sum(src axis):
+      pass 1: colsum[j] = sum_i attn[i, j], diag[j] = attn[j, j]
+      deg_in  = colsum + fill * (diag == 0 on real nodes)
+      pass 2: wcolsum[j] = sum_i attn[i, j] * deg_in[i]^-1/2
+      s[j]    = deg_in[j]^-1/2 * (wcolsum[j] + fill * missing[j] *
+                deg_in[j]^-1/2)
+    (single-chip analogue of parallel/feta_partitioned.py's ring-streamed
+    coefficient head.)
+
+    Args: v_heads [B, H, N, dh] per-head values (NOT folded with W_out).
+    Returns (out_each_head [B, N, H, dh], s [B, H, N] stop-gradient).
+    """
+    b, h, n, d = xa.shape
+    bq = block_q or _pick_block(n)
+    bk = block_k or _pick_block(n)
+    bq = bk = min(bq, bk)        # colstat diagonal needs square tiles
+    pe_arr, deg_arr, qmask, kmask, inv_sqrt, cq_k, ck_k, c0_k = _prepare(
+        xa, x, cq, ck, c0, node_mask, pe, degree, mod_dtype)
+    outh, m, se, su = _flash_heads(
+        xa, x.astype(xa.dtype), cq_k, ck_k, c0_k, v_heads, pe_arr,
+        deg_arr, qmask, kmask, inv_sqrt, bq, bk)
+
+    # ---- detached column statistics (two forward-only passes) ----
+    sg = jax.lax.stop_gradient
+    denom = su / se
+    guard = jnp.abs(denom) > _EPS
+    safe = jnp.where(guard, denom, 1.0)
+    ise = 1.0 / se
+    qa = qmask.astype(jnp.float32)[:, None] / safe       # [B,H,N,1]
+    args = tuple(sg(t) for t in (xa, x.astype(xa.dtype), cq_k, ck_k, c0_k,
+                                 pe_arr, deg_arr, qmask, kmask, inv_sqrt,
+                                 m, ise, qa))
+    ones_w = jnp.ones((b, h, n, 1), jnp.float32)
+    colsum, diag = _call_colstat(*args, ones_w, bq, bk)
+    colsum = colsum.reshape(b, h, n)
+    diag = diag.reshape(b, h, n)
+    mask_h = node_mask[:, None, :].astype(jnp.float32)
+    missing = (diag == 0).astype(jnp.float32) * mask_h
+    deg_in = colsum + coeff_fill * missing
+    dis = jnp.where(deg_in > 0,
+                    jnp.where(deg_in > 0, deg_in, 1.0) ** -0.5, 0.0)
+    wcolsum, _ = _call_colstat(*args, dis.reshape(b, h, n, 1), bq, bk)
+    s = dis * (wcolsum.reshape(b, h, n) + coeff_fill * missing * dis)
+    return outh.transpose(0, 2, 1, 3), sg(s)
 
 
 def flash_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
@@ -422,20 +636,9 @@ def flash_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
     lowering (bisected 2026-08-19) and their traffic is negligible.
     """
     b, h, n, d = xa.shape
-    dh = d // h
     bq = block_q or _pick_block(n)
     bk = block_k or _pick_block(n)
-    f32 = jnp.float32
-    mdt = mod_dtype or f32
-    pe_arr = (pe.astype(mdt) if pe is not None
-              else jnp.ones((b, n, n), mdt))
-    deg_arr = (degree.astype(mdt) if degree is not None
-               else jnp.ones((b, n), mdt)).reshape(b, 1, n)
-    qmask = node_mask.astype(f32).reshape(b, n, 1)
-    kmask = node_mask.astype(f32).reshape(b, 1, n)
-    inv_sqrt = jnp.full((1, 1), 1.0 / (dh ** 0.5), f32)
-    cq_k = cq.astype(f32).transpose(0, 2, 1)[:, :, :, None]
-    ck_k = ck.astype(f32).transpose(0, 2, 1)[:, :, None, :]
-    c0_k = c0.reshape(h, 1, 1).astype(f32)
+    pe_arr, deg_arr, qmask, kmask, inv_sqrt, cq_k, ck_k, c0_k = _prepare(
+        xa, x, cq, ck, c0, node_mask, pe, degree, mod_dtype)
     return _flash(xa, x.astype(xa.dtype), cq_k, ck_k, c0_k, vw, pe_arr,
                   deg_arr, qmask, kmask, inv_sqrt, bq, bk)

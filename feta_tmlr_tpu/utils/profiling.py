@@ -94,37 +94,119 @@ def device_peaks(device=None):
 def mfu_fields(jitted_fn, *args, sec_per_step=None, prefix=""):
     """Mechanized speed-of-light accounting for one compiled program.
 
-    Pulls XLA's own cost model from the compiled executable
-    (`lower().compile().cost_analysis()`): total FLOPs and bytes accessed.
+    Two byte accountings, calibrated per the round-4 review (the old
+    single `hbm_bw_util` read up to 2.05 — cost-model "bytes accessed"
+    counts every operand touch including VMEM-resident re-reads, so it is
+    NOT HBM traffic):
+
+    - `bytes_accessed_per_step` — XLA cost model
+      (`compile().cost_analysis()["bytes accessed"]`), VMEM-inclusive
+      operand traffic. Useful as a fusion/amplification indicator only.
+    - `hbm_bytes_lb_per_step` — buffer-assignment lower bound from
+      `compile().memory_analysis()`: argument + output + temp buffer
+      bytes. Every one of those buffers lives in HBM and is touched at
+      least once per step, so `hbm_bw_util` derived from it cannot read
+      above 1.0 for a correctly timed step. It is a LOWER bound (buffers
+      re-streamed k times count once), so a util near 1.0 proves a true
+      bandwidth ceiling while a low util does not rule one out.
+
     With `sec_per_step` also derives achieved TFLOP/s, model-FLOPs
-    utilization vs the chip's bf16 peak, and HBM bandwidth utilization.
+    utilization vs the chip's bf16 peak, `hbm_bw_util` (lower-bound
+    traffic / peak HBM BW — calibrated, <=1.0), and
+    `vmem_amplification` (= bytes_accessed / hbm_lb: how many times the
+    average byte is re-touched from on-chip memory).
     Returns {} when the backend exposes no cost analysis (never raises) —
     bench output then simply omits the fields rather than guessing.
     """
     try:
-        cost = jitted_fn.lower(*args).compile().cost_analysis()
+        compiled = jitted_fn.lower(*args).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         bytes_acc = float(cost.get("bytes accessed", 0.0))
     except Exception:
         return {}
+    hbm_lb = 0.0
+    try:
+        ma = compiled.memory_analysis()
+        hbm_lb = float(ma.argument_size_in_bytes
+                       + ma.output_size_in_bytes
+                       + ma.temp_size_in_bytes)
+    except Exception:
+        pass
     if flops <= 0:
         return {}
     out = {f"{prefix}flops_per_step": flops}
     if bytes_acc > 0:
-        out[f"{prefix}hbm_bytes_per_step"] = bytes_acc
+        out[f"{prefix}bytes_accessed_per_step"] = bytes_acc
         out[f"{prefix}arithmetic_intensity"] = round(flops / bytes_acc, 2)
+    if hbm_lb > 0:
+        out[f"{prefix}hbm_bytes_lb_per_step"] = hbm_lb
+        if bytes_acc > 0:
+            out[f"{prefix}vmem_amplification"] = round(bytes_acc / hbm_lb,
+                                                       2)
     if sec_per_step:
-        out[f"{prefix}achieved_tflops"] = round(flops / sec_per_step / 1e12,
-                                                3)
-        peaks = device_peaks()
-        if peaks:
-            out[f"{prefix}mfu_vs_bf16_peak"] = round(
-                flops / sec_per_step / peaks[0], 4)
-            if bytes_acc > 0:
-                out[f"{prefix}hbm_bw_util"] = round(
-                    bytes_acc / sec_per_step / peaks[1], 4)
+        out.update(derive_rates(out, sec_per_step, prefix))
+    return out
+
+
+def derive_rates(mfu: dict, sec_per_step: float, prefix: str = "") -> dict:
+    """Rate fields once the step time is measured (shared by bench.py and
+    bench_tiers.py): achieved TFLOP/s, MFU vs bf16 peak, and the
+    calibrated `hbm_bw_util` (lower-bound HBM traffic / peak BW)."""
+    out = {}
+    flops = mfu.get(f"{prefix}flops_per_step")
+    if not flops or sec_per_step <= 0:
+        return out
+    out[f"{prefix}achieved_tflops"] = round(flops / sec_per_step / 1e12, 3)
+    peaks = device_peaks()
+    if peaks:
+        out[f"{prefix}mfu_vs_bf16_peak"] = round(
+            flops / sec_per_step / peaks[0], 4)
+        hbm_lb = mfu.get(f"{prefix}hbm_bytes_lb_per_step")
+        if hbm_lb:
+            out[f"{prefix}hbm_bw_util"] = round(
+                hbm_lb / sec_per_step / peaks[1], 4)
+    return out
+
+
+def hbm_copy_roofline(n_mb: int = 256, n1: int = 4, n2: int = 16) -> dict:
+    """Known-roofline HBM copy microbench grounding the spec-sheet peak.
+
+    Times `y = x + 1` over an `n_mb`-MB f32 array (far beyond VMEM, so
+    each step streams n_mb read + n_mb write from/to HBM = 2*n_mb of
+    true DRAM traffic) with the same chained-difference method as every
+    other measurement here. `hbm_copy_util` is the fraction of the spec
+    peak a trivially bandwidth-bound kernel actually achieves on this
+    chip/session — the calibration anchor for reading `hbm_bw_util`
+    fields (a fused model step cannot beat it)."""
+    import jax.numpy as jnp
+
+    n = int(n_mb * 1e6 / 4)
+    x = jnp.arange(n, dtype=jnp.float32)
+    # successive steps are data-dependent through buf (the relay-chaining
+    # requirement); donation reuses the buffer allocation
+    big_step = jax.jit(lambda buf: buf + 1.0, donate_argnums=(0,))
+
+    def run(k, buf):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            buf = big_step(buf)
+        float(buf[0])
+        return time.perf_counter() - t0, buf
+
+    _, buf = run(1, x)                              # compile + warm
+    t1, buf = run(n1, buf)
+    t2, buf = run(n2, buf)
+    sec = (t2 - t1) / (n2 - n1)
+    if sec <= 0:
+        return {}
+    gbps = 2 * n_mb / 1e3 / sec
+    out = {"hbm_copy_gbps": round(gbps, 1)}
+    peaks = device_peaks()
+    if peaks:
+        out["hbm_copy_util"] = round(gbps * 1e9 / peaks[1], 4)
     return out
 
 
