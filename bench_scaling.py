@@ -35,8 +35,19 @@ import numpy as np
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8")
+    _flags += " --xla_force_host_platform_device_count=8"
+# Controlled experiment (round 5): pin each virtual CPU device to ONE
+# host thread. Without this, the 1x baseline parallelizes its single
+# shard across all 4 physical cores while the 8x point runs 8 device
+# threads on the same 4 cores — the "weak-scaling efficiency" then mixes
+# collective overhead with host oversubscription (the round-4 numbers).
+# With 1 thread/device, speedup vs the matched-work SERIAL baseline is
+# interpretable: ideal = min(n_shards, physical cores).
+if os.environ.get("FETA_SCALING_PIN_THREADS", "1") == "1" \
+        and "multi_thread_eigen" not in _flags:
+    _flags += (" --xla_cpu_multi_thread_eigen=false"
+               " intra_op_parallelism_threads=1")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 
@@ -340,9 +351,18 @@ def main():
                         devices, mode="ring")
         eps_local = run_scale(s, args.nodes_per_shard,
                               args.edges_per_shard, devices, mode="local")
+        # matched-WORK serial baseline: the same s-scaled graph on ONE
+        # device (n_shards=1 ring degenerates to a local pass) — the
+        # controlled reference point (VERDICT r4 item 7): on an
+        # oversubscribed host the achievable ideal speedup is
+        # min(s, physical cores), not s
+        eps_serial = (eps if s == 1 else run_scale(
+            1, args.nodes_per_shard * s, args.edges_per_shard * s,
+            devices, mode="ring"))
         if base is None:
             base = eps
             base_local = eps_local
+        ncores = os.cpu_count() or 1
         results[f"{s}x"] = {
             "edges_per_s": round(eps, 1),
             "weak_scaling_eff": round(eps / (base * s), 4),
@@ -352,6 +372,10 @@ def main():
             # inferred from the matched-FLOPs local-only variant
             "collective_share": round(
                 max(0.0, 1.0 - eps / eps_local), 4),
+            "edges_per_s_serial": round(eps_serial, 1),
+            "speedup_vs_serial": round(eps / eps_serial, 3),
+            "eff_vs_host_ideal": round(
+                (eps / eps_serial) / min(s, ncores), 4),
         }
     feta = {}
     base_f = None
@@ -367,10 +391,16 @@ def main():
         nps_ctl = run_feta_scale(s_, args.feta_nodes_per_shard, devices,
                                  ring_attention=True,
                                  ring_collectives=False)
+        # matched-work serial baseline for the gathered schedule: the
+        # same s-scaled graph, one device (controlled experiment —
+        # achievable ideal speedup = min(s, physical cores))
+        nps_serial = (nps if s_ == 1 else run_feta_scale(
+            1, args.feta_nodes_per_shard * s_, devices))
         if base_f is None:
             base_f = nps
             base_r = nps_ring
             base_c = nps_ctl
+        ncores = os.cpu_count() or 1
         feta[f"{s_}x"] = {
             "nodes_per_s": round(nps, 1),
             "weak_scaling_eff": round(nps / (base_f * s_), 4),
@@ -380,6 +410,10 @@ def main():
             "ring_compute_only_eff": round(nps_ctl / (base_c * s_), 4),
             "ring_collective_share": round(
                 max(0.0, 1.0 - nps_ring / nps_ctl), 4),
+            "nodes_per_s_serial": round(nps_serial, 1),
+            "speedup_vs_serial": round(nps / nps_serial, 3),
+            "eff_vs_host_ideal": round(
+                (nps / nps_serial) / min(s_, ncores), 4),
         }
     batched = {}
     base_b = None

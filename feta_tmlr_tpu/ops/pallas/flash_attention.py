@@ -139,6 +139,276 @@ def _fwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
         su_ref[0, 0] = su
 
 
+# ------------------------------------------------- head-folded variants
+#
+# At small grids (B=1-2, N>=1024 -> 16-128 programs of modest work) the
+# per-program overhead dominates and the (b, nq, nk, h) grid wins nothing
+# (N=2048/B=1: 1.02x, BASELINE.md round-4 sweep). These variants drop the
+# head grid axis and loop the (static) head count INSIDE the kernel: 8x
+# fewer grid steps, pe/x tiles read once per (q, k) tile, identical math.
+# All-heads blocks fit VMEM comfortably at d_model=64 (xa/vw blocks are
+# H x Bq x d ~ 0.5 MB bf16 at Bq=512).
+
+def _fwd_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
+                   deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref,
+                   outh_ref, m_ref, se_ref, su_ref,
+                   m_s, se_s, su_s, acc_s):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    nh = xa_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, -jnp.inf)
+        se_s[...] = jnp.zeros_like(se_s)
+        su_s[...] = jnp.zeros_like(su_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    pd = _pd_block(pe_ref, deg_ref)                  # shared across heads
+    km = kmask_ref[0].astype(jnp.float32)
+    x_t = x_ref[0].T
+    qm = qmask_ref[0].astype(jnp.float32)
+    for hh in range(nh):
+        s = (jnp.dot(xa_ref[0, hh], x_t,
+                     preferred_element_type=jnp.float32)
+             + cq_ref[0, hh] + ck_ref[0, hh]
+             + c0_ref[hh]) * inv_sqrt_ref[0, 0]
+        s = jnp.where(kmask_ref[0] > 0, s, _NEG_INF)
+        m_prev = m_s[hh]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        scale = jnp.exp(m_prev - m_new)
+        e = jnp.exp(s - m_new)
+        w = e * pd
+        se_s[hh] = se_s[hh] * scale + e.sum(-1, keepdims=True)
+        su_s[hh] = su_s[hh] * scale + w.sum(-1, keepdims=True)
+        acc_s[hh] = acc_s[hh] * scale + jnp.dot(
+            (w * km).astype(vw_ref.dtype), vw_ref[0, hh],
+            preferred_element_type=jnp.float32)
+        m_s[hh] = m_new
+
+        @pl.when(ki == nk - 1)
+        def _emit(hh=hh):
+            se = se_s[hh]
+            su = su_s[hh]
+            guard = jnp.abs(su / se) > _EPS
+            div = jnp.where(guard, su, se)
+            outh_ref[0, hh] = (acc_s[hh] / div * qm).astype(outh_ref.dtype)
+            m_ref[0, hh] = m_s[hh]
+            se_ref[0, hh] = se
+            su_ref[0, hh] = su
+
+
+def _fwd_specs_hf(n, d, h, bq, bk, dv=None):
+    """BlockSpecs over the head-folded forward grid (b, nq, nk)."""
+    dv = dv or d
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    return [
+        vm((1, h, bq, d), lambda bi, qi, ki: (bi, 0, qi, 0)),   # xa
+        vm((1, bk, d), lambda bi, qi, ki: (bi, ki, 0)),         # x
+        vm((1, h, bq, 1), lambda bi, qi, ki: (bi, 0, qi, 0)),   # cq
+        vm((1, h, 1, bk), lambda bi, qi, ki: (bi, 0, 0, ki)),   # ck
+        vm((h, 1, 1), lambda bi, qi, ki: (0, 0, 0)),            # c0
+        vm((1, h, bk, dv), lambda bi, qi, ki: (bi, 0, ki, 0)),  # vw
+        vm((1, bq, bk), lambda bi, qi, ki: (bi, qi, ki)),       # pe
+        vm((1, 1, bk), lambda bi, qi, ki: (bi, 0, ki)),         # deg
+        vm((1, bq, 1), lambda bi, qi, ki: (bi, qi, 0)),         # qmask
+        vm((1, 1, bk), lambda bi, qi, ki: (bi, 0, ki)),         # kmask
+        vm((1, 1), lambda bi, qi, ki: (0, 0)),                  # inv_sqrt
+    ]
+
+
+def _call_fwd_hf(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+                 bq, bk):
+    b, h, n, d = xa.shape
+    dv = vw.shape[-1]
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    stat = lambda: vm((1, h, bq, 1), lambda bi, qi, ki: (bi, 0, qi, 0))
+    return pl.pallas_call(
+        _fwd_kernel_hf,
+        grid=(b, n // bq, n // bk),
+        in_specs=_fwd_specs_hf(n, d, h, bq, bk, dv),
+        out_specs=(
+            vm((1, h, bq, dv), lambda bi, qi, ki: (bi, 0, qi, 0)),
+            stat(), stat(), stat()),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, dv), vw.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((h, bq, 1), jnp.float32),
+                        pltpu.VMEM((h, bq, 1), jnp.float32),
+                        pltpu.VMEM((h, bq, 1), jnp.float32),
+                        pltpu.VMEM((h, bq, dv), jnp.float32)],
+    )(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
+
+
+def _bwd_q_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref,
+                     pe_ref, deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref,
+                     g_ref, m_ref, ise_ref, qa_ref, beta_ref, c_ref,
+                     dxa_ref, dcq_ref, dxa_s, dcq_s):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    nh = xa_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _init():
+        dxa_s[...] = jnp.zeros_like(dxa_s)
+        dcq_s[...] = jnp.zeros_like(dcq_s)
+
+    pd = _pd_block(pe_ref, deg_ref)
+    km = kmask_ref[0].astype(jnp.float32)
+    x_blk = x_ref[0]
+    for hh in range(nh):
+        s = (jnp.dot(xa_ref[0, hh], x_blk.T,
+                     preferred_element_type=jnp.float32)
+             + cq_ref[0, hh] + ck_ref[0, hh]
+             + c0_ref[hh]) * inv_sqrt_ref[0, 0]
+        s = jnp.where(kmask_ref[0] > 0, s, _NEG_INF)
+        e = jnp.exp(s - m_ref[0, hh])
+        a = e * ise_ref[0, hh]
+        g_attn = jnp.dot(g_ref[0, hh], vw_ref[0, hh].T,
+                         preferred_element_type=jnp.float32)
+        du = g_attn * km * qa_ref[0, hh] - beta_ref[0, hh]
+        ds = a * (du * pd - c_ref[0, hh]) * inv_sqrt_ref[0, 0]
+        dxa_s[hh] += jnp.dot(ds.astype(x_blk.dtype), x_blk,
+                             preferred_element_type=jnp.float32)
+        dcq_s[hh] += ds.sum(-1, keepdims=True)
+
+        @pl.when(ki == nk - 1)
+        def _emit(hh=hh):
+            dxa_ref[0, hh] = dxa_s[hh].astype(dxa_ref.dtype)
+            dcq_ref[0, hh] = dcq_s[hh]
+
+
+def _bwd_k_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref,
+                     pe_ref, deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref,
+                     g_ref, m_ref, ise_ref, qa_ref, beta_ref, c_ref,
+                     dvw_ref, dck_ref, dx_ref, dvw_s, dck_s, dx_s):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    nh = xa_ref.shape[1]
+
+    @pl.when(qi == 0)
+    def _init():
+        dvw_s[...] = jnp.zeros_like(dvw_s)
+        dck_s[...] = jnp.zeros_like(dck_s)
+        dx_s[...] = jnp.zeros_like(dx_s)
+
+    pd = _pd_block(pe_ref, deg_ref)
+    km = kmask_ref[0].astype(jnp.float32)
+    x_blk = x_ref[0]
+    for hh in range(nh):
+        s = (jnp.dot(xa_ref[0, hh], x_blk.T,
+                     preferred_element_type=jnp.float32)
+             + cq_ref[0, hh] + ck_ref[0, hh]
+             + c0_ref[hh]) * inv_sqrt_ref[0, 0]
+        s = jnp.where(kmask_ref[0] > 0, s, _NEG_INF)
+        e = jnp.exp(s - m_ref[0, hh])
+        a = e * ise_ref[0, hh]
+        attn = a * pd * qa_ref[0, hh] * km
+        g = g_ref[0, hh]
+        g_attn = jnp.dot(g, vw_ref[0, hh].T,
+                         preferred_element_type=jnp.float32)
+        du = g_attn * km * qa_ref[0, hh] - beta_ref[0, hh]
+        ds = a * (du * pd - c_ref[0, hh]) * inv_sqrt_ref[0, 0]
+        dvw_s[hh] += jnp.dot(attn.astype(g.dtype).T, g,
+                             preferred_element_type=jnp.float32)
+        dck_s[hh] += ds.sum(0, keepdims=True)
+        dx_s[...] += jnp.dot(ds.astype(xa_ref.dtype).T, xa_ref[0, hh],
+                             preferred_element_type=jnp.float32)
+
+        @pl.when(qi == nq - 1)
+        def _emit(hh=hh):
+            dvw_ref[0, hh] = dvw_s[hh].astype(dvw_ref.dtype)
+            dck_ref[0, hh] = dck_s[hh]
+
+    @pl.when(qi == nq - 1)
+    def _emit_dx():
+        dx_ref[0] = dx_s[...].astype(dx_ref.dtype)
+
+
+def _bwd_specs_hf(n, d, h, bq, bk, dv, for_k):
+    """Inputs over grid (b, nq, nk) [q pass] or (b, nk, nq) [k pass]."""
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    if for_k:
+        qix = lambda bi, ki, qi: (bi, 0, qi, 0)
+        kix3 = lambda bi, ki, qi: (bi, ki, 0)
+        pix = lambda bi, ki, qi: (bi, qi, ki)
+        ck_ix = lambda bi, ki, qi: (bi, 0, 0, ki)
+        deg_ix = lambda bi, ki, qi: (bi, 0, ki)
+        qm_ix = lambda bi, ki, qi: (bi, qi, 0)
+    else:
+        qix = lambda bi, qi, ki: (bi, 0, qi, 0)
+        kix3 = lambda bi, qi, ki: (bi, ki, 0)
+        pix = lambda bi, qi, ki: (bi, qi, ki)
+        ck_ix = lambda bi, qi, ki: (bi, 0, 0, ki)
+        deg_ix = lambda bi, qi, ki: (bi, 0, ki)
+        qm_ix = lambda bi, qi, ki: (bi, qi, 0)
+    zero3 = lambda *_: (0, 0, 0)
+    zero2 = lambda *_: (0, 0)
+    specs = [
+        vm((1, h, bq, d), qix),                                 # xa
+        vm((1, bk, d), kix3),                                   # x
+        vm((1, h, bq, 1), qix),                                 # cq
+        vm((1, h, 1, bk), ck_ix),                               # ck
+        vm((h, 1, 1), zero3),                                   # c0
+        vm((1, h, bk, dv), lambda *ids: (ids[0], 0, ids[1 if for_k
+                                                        else 2], 0)),  # vw
+        vm((1, bq, bk), pix),                                   # pe
+        vm((1, 1, bk), deg_ix),                                 # deg
+        vm((1, bq, 1), qm_ix),                                  # qmask
+        vm((1, 1, bk), deg_ix),                                 # kmask
+        vm((1, 1), zero2),                                      # inv_sqrt
+        vm((1, h, bq, dv), qix),                                # g
+    ]
+    specs.extend([vm((1, h, bq, 1), qix)] * 5)   # m, ise, qa, beta, c
+    return specs
+
+
+def _call_bwd_hf(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+                 g, m, ise, qa, beta, c, bq, bk):
+    b, h, n, d = xa.shape
+    dv = vw.shape[-1]
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    args = (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
+            g, m, ise, qa, beta, c)
+    dxa, dcq = pl.pallas_call(
+        _bwd_q_kernel_hf,
+        grid=(b, n // bq, n // bk),
+        in_specs=_bwd_specs_hf(n, d, h, bq, bk, dv, for_k=False),
+        out_specs=(
+            vm((1, h, bq, d), lambda bi, qi, ki: (bi, 0, qi, 0)),
+            vm((1, h, bq, 1), lambda bi, qi, ki: (bi, 0, qi, 0))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, d), xa.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((h, bq, d), jnp.float32),
+                        pltpu.VMEM((h, bq, 1), jnp.float32)],
+    )(*args)
+    dvw, dck, dx = pl.pallas_call(
+        _bwd_k_kernel_hf,
+        grid=(b, n // bk, n // bq),
+        in_specs=_bwd_specs_hf(n, d, h, bq, bk, dv, for_k=True),
+        out_specs=(
+            vm((1, h, bk, dv), lambda bi, ki, qi: (bi, 0, ki, 0)),
+            vm((1, h, 1, bk), lambda bi, ki, qi: (bi, 0, 0, ki)),
+            vm((1, bk, d), lambda bi, ki, qi: (bi, ki, 0))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, dv), vw.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, d), x.dtype)),
+        scratch_shapes=[pltpu.VMEM((h, bk, dv), jnp.float32),
+                        pltpu.VMEM((h, 1, bk), jnp.float32),
+                        pltpu.VMEM((bk, d), jnp.float32)],
+    )(*args)
+    return dxa, dcq, dvw, dck, dx
+
+
 def _fwd_specs(n, d, bq, bk, dv=None):
     """BlockSpecs over the forward grid (b, nq, nk, h). `dv` is the value
     feature width (== d for the fused V@Wout path, head_dim for the
@@ -375,10 +645,19 @@ def _call_bwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
 
 # ------------------------------------------------------------ custom vjp
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
-def _flash(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt, bq, bk):
-    outh, _, _, _ = _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask,
-                              kmask, inv_sqrt, bq, bk)
+def _dispatch_fwd(hf):
+    return _call_fwd_hf if hf else _call_fwd
+
+
+def _dispatch_bwd(hf):
+    return _call_bwd_hf if hf else _call_bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _flash(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt, bq, bk,
+           hf=False):
+    outh, _, _, _ = _dispatch_fwd(hf)(xa, x, cq, ck, c0, vw, pe, deg,
+                                      qmask, kmask, inv_sqrt, bq, bk)
     return _head_sum(outh)                           # [B, N, D]
 
 
@@ -389,16 +668,16 @@ def _head_sum(outh):
 
 
 def _flash_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
-               bq, bk):
-    outh, m, se, su = _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask,
-                                kmask, inv_sqrt, bq, bk)
+               bq, bk, hf=False):
+    outh, m, se, su = _dispatch_fwd(hf)(xa, x, cq, ck, c0, vw, pe, deg,
+                                        qmask, kmask, inv_sqrt, bq, bk)
     out = _head_sum(outh)
     res = (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
            outh, m, se, su)
     return out, res
 
 
-def _bwd_common(res, gh, bq, bk):
+def _bwd_common(res, gh, bq, bk, hf=False):
     """Shared backward given PER-HEAD cotangents gh [B, H, N, dv]."""
     (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
      outh, m, se, su) = res
@@ -413,7 +692,7 @@ def _bwd_common(res, gh, bq, bk):
     qa = qmask.astype(jnp.float32)[:, None] / safe   # [B,H,N,1]
     beta = (r / (safe * safe)) * guard
     cterm = (1.0 - guard) * r
-    dxa, dcq, dvw, dck, dx = _call_bwd(
+    dxa, dcq, dvw, dck, dx = _dispatch_bwd(hf)(
         xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
         gh.astype(vw.dtype), m, ise, qa, beta, cterm, bq, bk)
     dc0 = dcq.sum(axis=(0, 2)).reshape(c0.shape)     # [H,1,1]
@@ -422,11 +701,11 @@ def _bwd_common(res, gh, bq, bk):
             zeros(qmask), zeros(kmask), zeros(inv_sqrt))
 
 
-def _flash_bwd(bq, bk, res, g):
+def _flash_bwd(bq, bk, hf, res, g):
     b, h = res[0].shape[:2]
     n, d = g.shape[-2:]
     gh = jnp.broadcast_to(g[:, None], (b, h, n, d))  # head-summed output:
-    return _bwd_common(res, gh, bq, bk)              # same g to every head
+    return _bwd_common(res, gh, bq, bk, hf)          # same g to every head
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -434,29 +713,29 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 # ------------------------------------------- per-head-outputs entry point
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def _flash_heads(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
-                 bq, bk):
+                 bq, bk, hf=False):
     """Per-head outputs [B, H, N, dv] PLUS the row statistics (m, S_e,
     S_u). The statistics are consumed only under stop_gradient (the
     coefficient head detaches attention, reference models.py:282), so the
     backward ignores their cotangents — exact for that usage."""
-    return _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask,
-                     inv_sqrt, bq, bk)
+    return _dispatch_fwd(hf)(xa, x, cq, ck, c0, vw, pe, deg, qmask,
+                             kmask, inv_sqrt, bq, bk)
 
 
 def _flash_heads_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask,
-                     inv_sqrt, bq, bk):
-    outh, m, se, su = _call_fwd(xa, x, cq, ck, c0, vw, pe, deg, qmask,
-                                kmask, inv_sqrt, bq, bk)
+                     inv_sqrt, bq, bk, hf=False):
+    outh, m, se, su = _dispatch_fwd(hf)(xa, x, cq, ck, c0, vw, pe, deg,
+                                        qmask, kmask, inv_sqrt, bq, bk)
     res = (xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
            outh, m, se, su)
     return (outh, m, se, su), res
 
 
-def _flash_heads_bwd(bq, bk, res, cts):
+def _flash_heads_bwd(bq, bk, hf, res, cts):
     gh, _gm, _gse, _gsu = cts      # stats feed stop_gradient consumers only
-    return _bwd_common(res, gh, bq, bk)
+    return _bwd_common(res, gh, bq, bk, hf)
 
 
 _flash_heads.defvjp(_flash_heads_fwd, _flash_heads_bwd)
@@ -538,6 +817,17 @@ def _call_colstat(xa, x, cq, ck, c0, pe, deg, qmask, kmask, inv_sqrt,
 
 # ---------------------------------------------------------- public API
 
+def _auto_head_fold(b, n, bq, bk) -> bool:
+    """Fold heads into the kernel body when the (b, q, k) grid is small
+    enough to be per-program-overhead-bound (the N=2048/B=1 regime where
+    the round-4 sweep measured 1.02x). FETA_FLASH_HEAD_FOLD=1/0
+    force-overrides."""
+    env = os.environ.get("FETA_FLASH_HEAD_FOLD", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return b * (n // bq) * (n // bk) <= 64
+
+
 def _prepare(xa, x, cq, ck, c0, node_mask, pe, degree, mod_dtype):
     b, h, n, d = xa.shape
     f32 = jnp.float32
@@ -590,9 +880,10 @@ def flash_graphit_attention_heads(xa, x, cq, ck, c0, v_heads, node_mask,
     bq = bk = min(bq, bk)        # colstat diagonal needs square tiles
     pe_arr, deg_arr, qmask, kmask, inv_sqrt, cq_k, ck_k, c0_k = _prepare(
         xa, x, cq, ck, c0, node_mask, pe, degree, mod_dtype)
+    hf = _auto_head_fold(b, n, bq, bk)
     outh, m, se, su = _flash_heads(
         xa, x.astype(xa.dtype), cq_k, ck_k, c0_k, v_heads, pe_arr,
-        deg_arr, qmask, kmask, inv_sqrt, bq, bk)
+        deg_arr, qmask, kmask, inv_sqrt, bq, bk, hf)
 
     # ---- detached column statistics (two forward-only passes) ----
     sg = jax.lax.stop_gradient
@@ -641,4 +932,5 @@ def flash_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
     pe_arr, deg_arr, qmask, kmask, inv_sqrt, cq_k, ck_k, c0_k = _prepare(
         xa, x, cq, ck, c0, node_mask, pe, degree, mod_dtype)
     return _flash(xa, x.astype(xa.dtype), cq_k, ck_k, c0_k, vw, pe_arr,
-                  deg_arr, qmask, kmask, inv_sqrt, bq, bk)
+                  deg_arr, qmask, kmask, inv_sqrt, bq, bk,
+                  _auto_head_fold(b, n, bq, bk))

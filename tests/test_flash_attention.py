@@ -43,7 +43,9 @@ def _inputs(seed=0, b=2, h=2, n=32, d=8, pad=5):
 
 @pytest.mark.parametrize("with_mod", [True, False])
 @pytest.mark.parametrize("block", [8, 16, 32])
-def test_flash_forward_matches_twin(with_mod, block):
+@pytest.mark.parametrize("fold", ["0", "1"])
+def test_flash_forward_matches_twin(with_mod, block, fold, monkeypatch):
+    monkeypatch.setenv("FETA_FLASH_HEAD_FOLD", fold)
     xa, x, cq, ck, c0, vw, mask, pe, deg = _inputs()
     kw = dict(pe=pe, degree=deg) if with_mod else {}
     got = fl.flash_graphit_attention(xa, x, cq, ck, c0, vw, mask,
@@ -64,7 +66,9 @@ def test_flash_rectangular_blocks():
 
 
 @pytest.mark.parametrize("with_mod", [True, False])
-def test_flash_backward_matches_twin(with_mod):
+@pytest.mark.parametrize("fold", ["0", "1"])
+def test_flash_backward_matches_twin(with_mod, fold, monkeypatch):
+    monkeypatch.setenv("FETA_FLASH_HEAD_FOLD", fold)
     xa, x, cq, ck, c0, vw, mask, pe, deg = _inputs(seed=3)
     kw = dict(pe=pe, degree=deg) if with_mod else {}
 

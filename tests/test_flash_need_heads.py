@@ -60,7 +60,10 @@ def _ref(xa, x, cq, ck, c0, v_heads, mask, pe, deg):
 
 @pytest.mark.parametrize("with_mod", [True, False])
 @pytest.mark.parametrize("block", [8, 32])
-def test_need_heads_forward_matches_chain(with_mod, block):
+@pytest.mark.parametrize("fold", ["0", "1"])
+def test_need_heads_forward_matches_chain(with_mod, block, fold,
+                                          monkeypatch):
+    monkeypatch.setenv("FETA_FLASH_HEAD_FOLD", fold)
     xa, x, cq, ck, c0, v, mask, pe, deg = _inputs()
     kw = dict(pe=pe, degree=deg) if with_mod else {}
     got_h, got_s = fl.flash_graphit_attention_heads(
@@ -73,7 +76,9 @@ def test_need_heads_forward_matches_chain(with_mod, block):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_need_heads_backward_matches_chain():
+@pytest.mark.parametrize("fold", ["0", "1"])
+def test_need_heads_backward_matches_chain(fold, monkeypatch):
+    monkeypatch.setenv("FETA_FLASH_HEAD_FOLD", fold)
     xa, x, cq, ck, c0, v, mask, pe, deg = _inputs(seed=3)
 
     def loss_k(args):
