@@ -617,6 +617,75 @@ def bench_serve_quantized(graphs, n_calls=12, train_steps=1000):
     return out
 
 
+def bench_serve_int8_device(d_model=256, ff=1024, layers=10, n_graphs=8):
+    """Device-resident int8 serving at a WEIGHT-BOUND operating point
+    (VERDICT r4 item 8: the B=128 canonical config is relay-round-trip
+    bound, so w8/w8a8 shows no latency win there).
+
+    At d_model=256/ff=1024/L=10 with a B=8 micro-batch the forward's HBM
+    traffic is dominated by streaming the ~8M parameters (f32 31 MB vs
+    int8 8 MB per call) — the regime of latency-sensitive single-request
+    serving and multi-tenant model residency. Timing is the chained
+    difference method on the jitted forward itself (device-resident
+    inputs), i.e. the number a colocated server sees, with no relay
+    round trip per call. Returns serve_dev_* fields incl. the
+    f32-vs-int8 latency ratio."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from feta_tmlr_tpu.quantize import (
+        dequantize_variables,
+        int8_dense_interceptor,
+        quantize_variables,
+    )
+    cfg = dict(CFG, d_model=d_model, dim_feedforward=ff, nb_layers=layers)
+    graphs = zinc_like_dataset(seed=3, n_graphs=n_graphs)
+    DiffusionEncoding(beta=1.0).apply_to(graphs)
+    LapEncoding(dim=8).apply_to(graphs)
+    batch = jax.device_put(collate_graphs(graphs, max_nodes=MAX_NODES))
+    jax.block_until_ready(batch.x)
+    model = DiffGraphTransformerGenGCN(**cfg)
+    variables = jax.jit(model.init)(jax.random.key(0), batch)
+    qvars = jax.device_put(quantize_variables(variables))
+
+    def timed_forward(apply_fn):
+        # chained: a scalar carry keeps successive calls data-dependent
+        @jax.jit
+        def step(carry, b, _rng):
+            bb = b.replace(x=b.x + jnp.zeros_like(b.x)
+                           * carry.astype(b.x.dtype))
+            out = apply_fn(bb)
+            logits = out[0] if isinstance(out, tuple) else out
+            s = jnp.sum(logits.astype(jnp.float32))
+            return s, s                  # carry doubles as the sync fetch
+
+        from feta_tmlr_tpu.utils.profiling import timed_steps
+        return timed_steps(step, jnp.float32(0.0), batch,
+                           lambda i: None, n1=10, n2=40,
+                           check_finite=False)
+
+    def _w8a8_apply(b):
+        with nn.intercept_methods(int8_dense_interceptor):
+            return model.apply(dequantize_variables(qvars), b)
+
+    out = {}
+    results = {}
+    for rep in range(2):
+        for key, fn in (
+                ("f32", lambda b: model.apply(variables, b)),
+                ("w8", lambda b: model.apply(
+                    dequantize_variables(qvars), b)),
+                ("w8a8", _w8a8_apply)):
+            results.setdefault(key, []).append(timed_forward(fn))
+    for key, secs in results.items():
+        out[f"serve_dev_{key}_ms"] = round(min(secs) * 1e3, 3)
+    out["serve_dev_int8_win"] = round(
+        min(results["f32"]) / min(min(results["w8"]),
+                                  min(results["w8a8"])), 3)
+    out["serve_dev_config"] = f"d{d_model}_ff{ff}_L{layers}_B{n_graphs}"
+    return out
+
+
 def bench_serving_concurrent(graphs, n_requests=192, n_clients=16,
                              max_wait_ms=5.0):
     """Online-serving regime: many concurrent SINGLE-GRAPH requests.
@@ -884,6 +953,20 @@ def main():
         except Exception as e:
             emit("serve_int8", {"serve_int8_error":
                                 f"{type(e).__name__}: {e}"[:200]})
+        # the weight-bound device-resident operating point where int8
+        # actually wins latency (the B=128 wire path above is relay-RTT
+        # bound; VERDICT r4 item 8)
+        if _remaining() > 120:
+            try:
+                dev = bench_serve_int8_device()
+                emit("serve_int8_device", dev,
+                     final={k: dev[k] for k in
+                            ("serve_dev_f32_ms", "serve_dev_w8_ms",
+                             "serve_dev_w8a8_ms", "serve_dev_int8_win")
+                            if k in dev})
+            except Exception as e:
+                emit("serve_int8_device",
+                     {"serve_dev_error": f"{type(e).__name__}: {e}"[:200]})
 
     # ------------------------- section 6: Pallas-modulation batch sweep
     # (the round-4 falsification control; informative but lowest value)

@@ -34,20 +34,29 @@ class DenseGATConv(nn.Module):
     feat_drop: float = 0.0
     attn_drop: float = 0.0
     negative_slope: float = 0.2
+    # None -> FETA_COMPUTE_DTYPE env. Under bf16 the fc projection, the
+    # score broadcast field and the attn@V contraction run half-width
+    # (f32 accumulation); softmax stays f32 (round-5 tier playbook).
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, h, adj, node_mask, deterministic=True):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        cdt = self.compute_dtype or default_compute_dtype()
         b, n, _ = h.shape
         hh, dh = self.num_heads, self.out_dim
         h = nn.Dropout(self.feat_drop)(h, deterministic=deterministic)
-        feat = nn.Dense(hh * dh, use_bias=False, name="fc")(h)
+        feat = nn.Dense(hh * dh, use_bias=False, dtype=cdt,
+                        name="fc")(h.astype(cdt))
         feat = feat.reshape(b, n, hh, dh)
         attn_l = self.param("attn_l", nn.initializers.glorot_uniform(),
                             (hh, dh))
         attn_r = self.param("attn_r", nn.initializers.glorot_uniform(),
                             (hh, dh))
-        el = jnp.einsum("bnhd,hd->bnh", feat, attn_l)   # src term
-        er = jnp.einsum("bnhd,hd->bnh", feat, attn_r)   # dst term
+        el = jnp.einsum("bnhd,hd->bnh", feat, attn_l.astype(cdt),
+                        preferred_element_type=jnp.float32)  # src term
+        er = jnp.einsum("bnhd,hd->bnh", feat, attn_r.astype(cdt),
+                        preferred_element_type=jnp.float32)  # dst term
         # scores[b,h,i(dst),j(src)] = leaky(el[j] + er[i])
         scores = nn.leaky_relu(
             el[:, None, :, :].transpose(0, 3, 1, 2)
@@ -58,8 +67,9 @@ class DenseGATConv(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1)
         attn = attn * real[:, None]
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, feat)  # [B,N,H,dh]
-        return out, attn
+        out = jnp.einsum("bhij,bjhd->bihd", attn.astype(cdt), feat,
+                         preferred_element_type=jnp.float32)  # [B,N,H,dh]
+        return out.astype(jnp.float32), attn
 
 
 class GATFeTALayer(nn.Module):
@@ -72,16 +82,20 @@ class GATFeTALayer(nn.Module):
     residual: bool = False
     filter_order: int = 4
     use_activation: bool = True   # F.elu
+    compute_dtype: object = None  # see DenseGATConv
 
     @nn.compact
     def __call__(self, h, adj, node_mask, deterministic=True):
+        from feta_tmlr_tpu.config import default_compute_dtype
+        cdt = self.compute_dtype or default_compute_dtype()
         b, n, _ = h.shape
         dh = self.out_dim
         h_in = h
         residual = self.residual and h.shape[-1] == dh * self.num_heads
 
         heads_out, attn = DenseGATConv(
-            dh, self.num_heads, self.dropout, self.dropout, name="gatconv")(
+            dh, self.num_heads, self.dropout, self.dropout,
+            compute_dtype=self.compute_dtype, name="gatconv")(
                 h, adj, node_mask, deterministic)
 
         coeff = SANCoeffHead(self.filter_order, name="coeff_head")(
@@ -92,7 +106,9 @@ class GATFeTALayer(nn.Module):
         w = self.param("cheb_weight", nn.initializers.glorot_uniform(),
                        (self.filter_order, dh, dh))
         cb = self.param("cheb_bias", nn.initializers.zeros, (dh,))
-        filt = cheb_filter_scalar_coeff(heads, lhat, coeff, w, cb)
+        filt = cheb_filter_scalar_coeff(
+            heads.astype(cdt), lhat.astype(cdt), coeff.astype(cdt),
+            w.astype(cdt), cb.astype(cdt)).astype(jnp.float32)
         filt = nn.Dense(dh, name="filt_linear")(jnp.tanh(filt))
         filt = filt.transpose(0, 2, 1, 3).reshape(b, n, -1)
 
@@ -122,6 +138,7 @@ class GATFeTANet(nn.Module):
     filter_order: int = 4
     readout: str = "mean"
     n_out: int = 1
+    compute_dtype: object = None  # see DenseGATConv
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True):
@@ -131,10 +148,13 @@ class GATFeTANet(nn.Module):
         for i in range(self.n_layers - 1):
             h = GATFeTALayer(self.hidden_dim, self.num_heads, self.dropout,
                              self.batch_norm, self.residual,
-                             self.filter_order, name=f"layer_{i}")(
+                             self.filter_order,
+                             compute_dtype=self.compute_dtype,
+                             name=f"layer_{i}")(
                 h, batch.adj, batch.node_mask, deterministic)
         h = GATFeTALayer(self.out_dim, 1, self.dropout, self.batch_norm,
                          self.residual, self.filter_order,
+                         compute_dtype=self.compute_dtype,
                          name=f"layer_{self.n_layers - 1}")(
             h, batch.adj, batch.node_mask, deterministic)
         if self.readout == "sum":
