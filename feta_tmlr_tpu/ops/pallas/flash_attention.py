@@ -149,6 +149,17 @@ def _fwd_kernel(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
 # All-heads blocks fit VMEM comfortably at d_model=64 (xa/vw blocks are
 # H x Bq x d ~ 0.5 MB bf16 at Bq=512).
 
+
+
+def _hf_params():
+    """Folded kernels: the unrolled head loop's temporaries exceed the
+    default 16 MB scoped-VMEM stack by a hair at 256-blocks (16.19 MB
+    measured); raise the per-kernel limit (v5e VMEM is far larger than
+    the 16 MB default scope)."""
+    return pltpu.CompilerParams(vmem_limit_bytes=int(os.environ.get(
+        "FETA_FLASH_VMEM_LIMIT", str(100 * 1024 * 1024))))
+
+
 def _fwd_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
                    deg_ref, qmask_ref, kmask_ref, inv_sqrt_ref,
                    outh_ref, m_ref, se_ref, su_ref,
@@ -166,10 +177,15 @@ def _fwd_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
 
     pd = _pd_block(pe_ref, deg_ref)                  # shared across heads
     km = kmask_ref[0].astype(jnp.float32)
-    x_t = x_ref[0].T
     qm = qmask_ref[0].astype(jnp.float32)
-    for hh in range(nh):
-        s = (jnp.dot(xa_ref[0, hh], x_t,
+
+    # fori_loop (not an unrolled python loop): Mosaic reuses one
+    # iteration's stack across heads — the unrolled form keeps every
+    # head's [Bq, Bk] f32 temporaries live at once and overflows scoped
+    # VMEM at Bq=512/H=8 (31.5 MB vs the 16 MB stack, bisected
+    # 2026-08-19 on the N=1024 SBM step)
+    def _head(hh, _):
+        s = (jnp.dot(xa_ref[0, hh], x_ref[0].T,
                      preferred_element_type=jnp.float32)
              + cq_ref[0, hh] + ck_ref[0, hh]
              + c0_ref[hh]) * inv_sqrt_ref[0, 0]
@@ -187,7 +203,7 @@ def _fwd_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
         m_s[hh] = m_new
 
         @pl.when(ki == nk - 1)
-        def _emit(hh=hh):
+        def _emit():
             se = se_s[hh]
             su = su_s[hh]
             guard = jnp.abs(su / se) > _EPS
@@ -196,6 +212,9 @@ def _fwd_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref, pe_ref,
             m_ref[0, hh] = m_s[hh]
             se_ref[0, hh] = se
             su_ref[0, hh] = su
+        return 0
+
+    jax.lax.fori_loop(0, nh, _head, 0)
 
 
 def _fwd_specs_hf(n, d, h, bq, bk, dv=None):
@@ -242,6 +261,7 @@ def _call_fwd_hf(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
                         pltpu.VMEM((h, bq, 1), jnp.float32),
                         pltpu.VMEM((h, bq, 1), jnp.float32),
                         pltpu.VMEM((h, bq, dv), jnp.float32)],
+        compiler_params=_hf_params(),
     )(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt)
 
 
@@ -260,8 +280,9 @@ def _bwd_q_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref,
 
     pd = _pd_block(pe_ref, deg_ref)
     km = kmask_ref[0].astype(jnp.float32)
-    x_blk = x_ref[0]
-    for hh in range(nh):
+
+    def _head(hh, _):
+        x_blk = x_ref[0]
         s = (jnp.dot(xa_ref[0, hh], x_blk.T,
                      preferred_element_type=jnp.float32)
              + cq_ref[0, hh] + ck_ref[0, hh]
@@ -278,9 +299,12 @@ def _bwd_q_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref,
         dcq_s[hh] += ds.sum(-1, keepdims=True)
 
         @pl.when(ki == nk - 1)
-        def _emit(hh=hh):
+        def _emit():
             dxa_ref[0, hh] = dxa_s[hh].astype(dxa_ref.dtype)
             dcq_ref[0, hh] = dcq_s[hh]
+        return 0
+
+    jax.lax.fori_loop(0, xa_ref.shape[1], _head, 0)
 
 
 def _bwd_k_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref,
@@ -299,8 +323,9 @@ def _bwd_k_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref,
 
     pd = _pd_block(pe_ref, deg_ref)
     km = kmask_ref[0].astype(jnp.float32)
-    x_blk = x_ref[0]
-    for hh in range(nh):
+
+    def _head(hh, _):
+        x_blk = x_ref[0]
         s = (jnp.dot(xa_ref[0, hh], x_blk.T,
                      preferred_element_type=jnp.float32)
              + cq_ref[0, hh] + ck_ref[0, hh]
@@ -321,9 +346,12 @@ def _bwd_k_kernel_hf(xa_ref, x_ref, cq_ref, ck_ref, c0_ref, vw_ref,
                              preferred_element_type=jnp.float32)
 
         @pl.when(qi == nq - 1)
-        def _emit(hh=hh):
+        def _emit():
             dvw_ref[0, hh] = dvw_s[hh].astype(dvw_ref.dtype)
             dck_ref[0, hh] = dck_s[hh]
+        return 0
+
+    jax.lax.fori_loop(0, xa_ref.shape[1], _head, 0)
 
     @pl.when(qi == nq - 1)
     def _emit_dx():
@@ -389,6 +417,7 @@ def _call_bwd_hf(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((h, bq, d), jnp.float32),
                         pltpu.VMEM((h, bq, 1), jnp.float32)],
+        compiler_params=_hf_params(),
     )(*args)
     dvw, dck, dx = pl.pallas_call(
         _bwd_k_kernel_hf,
@@ -405,6 +434,7 @@ def _call_bwd_hf(xa, x, cq, ck, c0, vw, pe, deg, qmask, kmask, inv_sqrt,
         scratch_shapes=[pltpu.VMEM((h, bk, dv), jnp.float32),
                         pltpu.VMEM((h, 1, bk), jnp.float32),
                         pltpu.VMEM((bk, d), jnp.float32)],
+        compiler_params=_hf_params(),
     )(*args)
     return dxa, dcq, dvw, dck, dx
 
@@ -828,6 +858,16 @@ def _auto_head_fold(b, n, bq, bk) -> bool:
     return b * (n // bq) * (n // bk) <= 64
 
 
+def _fold_blocks(n, bq, bk):
+    """Folded kernels hold all H heads' temporaries on the Mosaic stack
+    (the static-trip head loop is unrolled) — at Bq=512/H=8 that is
+    ~31.5 MB vs the 16 MB scoped-VMEM stack (measured 2026-08-19).
+    Quarter the tile: 256x256 keeps the folded stack ~8 MB and still
+    cuts the program count vs the unfolded (.., h) grid."""
+    b256 = _pick_block(n, 256)
+    return min(bq, b256), min(bk, b256)
+
+
 def _prepare(xa, x, cq, ck, c0, node_mask, pe, degree, mod_dtype):
     b, h, n, d = xa.shape
     f32 = jnp.float32
@@ -881,6 +921,8 @@ def flash_graphit_attention_heads(xa, x, cq, ck, c0, v_heads, node_mask,
     pe_arr, deg_arr, qmask, kmask, inv_sqrt, cq_k, ck_k, c0_k = _prepare(
         xa, x, cq, ck, c0, node_mask, pe, degree, mod_dtype)
     hf = _auto_head_fold(b, n, bq, bk)
+    if hf:
+        bq, bk = _fold_blocks(n, bq, bk)
     outh, m, se, su = _flash_heads(
         xa, x.astype(xa.dtype), cq_k, ck_k, c0_k, v_heads, pe_arr,
         deg_arr, qmask, kmask, inv_sqrt, bq, bk, hf)
@@ -931,6 +973,8 @@ def flash_graphit_attention(xa, x, cq, ck, c0, vw, node_mask, pe=None,
     bk = block_k or _pick_block(n)
     pe_arr, deg_arr, qmask, kmask, inv_sqrt, cq_k, ck_k, c0_k = _prepare(
         xa, x, cq, ck, c0, node_mask, pe, degree, mod_dtype)
+    hf = _auto_head_fold(b, n, bq, bk)
+    if hf:
+        bq, bk = _fold_blocks(n, bq, bk)
     return _flash(xa, x.astype(xa.dtype), cq_k, ck_k, c0_k, vw, pe_arr,
-                  deg_arr, qmask, kmask, inv_sqrt, bq, bk,
-                  _auto_head_fold(b, n, bq, bk))
+                  deg_arr, qmask, kmask, inv_sqrt, bq, bk, hf)
