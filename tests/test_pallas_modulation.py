@@ -116,6 +116,8 @@ def test_layer_parity_at_auto_gated_shape(monkeypatch):
 
     layer = GraphiTEncoderLayer(d_model=d, n_heads=h, dim_feedforward=32)
     params = layer.init(jax.random.key(0), x, pe, mask_j, degree=deg)
+    from feta_tmlr_tpu.nn.layers import AttnColStats
+    from feta_tmlr_tpu.ops.laplacian import gcn_norm_directed
     for need_heads in (True, False):
         monkeypatch.setenv("FETA_PALLAS", "0")
         ref = layer.apply(params, x, pe, mask_j, degree=deg,
@@ -128,9 +130,27 @@ def test_layer_parity_at_auto_gated_shape(monkeypatch):
                                    rtol=1e-4, atol=1e-5,
                                    err_msg=f"need_heads={need_heads}")
         if need_heads:
-            np.testing.assert_allclose(
-                np.asarray(got[1]), np.asarray(ref[1]),
-                rtol=1e-4, atol=1e-5)
+            # default dispatch is the round-5 streamed flash path: it
+            # emits AttnColStats (+ per-head outputs) instead of dense
+            # [B, H, N, N] attention
+            assert isinstance(got[1], AttnColStats)
+            s_ref = gcn_norm_directed(jax.lax.stop_gradient(ref[1]),
+                                      mask_j[:, None, :]).sum(axis=2)
+            np.testing.assert_allclose(np.asarray(got[1].s),
+                                       np.asarray(s_ref),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(got[2]),
+                                       np.asarray(ref[2]),
+                                       rtol=1e-4, atol=1e-5)
+            # the pre-round-5 dispatch (row-tiled modulation kernel,
+            # dense attention out) stays reachable and in parity
+            monkeypatch.setenv("FETA_FLASH_NEED_HEADS", "0")
+            got_mod = layer.apply(params, x, pe, mask_j, degree=deg,
+                                  need_heads=True)
+            monkeypatch.delenv("FETA_FLASH_NEED_HEADS")
+            np.testing.assert_allclose(np.asarray(got_mod[1]),
+                                       np.asarray(ref[1]),
+                                       rtol=1e-4, atol=1e-5)
 
 
 def test_backward_matches_twin():
