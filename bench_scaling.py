@@ -36,14 +36,16 @@ import numpy as np
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     _flags += " --xla_force_host_platform_device_count=8"
-# Controlled experiment (round 5): pin each virtual CPU device to ONE
-# host thread. Without this, the 1x baseline parallelizes its single
-# shard across all 4 physical cores while the 8x point runs 8 device
-# threads on the same 4 cores — the "weak-scaling efficiency" then mixes
-# collective overhead with host oversubscription (the round-4 numbers).
-# With 1 thread/device, speedup vs the matched-work SERIAL baseline is
-# interpretable: ideal = min(n_shards, physical cores).
-if os.environ.get("FETA_SCALING_PIN_THREADS", "1") == "1" \
+# Round-5 controlled-experiment note: pinning every device to one host
+# thread (xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1,
+# FETA_SCALING_PIN_THREADS=1) was tried and REJECTED as the default — the
+# XLA CPU client shares one intra-op pool across virtual devices, so the
+# pin serializes the whole mesh (measured 2026-08-19: sharded
+# speedup_vs_serial ~1.0 at every scale). The controlled reference that
+# stays is the matched-work SERIAL baseline per scale: speedup_vs_serial
+# and eff_vs_host_ideal (= speedup / min(shards, physical cores)) are the
+# interpretable numbers on an oversubscribed 4-core host.
+if os.environ.get("FETA_SCALING_PIN_THREADS", "0") == "1" \
         and "multi_thread_eigen" not in _flags:
     _flags += (" --xla_cpu_multi_thread_eigen=false"
                " intra_op_parallelism_threads=1")
@@ -342,23 +344,30 @@ def main():
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     devices = jax.devices()
+
+    def best2(fn, *a, **k):
+        """Max-of-2 repeats: single-shot virtual-mesh points swing 2x
+        across runs on the contended host (relay-noise discipline of
+        bench.py applied here)."""
+        return max(fn(*a, **k) for _ in range(2))
+
     results = {}
     base = None
     for s in (1, 2, 4, 8):
         if s > len(devices):
             break
-        eps = run_scale(s, args.nodes_per_shard, args.edges_per_shard,
-                        devices, mode="ring")
-        eps_local = run_scale(s, args.nodes_per_shard,
-                              args.edges_per_shard, devices, mode="local")
+        eps = best2(run_scale, s, args.nodes_per_shard,
+                    args.edges_per_shard, devices, mode="ring")
+        eps_local = best2(run_scale, s, args.nodes_per_shard,
+                          args.edges_per_shard, devices, mode="local")
         # matched-WORK serial baseline: the same s-scaled graph on ONE
         # device (n_shards=1 ring degenerates to a local pass) — the
         # controlled reference point (VERDICT r4 item 7): on an
         # oversubscribed host the achievable ideal speedup is
         # min(s, physical cores), not s
-        eps_serial = (eps if s == 1 else run_scale(
-            1, args.nodes_per_shard * s, args.edges_per_shard * s,
-            devices, mode="ring"))
+        eps_serial = (eps if s == 1 else best2(
+            run_scale, 1, args.nodes_per_shard * s,
+            args.edges_per_shard * s, devices, mode="ring"))
         if base is None:
             base = eps
             base_local = eps_local
@@ -382,9 +391,10 @@ def main():
     for s_ in (1, 2, 4, 8):
         if s_ > len(devices):
             break
-        nps = run_feta_scale(s_, args.feta_nodes_per_shard, devices)
-        nps_ring = run_feta_scale(s_, args.feta_nodes_per_shard, devices,
-                                  ring_attention=True)
+        nps = best2(run_feta_scale, s_, args.feta_nodes_per_shard,
+                    devices)
+        nps_ring = best2(run_feta_scale, s_, args.feta_nodes_per_shard,
+                         devices, ring_attention=True)
         # matched-FLOPs compute-only control (ppermute removed, same
         # S-step fold): attributes the ring's efficiency gap between
         # collectives and host compute contention (VERDICT r3 item 5)
@@ -394,8 +404,8 @@ def main():
         # matched-work serial baseline for the gathered schedule: the
         # same s-scaled graph, one device (controlled experiment —
         # achievable ideal speedup = min(s, physical cores))
-        nps_serial = (nps if s_ == 1 else run_feta_scale(
-            1, args.feta_nodes_per_shard * s_, devices))
+        nps_serial = (nps if s_ == 1 else best2(
+            run_feta_scale, 1, args.feta_nodes_per_shard * s_, devices))
         if base_f is None:
             base_f = nps
             base_r = nps_ring

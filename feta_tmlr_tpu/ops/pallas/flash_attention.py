@@ -848,14 +848,15 @@ def _call_colstat(xa, x, cq, ck, c0, pe, deg, qmask, kmask, inv_sqrt,
 # ---------------------------------------------------------- public API
 
 def _auto_head_fold(b, n, bq, bk) -> bool:
-    """Fold heads into the kernel body when the (b, q, k) grid is small
-    enough to be per-program-overhead-bound (the N=2048/B=1 regime where
-    the round-4 sweep measured 1.02x). FETA_FLASH_HEAD_FOLD=1/0
-    force-overrides."""
-    env = os.environ.get("FETA_FLASH_HEAD_FOLD", "")
-    if env in ("0", "1"):
-        return env == "1"
-    return b * (n // bq) * (n // bk) <= 64
+    """Head folding (loop heads inside the program) — measured a LOSS and
+    kept opt-in only (FETA_FLASH_HEAD_FOLD=1). The hypothesis was that
+    the small grids at B<=2/N>=1024 are per-program-overhead-bound;
+    the interleaved 4-combo A/B (examples/largen_combo_ab.py, N=2048/B=1,
+    2026-08-19) measured fold 18.6 ms vs unfolded-flash 9.2 ms vs XLA
+    12.9 ms: the in-kernel sequential head loop (forced to 256-tiles by
+    its own VMEM stack) serializes work the (.., h) grid pipelines, and
+    the per-program overhead it saves was never the bottleneck."""
+    return os.environ.get("FETA_FLASH_HEAD_FOLD", "0") == "1"
 
 
 def _fold_blocks(n, bq, bk):
