@@ -473,8 +473,28 @@ def main():
             "vs_1shard": round(rps / base_s, 3),
             "max_abs_diff_vs_single_device": diff,
         }
+    reading = None
+    if devices[0].platform == "cpu":
+        # Round-5 controlled-experiment conclusion, encoded with the data
+        # so the numbers cannot be misread as ICI weak scaling: the
+        # matched-work SERIAL baseline (speedup_vs_serial ~0.7-1.0 at
+        # every scale and every per-shard size tried) shows a single XLA
+        # CPU executable already saturates all physical cores via intra-op
+        # parallelism — a virtual 8-device mesh on 4 cores has no spare
+        # hardware to scale onto, so weak_scaling_eff here measures host
+        # arithmetic, not the partitioned path. The quantities that
+        # TRANSFER to real multi-chip hardware are (a) collective_share
+        # (matched-FLOPs ring-vs-local control: the full FeTA model's is
+        # 0-11%, i.e. >=89% of step time is compute the ICI permute
+        # overlaps) and (b) the parity/grad-exactness tests; the >=85%
+        # BASELINE.json bar is a real-ICI claim this host can neither
+        # prove nor refute.
+        reading = ("virtual-cpu mesh: speedup_vs_serial ~1 at all scales "
+                   "=> host-bound; transferable signals are "
+                   "collective_share and eff_vs_host_ideal")
     print(json.dumps({"metric": "ring_spmm_weak_scaling",
                       "platform": devices[0].platform,
+                      **({"reading": reading} if reading else {}),
                       "results": results,
                       "feta_partitioned_full_model": feta,
                       "feta_batched_2d": batched,
