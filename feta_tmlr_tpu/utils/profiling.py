@@ -180,19 +180,28 @@ def hbm_copy_roofline(n_mb: int = 256, n1: int = 4, n2: int = 16) -> dict:
     other measurement here. `hbm_copy_util` is the fraction of the spec
     peak a trivially bandwidth-bound kernel actually achieves on this
     chip/session — the calibration anchor for reading `hbm_bw_util`
-    fields (a fused model step cannot beat it)."""
+    fields (a fused model step cannot beat it).
+
+    The k copy passes run inside ONE on-device `fori_loop` program, so
+    per-dispatch overhead (the device relay's per-call RTT is comparable
+    to one 256 MB pass at peak) is paid once per measurement, not once
+    per pass — the first cut of this anchor dispatched each pass
+    separately and read 0.47 where the loop version reads the true
+    streaming ceiling. The loop body is `b + 1` (data-dependent, and a
+    bounds-checked while-loop XLA does not algebraically collapse), each
+    trip streaming n_mb read + n_mb write of true DRAM traffic."""
     import jax.numpy as jnp
+    from jax import lax
 
     n = int(n_mb * 1e6 / 4)
     x = jnp.arange(n, dtype=jnp.float32)
-    # successive steps are data-dependent through buf (the relay-chaining
-    # requirement); donation reuses the buffer allocation
-    big_step = jax.jit(lambda buf: buf + 1.0, donate_argnums=(0,))
+    big_step = jax.jit(
+        lambda buf, k: lax.fori_loop(0, k, lambda i, b: b + 1.0, buf),
+        donate_argnums=(0,))
 
     def run(k, buf):
         t0 = time.perf_counter()
-        for _ in range(k):
-            buf = big_step(buf)
+        buf = big_step(buf, k)
         float(buf[0])
         return time.perf_counter() - t0, buf
 
