@@ -825,6 +825,22 @@ def main():
     # measurement for XProf/TensorBoard (utils/profiling.trace)
     trace_dir = os.environ.get("FETA_TRACE_DIR")
 
+    # --------------------------------- section 0: HBM copy roofline
+    # Runs FIRST: it sets the session's working HBM peak (max of spec
+    # table and measured copy bandwidth, utils/profiling.py), so every
+    # hbm_bw_util below divides by a ceiling a real kernel reached and
+    # can never read above 1.0. ~1 tiny compile.
+    if not degraded:
+        try:
+            roof = hbm_copy_roofline()
+            emit("hbm_roofline", roof,
+                 final={k: roof[k] for k in
+                        ("hbm_copy_gbps", "hbm_peak_gbps_used")
+                        if k in roof})
+        except Exception as e:
+            emit("hbm_roofline",
+                 {"hbm_roofline_error": f"{type(e).__name__}: {e}"[:160]})
+
     # ------------------------------------------------- section 1: core
     mfu_unpacked, mfu_bf16 = {}, {}
     sec_packed = sec_bf16 = None
@@ -891,15 +907,6 @@ def main():
                           skipped + ["roofline", "sweep", "tiers", "int8"]})
         _finalize()
         return
-
-    # --------------------------------- section 2: HBM copy roofline
-    # (calibration anchor for every hbm_bw_util field; ~1 compile)
-    if _remaining() > 60:
-        try:
-            emit("hbm_roofline", hbm_copy_roofline())
-        except Exception as e:
-            emit("hbm_roofline",
-                 {"hbm_roofline_error": f"{type(e).__name__}: {e}"[:160]})
 
     # ------------------------------------- section 3: batch-size sweep
     # (edges_per_s_b* are BENCH_r03 superset fields — before tiers)

@@ -151,10 +151,33 @@ def mfu_fields(jitted_fn, *args, sec_per_step=None, prefix=""):
     return out
 
 
+# Session-measured streaming bandwidth (set by hbm_copy_roofline). The
+# spec table above is a floor, not ground truth: on 2026-08-20 the loop-
+# fused copy measured 883 GB/s on a chip whose table entry said 819 —
+# dividing by the stale spec made a *copy* read "util 1.08". Every
+# hbm_bw_util therefore divides by max(spec, measured copy BW), so a
+# reading of 1.0 means "as fast as the fastest pure copy this session"
+# and can never exceed it.
+_MEASURED_HBM_GBPS: float | None = None
+
+
+def hbm_peak_bytes_per_s() -> float | None:
+    """The working HBM peak: spec-table value, raised to the measured
+    copy roofline when that (more trustworthy) number is higher."""
+    peaks = device_peaks()
+    if peaks is None:
+        return None
+    spec = peaks[1]
+    if _MEASURED_HBM_GBPS is not None:
+        return max(spec, _MEASURED_HBM_GBPS * 1e9)
+    return spec
+
+
 def derive_rates(mfu: dict, sec_per_step: float, prefix: str = "") -> dict:
     """Rate fields once the step time is measured (shared by bench.py and
     bench_tiers.py): achieved TFLOP/s, MFU vs bf16 peak, and the
-    calibrated `hbm_bw_util` (lower-bound HBM traffic / peak BW)."""
+    calibrated `hbm_bw_util` (lower-bound HBM traffic / working peak BW,
+    see hbm_peak_bytes_per_s)."""
     out = {}
     flops = mfu.get(f"{prefix}flops_per_step")
     if not flops or sec_per_step <= 0:
@@ -165,9 +188,10 @@ def derive_rates(mfu: dict, sec_per_step: float, prefix: str = "") -> dict:
         out[f"{prefix}mfu_vs_bf16_peak"] = round(
             flops / sec_per_step / peaks[0], 4)
         hbm_lb = mfu.get(f"{prefix}hbm_bytes_lb_per_step")
-        if hbm_lb:
+        peak_bw = hbm_peak_bytes_per_s()
+        if hbm_lb and peak_bw:
             out[f"{prefix}hbm_bw_util"] = round(
-                hbm_lb / sec_per_step / peaks[1], 4)
+                hbm_lb / sec_per_step / peak_bw, 4)
     return out
 
 
@@ -177,10 +201,14 @@ def hbm_copy_roofline(n_mb: int = 256, n1: int = 4, n2: int = 16) -> dict:
     Times `y = x + 1` over an `n_mb`-MB f32 array (far beyond VMEM, so
     each step streams n_mb read + n_mb write from/to HBM = 2*n_mb of
     true DRAM traffic) with the same chained-difference method as every
-    other measurement here. `hbm_copy_util` is the fraction of the spec
-    peak a trivially bandwidth-bound kernel actually achieves on this
-    chip/session — the calibration anchor for reading `hbm_bw_util`
-    fields (a fused model step cannot beat it).
+    other measurement here. The measured bandwidth becomes the session's
+    working HBM peak when it exceeds the spec-table entry (see
+    hbm_peak_bytes_per_s), so every later `hbm_bw_util` is read against
+    a ceiling a real kernel demonstrably reached — a fused model step
+    cannot beat it, and no util field can exceed 1.0.
+    `hbm_copy_vs_spec` is the measured/spec ratio (may exceed 1 when the
+    spec table is conservative for this part — that is a statement about
+    the table, not a >100% utilization).
 
     The k copy passes run inside ONE on-device `fori_loop` program, so
     per-dispatch overhead (the device relay's per-call RTT is comparable
@@ -212,10 +240,15 @@ def hbm_copy_roofline(n_mb: int = 256, n1: int = 4, n2: int = 16) -> dict:
     if sec <= 0:
         return {}
     gbps = 2 * n_mb / 1e3 / sec
+    global _MEASURED_HBM_GBPS
+    _MEASURED_HBM_GBPS = gbps
     out = {"hbm_copy_gbps": round(gbps, 1)}
     peaks = device_peaks()
     if peaks:
-        out["hbm_copy_util"] = round(gbps * 1e9 / peaks[1], 4)
+        out["hbm_spec_gbps"] = round(peaks[1] / 1e9, 1)
+        out["hbm_copy_vs_spec"] = round(gbps * 1e9 / peaks[1], 4)
+        out["hbm_peak_gbps_used"] = round(
+            hbm_peak_bytes_per_s() / 1e9, 1)
     return out
 
 
