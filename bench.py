@@ -952,6 +952,9 @@ def main():
 
     # ------------------------------------- section 5: int8 serving
     if os.environ.get("FETA_BENCH_NO_SERVE_INT8") != "1" \
+            and _remaining() <= 150:
+        emit("serve_int8", {"serve_int8_skipped": "budget"})
+    if os.environ.get("FETA_BENCH_NO_SERVE_INT8") != "1" \
             and _remaining() > 150:
         # the weight-bound device-resident operating point where int8
         # actually wins latency runs FIRST (the B=128 wire path below is
@@ -984,6 +987,9 @@ def main():
 
     # ------------------------- section 6: Pallas-modulation batch sweep
     # (the round-4 falsification control; informative but lowest value)
+    if os.environ.get("FETA_BENCH_NO_SWEEP_PALLAS") != "1" \
+            and _remaining() <= 240:
+        emit("sweep_pallasmod", {"sweep_pallasmod_skipped": "budget"})
     if os.environ.get("FETA_BENCH_NO_SWEEP_PALLAS") != "1" \
             and _remaining() > 240:
         try:

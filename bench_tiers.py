@@ -117,6 +117,42 @@ def _derive(mfu: dict, sec: float, prefix: str) -> dict:
     return out
 
 
+_TWIN_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_tiers_twins.json")
+
+
+def _cached_twin(name: str, measure):
+    """Per-tier torch-twin step time, cached in bench_tiers_twins.json.
+
+    The twins are fixed CPU measurements (same policy as the flagship's
+    bench_baseline.json): measuring them inline cost seconds-per-step x
+    6 tiers every bench run and was the long pole that starved the tier
+    section of the round-4/round-5 driver runs. They are measured once on
+    an idle host via FETA_TIERS_TWIN_ONLY=1 (FETA_TIER_TWIN_REFRESH=1
+    forces remeasurement) and committed. Returns (sec_per_step, cached?).
+    """
+    if _SMOKE:   # smoke twins run the tiny batch — measure inline, never
+        return measure(), False            # read or pollute the cache
+    refresh = os.environ.get("FETA_TIER_TWIN_REFRESH") == "1"
+    cache = {}
+    try:
+        with open(_TWIN_CACHE_PATH) as f:
+            cache = json.load(f)
+    except Exception:
+        pass
+    if not refresh and name in cache:
+        return float(cache[name]["sec_per_step"]), True
+    sec = measure()
+    cache[name] = {"sec_per_step": round(sec, 5),
+                   "device": "cpu-torch-twin"}
+    try:
+        with open(_TWIN_CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return sec, False
+
+
 def _time_torch(build_fn, inputs, y, n_steps=3, loss_kind="l1"):
     """Twin protocol of bench.bench_torch_baseline: AdamW, L1, warmup+3.
 
@@ -174,15 +210,17 @@ def bench_san_zinc(variant="opt"):
     kw = dict(hidden_dim=56, out_dim=56, n_heads=8, n_layers=10,
               lpe_dim=8, lpe_heads=4, lpe_layers=2, gamma=1e-5,
               dropout=0.0, in_feat_dropout=0.0, filter_order=4, n_out=1)
-    model = SANNodeSpectra(num_atom_type=28, num_bond_type=4,
-                           layer_norm=False, batch_norm=True,
-                           typed_edges=(None if variant == "opt"
-                                        else False),
-                           compute_dtype=_variant_dtypes(variant), **kw)
-    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
-                                          sign_flip=True)
-    if variant != "opt":
-        return sec_train, sec_serve, None, mfu
+    if variant != "twin":
+        model = SANNodeSpectra(num_atom_type=28, num_bond_type=4,
+                               layer_norm=False, batch_norm=True,
+                               typed_edges=(None if variant == "opt"
+                                            else False),
+                               compute_dtype=_variant_dtypes(variant),
+                               **kw)
+        sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                              sign_flip=True)
+        if variant != "opt":
+            return sec_train, sec_serve, None, mfu
 
     def twin():
         import torch  # noqa: F401  (twin import guards)
@@ -201,8 +239,12 @@ def bench_san_zinc(variant="opt"):
            torch.from_numpy(np.asarray(batch.eigvecs)),
            torch.from_numpy(np.asarray(batch.eigvals)))
     y = torch.from_numpy(np.asarray(batch.y, np.float32))
-    sec_twin = _time_torch(twin, tin, y)
-    return sec_train, sec_serve, sec_twin, mfu
+    sec_twin, cached = _cached_twin(
+        "san_zinc", lambda: _time_torch(twin, tin, y))
+    if variant == "twin":
+        return None, None, sec_twin, {}
+    return sec_train, sec_serve, sec_twin, {
+        **mfu, **({"twin_cached": 1} if cached else {})}
 
 
 def bench_san_pattern(variant="opt"):
@@ -215,17 +257,18 @@ def bench_san_pattern(variant="opt"):
                               n_nodes=128, n_classes=2)
     apply_laplace_decomp(graphs, 10)
     batch = collate_graphs(graphs, max_nodes=128, node_labels=True)
-    model = SANNodeSpectra(
-        num_atom_type=0, num_bond_type=4, hidden_dim=56, out_dim=56,
-        n_heads=8, n_layers=10, lpe_dim=8, lpe_heads=4, lpe_layers=2,
-        gamma=1e-5, dropout=0.0, in_feat_dropout=0.0, layer_norm=False,
-        batch_norm=True, filter_order=4, n_out=2, node_level=True,
-        categorical_input=False,
-        compute_dtype=_variant_dtypes(variant))
-    sec_train, sec_serve, mfu = _time_jax(model, batch, "node_clf",
-                                          sign_flip=True)
-    if variant != "opt":
-        return sec_train, sec_serve, None, mfu
+    if variant != "twin":
+        model = SANNodeSpectra(
+            num_atom_type=0, num_bond_type=4, hidden_dim=56, out_dim=56,
+            n_heads=8, n_layers=10, lpe_dim=8, lpe_heads=4, lpe_layers=2,
+            gamma=1e-5, dropout=0.0, in_feat_dropout=0.0, layer_norm=False,
+            batch_norm=True, filter_order=4, n_out=2, node_level=True,
+            categorical_input=False,
+            compute_dtype=_variant_dtypes(variant))
+        sec_train, sec_serve, mfu = _time_jax(model, batch, "node_clf",
+                                              sign_flip=True)
+        if variant != "opt":
+            return sec_train, sec_serve, None, mfu
 
     def twin():
         from feta_tmlr_tpu.reference_twin.torch_san import \
@@ -245,8 +288,13 @@ def bench_san_pattern(variant="opt"):
            torch.from_numpy(np.asarray(batch.eigvecs)),
            torch.from_numpy(np.asarray(batch.eigvals)))
     y = torch.from_numpy(np.asarray(batch.y))
-    sec_twin = _time_torch(twin, tin, y, loss_kind="ce_node")
-    return sec_train, sec_serve, sec_twin, mfu
+    sec_twin, cached = _cached_twin(
+        "san_pattern_n128",
+        lambda: _time_torch(twin, tin, y, loss_kind="ce_node"))
+    if variant == "twin":
+        return None, None, sec_twin, {}
+    return sec_train, sec_serve, sec_twin, {
+        **mfu, **({"twin_cached": 1} if cached else {})}
 
 
 def bench_gat_feta(variant="opt"):
@@ -256,14 +304,15 @@ def bench_gat_feta(variant="opt"):
     from feta_tmlr_tpu.nn.gat import GATFeTANet
     graphs = _zinc_graphs(seed=1)
     batch = collate_graphs(graphs, max_nodes=MAX_NODES)
-    model = GATFeTANet(num_atom_type=28, hidden_dim=22, out_dim=176,
-                       num_heads=8, n_layers=16, batch_norm=True,
-                       residual=True, filter_order=4, n_out=1,
-                       compute_dtype=_variant_dtypes(variant))
-    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
-                                          sign_flip=False)
-    if variant != "opt":
-        return sec_train, sec_serve, None, mfu
+    if variant != "twin":
+        model = GATFeTANet(num_atom_type=28, hidden_dim=22, out_dim=176,
+                           num_heads=8, n_layers=16, batch_norm=True,
+                           residual=True, filter_order=4, n_out=1,
+                           compute_dtype=_variant_dtypes(variant))
+        sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                              sign_flip=False)
+        if variant != "opt":
+            return sec_train, sec_serve, None, mfu
 
     def twin():
         from feta_tmlr_tpu.reference_twin.torch_gat import TorchGATFeTANet
@@ -276,8 +325,12 @@ def bench_gat_feta(variant="opt"):
            torch.from_numpy(np.asarray(batch.adj)),
            torch.from_numpy(np.asarray(batch.node_mask)))
     y = torch.from_numpy(np.asarray(batch.y, np.float32))
-    sec_twin = _time_torch(twin, tin, y)
-    return sec_train, sec_serve, sec_twin, mfu
+    sec_twin, cached = _cached_twin(
+        "gat_feta_zinc", lambda: _time_torch(twin, tin, y))
+    if variant == "twin":
+        return None, None, sec_twin, {}
+    return sec_train, sec_serve, sec_twin, {
+        **mfu, **({"twin_cached": 1} if cached else {})}
 
 
 def bench_lspe_spectra(variant="opt"):
@@ -289,16 +342,19 @@ def bench_lspe_spectra(variant="opt"):
     batch = collate_graphs(graphs, max_nodes=MAX_NODES)
     kw = dict(hidden_dim=48, out_dim=48, n_heads=8, n_layers=10,
               pos_enc_dim=16, filter_order=4, n_out=1)
-    model = GraphiTSpectraNet(num_atom_type=28, num_bond_type=4,
-                              pe_init="rand_walk", adaptive_edge_pe=True,
-                              batch_norm=True, layer_norm=False,
-                              typed_edges=(None if variant == "opt"
-                                           else False),
-                              compute_dtype=_variant_dtypes(variant), **kw)
-    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
-                                          sign_flip=False)
-    if variant != "opt":
-        return sec_train, sec_serve, None, mfu
+    if variant != "twin":
+        model = GraphiTSpectraNet(num_atom_type=28, num_bond_type=4,
+                                  pe_init="rand_walk",
+                                  adaptive_edge_pe=True,
+                                  batch_norm=True, layer_norm=False,
+                                  typed_edges=(None if variant == "opt"
+                                               else False),
+                                  compute_dtype=_variant_dtypes(variant),
+                                  **kw)
+        sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                              sign_flip=False)
+        if variant != "opt":
+            return sec_train, sec_serve, None, mfu
 
     def twin():
         from feta_tmlr_tpu.reference_twin.torch_lspe import \
@@ -315,8 +371,12 @@ def bench_lspe_spectra(variant="opt"):
            torch.from_numpy(np.asarray(batch.lap_pe)),
            torch.from_numpy(np.asarray(batch.pe)))
     y = torch.from_numpy(np.asarray(batch.y, np.float32))
-    sec_twin = _time_torch(twin, tin, y)
-    return sec_train, sec_serve, sec_twin, mfu
+    sec_twin, cached = _cached_twin(
+        "lspe_spectra_zinc", lambda: _time_torch(twin, tin, y))
+    if variant == "twin":
+        return None, None, sec_twin, {}
+    return sec_train, sec_serve, sec_twin, {
+        **mfu, **({"twin_cached": 1} if cached else {})}
 
 
 def bench_gatedgcn_lspe(variant="opt"):
@@ -326,16 +386,17 @@ def bench_gatedgcn_lspe(variant="opt"):
     from feta_tmlr_tpu.nn.gatedgcn import GatedGCNLSPENet
     graphs = _zinc_graphs(seed=4, rw_dim=20)
     batch = collate_graphs(graphs, max_nodes=MAX_NODES, with_coo=True)
-    model = GatedGCNLSPENet(num_atom_type=28, num_bond_type=4,
-                            hidden_dim=59, out_dim=59, n_layers=16,
-                            pos_enc_dim=20, n_out=1,
-                            sparse_edges=(None if variant == "opt"
-                                          else False),
-                            compute_dtype=_variant_dtypes(variant))
-    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
-                                          sign_flip=False)
-    if variant != "opt":
-        return sec_train, sec_serve, None, mfu
+    if variant != "twin":
+        model = GatedGCNLSPENet(num_atom_type=28, num_bond_type=4,
+                                hidden_dim=59, out_dim=59, n_layers=16,
+                                pos_enc_dim=20, n_out=1,
+                                sparse_edges=(None if variant == "opt"
+                                              else False),
+                                compute_dtype=_variant_dtypes(variant))
+        sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                              sign_flip=False)
+        if variant != "opt":
+            return sec_train, sec_serve, None, mfu
 
     def twin():
         from feta_tmlr_tpu.reference_twin.torch_gatedgcn import \
@@ -351,8 +412,12 @@ def bench_gatedgcn_lspe(variant="opt"):
            torch.from_numpy(np.asarray(batch.node_mask)),
            torch.from_numpy(np.asarray(batch.lap_pe)))
     y = torch.from_numpy(np.asarray(batch.y, np.float32))
-    sec_twin = _time_torch(twin, tin, y)
-    return sec_train, sec_serve, sec_twin, mfu
+    sec_twin, cached = _cached_twin(
+        "gatedgcn_lspe_zinc", lambda: _time_torch(twin, tin, y))
+    if variant == "twin":
+        return None, None, sec_twin, {}
+    return sec_train, sec_serve, sec_twin, {
+        **mfu, **({"twin_cached": 1} if cached else {})}
 
 
 def bench_pna_lspe(variant="opt"):
@@ -365,18 +430,22 @@ def bench_pna_lspe(variant="opt"):
     graphs = _zinc_graphs(seed=5, rw_dim=16)
     avg_log = average_log_degree(graphs)
     batch = collate_graphs(graphs, max_nodes=MAX_NODES, with_coo=True)
-    model = PNALSPENet(num_atom_type=28, num_bond_type=4, hidden_dim=55,
-                       out_dim=55, n_layers=16, pos_enc_dim=16, towers=5,
-                       avg_d_log=avg_log, n_out=1,
-                       edge_feat=True, edge_dim=40, readout="sum",
-                       # base = the round-3 configuration: python tower
-                       # loop + f32; opt = nn.vmap'd towers + bf16
-                       vmap_towers=(None if variant == "opt" else False),
-                       compute_dtype=_variant_dtypes(variant))
-    sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
-                                          sign_flip=False)
-    if variant != "opt":
-        return sec_train, sec_serve, None, mfu
+    if variant != "twin":
+        model = PNALSPENet(num_atom_type=28, num_bond_type=4,
+                           hidden_dim=55, out_dim=55, n_layers=16,
+                           pos_enc_dim=16, towers=5,
+                           avg_d_log=avg_log, n_out=1,
+                           edge_feat=True, edge_dim=40, readout="sum",
+                           # base = the round-3 configuration: python
+                           # tower loop + f32; opt = nn.vmap'd towers +
+                           # bf16
+                           vmap_towers=(None if variant == "opt"
+                                        else False),
+                           compute_dtype=_variant_dtypes(variant))
+        sec_train, sec_serve, mfu = _time_jax(model, batch, "graph_reg",
+                                              sign_flip=False)
+        if variant != "opt":
+            return sec_train, sec_serve, None, mfu
 
     def twin():
         from feta_tmlr_tpu.reference_twin.torch_pna import TorchPNALSPENet
@@ -392,8 +461,12 @@ def bench_pna_lspe(variant="opt"):
            torch.from_numpy(np.asarray(batch.node_mask)),
            torch.from_numpy(np.asarray(batch.lap_pe)))
     y = torch.from_numpy(np.asarray(batch.y, np.float32))
-    sec_twin = _time_torch(twin, tin, y)
-    return sec_train, sec_serve, sec_twin, mfu
+    sec_twin, cached = _cached_twin(
+        "pna_lspe_zinc", lambda: _time_torch(twin, tin, y))
+    if variant == "twin":
+        return None, None, sec_twin, {}
+    return sec_train, sec_serve, sec_twin, {
+        **mfu, **({"twin_cached": 1} if cached else {})}
 
 
 # ordered so a budget cutoff (run_tiers budget_s) drops the cheapest
@@ -431,6 +504,10 @@ def run_tiers(names=None, budget_s: float = None, on_row=None):
     # the base-variant A/B doubles compiles; skip it in the CPU smoke
     # gate (plumbing check) and under the explicit env opt-out
     skip_base = _SMOKE or os.environ.get("FETA_TIERS_NO_AB") == "1"
+    # FETA_TIERS_TWIN_ONLY=1: measure ONLY the torch twins (no device
+    # work) and write bench_tiers_twins.json — run on an idle host to
+    # (re)populate the committed twin cache
+    twin_only = os.environ.get("FETA_TIERS_TWIN_ONLY") == "1"
 
     def left():
         return (deadline - time.perf_counter()) if deadline else float(
@@ -451,6 +528,15 @@ def run_tiers(names=None, budget_s: float = None, on_row=None):
             flush_row(name, {f"tier_{name}_skipped": "budget exhausted"})
             continue
         row = {}
+        if twin_only:
+            try:
+                _, _, sec_twin, _ = fn(variant="twin")
+                row[f"tier_{name}_twin_sec_per_step"] = round(sec_twin, 5)
+            except Exception as e:
+                row[f"tier_{name}_twin_error"] = \
+                    f"{type(e).__name__}: {e}"[:200]
+            flush_row(name, row)
+            continue
         # a cold A/B tier costs ~2x an opt-only tier; only spend the base
         # pass when there is plausibly room for BOTH phases
         if name in AB_TIERS and not skip_base and left() > 120:
@@ -486,6 +572,11 @@ def run_tiers(names=None, budget_s: float = None, on_row=None):
 
 if __name__ == "__main__":
     import sys
+    if os.environ.get("FETA_TIERS_TWIN_ONLY") == "1":
+        # pure-CPU twin measurement: never touch the device relay
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps(run_tiers()))
+        sys.exit(0)
     from bench import _accelerator_available
     if not (_SMOKE or _accelerator_available()):
         # in-process backend init blocks 20+ min when the device relay
